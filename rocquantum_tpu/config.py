@@ -1,0 +1,64 @@
+"""Global configuration for rocquantum_tpu.
+
+Replaces the reference's compile-time ``ROCQ_PRECISION_DOUBLE`` switch
+(reference: rocquantum/include/rocquantum/hipStateVec.h:7-15) with a runtime
+precision toggle. Default is single precision (complex64, eps 1e-6), matching
+the reference's fp32 default; double precision (complex128, eps 1e-12)
+requires ``jax_enable_x64`` and is enabled via :func:`set_precision`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class _Config:
+    precision: str = "single"  # "single" | "double"
+
+    @property
+    def complex_dtype(self):
+        return jnp.complex128 if self.precision == "double" else jnp.complex64
+
+    @property
+    def real_dtype(self):
+        return jnp.float64 if self.precision == "double" else jnp.float32
+
+    @property
+    def eps(self) -> float:
+        return 1e-12 if self.precision == "double" else 1e-6
+
+
+_CONFIG = _Config()
+
+
+def set_precision(precision: str) -> None:
+    """Set global simulation precision: ``"single"`` or ``"double"``.
+
+    Double precision enables ``jax_enable_x64``; this affects newly created
+    states only.
+    """
+    if precision not in ("single", "double"):
+        raise ValueError(f"precision must be 'single' or 'double', got {precision!r}")
+    if precision == "double":
+        jax.config.update("jax_enable_x64", True)
+    _CONFIG.precision = precision
+
+
+def get_precision() -> str:
+    return _CONFIG.precision
+
+
+def complex_dtype():
+    return _CONFIG.complex_dtype
+
+
+def real_dtype():
+    return _CONFIG.real_dtype
+
+
+def eps() -> float:
+    return _CONFIG.eps
