@@ -10,4 +10,19 @@ and a cloud-QPU backend abstraction.
 from . import config
 from .config import set_precision, get_precision
 
+from .api import (  # noqa: F401
+    Simulator,
+    Circuit,
+    PauliOperator,
+    QuantumProgram,
+    Kernel,
+    kernel,
+    build,
+    get_expval,
+    adjoint,
+    grad,
+    adjoint_grad,
+    trace_kernel,
+)
+
 __version__ = "0.1.0"

@@ -1,0 +1,85 @@
+"""IR transformation passes.
+
+- :func:`adjoint_ir` — the adjoint-generation transform: clone ops in reverse
+  order toggling each gate's ``is_adjoint`` flag (TPU-native equivalent of
+  the reference AdjointGenerationPass,
+  rocquantum/src/rocqCompiler/Transforms/AdjointGeneration.cpp:26-110).
+- :func:`plan_fusion` — trace-time gate fusion: group adjacent gates whose
+  combined qubit support fits in ``max_fuse`` qubits so they apply as one
+  matrix in a single pass over the amplitudes (generalizes the reference's
+  GateFusion absorb-1q-into-CNOT scheme, GateFusion.cpp:89-156 — and fixes
+  its qubit-ordering bug, which SURVEY flags as not-spec). Grouping is
+  static; the fused matrices are computed inside the traced program so
+  parameterized gates fuse too.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+from .ir import CircuitIR, GateOp
+
+
+def adjoint_ir(ir: CircuitIR) -> CircuitIR:
+    """Return the adjoint circuit: reversed op order, each op daggered."""
+    out = CircuitIR(ir.num_qubits, name=f"{ir.name}.adj")
+    for op in reversed(ir.ops):
+        out.ops.append(dataclasses.replace(op, is_adjoint=not op.is_adjoint))
+    return out
+
+
+@dataclasses.dataclass
+class FusedBlock:
+    """A run of gates applied as one dense matrix over ``qubits``."""
+    qubits: Tuple[int, ...]  # sorted ascending; bit k of the fused matrix
+    ops: List[GateOp]
+
+
+def _support(op: GateOp) -> Tuple[int, ...]:
+    return tuple(sorted(set(op.targets) | set(op.controls)))
+
+
+def plan_fusion(ops: List[GateOp], max_fuse: int = 2) -> List[object]:
+    """Group ops into FusedBlocks / passthrough GateOps.
+
+    Greedy single-pass scheme: maintain open blocks with pairwise-disjoint
+    qubit supports (disjoint unitaries commute, so emission order among them
+    is free). An op joins an open block when it intersects exactly that block
+    and the union support fits in ``max_fuse`` qubits. Ops with larger
+    support (e.g. MCX with many controls) pass through unfused, flushing the
+    blocks they touch, preserving the controlled slice-update fast path.
+    """
+    if max_fuse < 1:
+        return list(ops)
+
+    emitted: List[object] = []
+    open_blocks: List[FusedBlock] = []
+
+    def flush(blocks):
+        for b in blocks:
+            open_blocks.remove(b)
+            if len(b.ops) == 1:
+                emitted.append(b.ops[0])  # keep original (controlled) form
+            else:
+                emitted.append(b)
+
+    for op in ops:
+        q = _support(op)
+        if len(q) > max_fuse:
+            flush([b for b in open_blocks if set(b.qubits) & set(q)])
+            emitted.append(op)
+            continue
+        touching = [b for b in open_blocks if set(b.qubits) & set(q)]
+        if len(touching) == 1:
+            b = touching[0]
+            union = tuple(sorted(set(b.qubits) | set(q)))
+            if len(union) <= max_fuse:
+                b.qubits = union
+                b.ops.append(op)
+                continue
+        flush(touching)
+        open_blocks.append(FusedBlock(qubits=q, ops=[op]))
+
+    flush(list(open_blocks))
+    return emitted
