@@ -121,7 +121,12 @@ def apply_matrix(state: jnp.ndarray, matrix: jnp.ndarray,
     out_labels = [row_label[target_axes[a]] if a in target_axes else a
                   for a in range(rank)]
 
-    out = jnp.einsum(mat, mat_labels, st, st_labels, out_labels)
+    # precision=HIGHEST: TPU XLA otherwise drops matmul/einsum inputs to
+    # bfloat16 (8-bit mantissa), costing ~1e-3 per-gate error — fatal for
+    # chemistry-accuracy VQE. Gate application is HBM-bandwidth-bound, so
+    # full-precision compute is free.
+    out = jnp.einsum(mat, mat_labels, st, st_labels, out_labels,
+                     precision=jax.lax.Precision.HIGHEST)
     return out.reshape(state.shape)
 
 

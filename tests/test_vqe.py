@@ -1,0 +1,133 @@
+"""VQE acceptance tests.
+
+Targets from the reference (BASELINE.md): H2 at STO-3G / r=0.7414 A has
+ground energy -1.13728 Ha under the 5-term Hamiltonian of
+examples/vqe_h2.py:47-53; the transverse-field toy Hamiltonian of
+vqe_solver.py's __main__ block converges below its exact minimum.
+"""
+
+import numpy as np
+import pytest
+
+import rocquantum_tpu as rocq
+from rocquantum_tpu.solvers import SciPyOptimizer, VQE_Solver
+
+# 2-qubit H2 Hamiltonian at R = 0.7414 A (BK-reduced, O'Malley et al. PRX
+# 2016 coefficients) plus the 0.7137 Ha nuclear repulsion in the identity
+# term; exact ground energy -1.1375 Ha, matching the reference's documented
+# target of -1.13728 (examples/vqe_h2.py:158). NB the reference's own 5-term
+# coefficient set (vqe_h2.py:47-53) has exact ground energy -1.0357, NOT its
+# claimed -1.13728 — a reference-internal inconsistency (SURVEY: reference
+# bugs are not spec); we keep its set as REF_H2_TERMS below and assert
+# against its true spectrum.
+H2_TERMS = {
+    "I": -0.4804 + 0.7137,
+    "Z0": 0.3435,
+    "Z1": -0.4347,
+    "Z0 Z1": 0.5716,
+    "X0 X1": 0.0910,
+    "Y0 Y1": 0.0910,
+}
+
+REF_H2_TERMS = {
+    "I": -0.81054798,
+    "Z0": 0.17141281,
+    "Z1": 0.17141281,
+    "Z0 Z1": 0.1206252,
+    "X0 X1": 0.0453222,
+}
+
+
+def exact_ground_energy(terms: dict, n: int) -> float:
+    import functools
+    I = np.eye(2); X = np.array([[0, 1], [1, 0]]); Z = np.diag([1, -1])
+    Y = np.array([[0, -1j], [1j, 0]])
+    P = {"I": I, "X": X, "Y": Y, "Z": Z}
+    H = np.zeros((2**n, 2**n), complex)
+    for s, c in terms.items():
+        mats = [I] * n
+        if s.strip() != "I":
+            for comp in s.split():
+                mats[int(comp[1:])] = P[comp[0]]
+        # qubit 0 = LSB -> it is the LAST kron factor
+        full = functools.reduce(np.kron, reversed(mats))
+        H += c * full
+    return float(np.linalg.eigvalsh(H)[0])
+
+
+@rocq.kernel
+def h2_ansatz(q, t0, t1, t2, t3):
+    q.ry(t0, 0)
+    q.ry(t1, 1)
+    q.cx(0, 1)
+    q.ry(t2, 0)
+    q.ry(t3, 1)
+
+
+class TestVQEH2:
+    def test_exact_reference_energy(self):
+        # Our Hamiltonian's exact ground energy matches the reference
+        # theoretical target -1.13728 Ha (examples/vqe_h2.py:158)
+        e = exact_ground_energy(H2_TERMS, 2)
+        assert abs(e - (-1.13728)) < 5e-4
+        # The reference's own coefficient set does NOT reach its target
+        # (reference bug, documented divergence)
+        e_ref = exact_ground_energy(REF_H2_TERMS, 2)
+        assert abs(e_ref - (-1.0357)) < 1e-3
+
+    def test_vqe_h2_converges(self):
+        sim = rocq.Simulator(seed=11)
+        h = rocq.PauliOperator(H2_TERMS)
+        solver = VQE_Solver(
+            sim, SciPyOptimizer({"method": "COBYLA", "tol": 1e-9,
+                                 "options": {"maxiter": 400}}))
+        res = solver.solve(h, h2_ansatz, 2,
+                           np.array([0.1, 0.1, 0.1, 0.1]))
+        exact = exact_ground_energy(H2_TERMS, 2)
+        assert abs(res["optimal_energy"] - exact) < 1e-3  # two-sided: below ground = bug
+        assert len(res["intermediate_results"]) > 0
+
+    def test_vqe_h2_adjoint_gradients(self):
+        sim = rocq.Simulator(seed=11)
+        h = rocq.PauliOperator(H2_TERMS)
+        solver = VQE_Solver(
+            sim, SciPyOptimizer({"method": "L-BFGS-B", "tol": 1e-9}),
+            use_adjoint_gradients=True)
+        res = solver.solve(h, h2_ansatz, 2,
+                           np.array([0.1, 0.1, 0.1, 0.1]))
+        exact = exact_ground_energy(H2_TERMS, 2)
+        assert abs(res["optimal_energy"] - exact) < 1e-3
+
+    def test_adjoint_grad_matches_parameter_shift_h2(self):
+        # BASELINE.json: adjoint grads match reference (param-shift) to 1e-6
+        # at double precision; at fp32 we verify to 1e-4 here (the fp64 path
+        # is covered by test_precision).
+        sim = rocq.Simulator(seed=0)
+        h = rocq.PauliOperator(H2_TERMS)
+        params = [0.37, -0.21, 0.9, 0.05]
+        gs = rocq.grad(h2_ansatz, 2, sim, params, h)
+        ga = rocq.adjoint_grad(h2_ansatz, 2, sim, params, h)
+        np.testing.assert_allclose(ga, gs, atol=2e-4)
+
+
+class TestVQESimple:
+    def test_transverse_field_model(self):
+        # Hamiltonian from the reference vqe_solver.py __main__ example
+        sim = rocq.Simulator(seed=1)
+        h = rocq.PauliOperator({"Z0 Z1": -1.0, "X0": -0.5, "X1": -0.5})
+
+        @rocq.kernel
+        def simple_ansatz(q, theta_0, theta_1):
+            q.h(0)
+            q.h(1)
+            q.rx(theta_0, 0)
+            q.rx(theta_1, 1)
+            q.cx(0, 1)
+
+        solver = VQE_Solver(sim)
+        res = solver.solve(h, simple_ansatz, 2, np.array([0.5, 0.5]))
+        exact = exact_ground_energy(
+            {"Z0 Z1": -1.0, "X0": -0.5, "X1": -0.5}, 2)
+        # ansatz is limited; just require meaningful descent toward exact
+        assert res["optimal_energy"] < -1.0
+        assert res["optimal_energy"] >= exact - 1e-6
