@@ -220,6 +220,9 @@ class Circuit(_GateMethods):
         self.simulator = simulator
         self.batch_size = batch_size
         self.is_multi_gpu = multi_gpu  # compat alias: means "sharded"
+        if multi_gpu and mesh is None:
+            from .parallel.mesh import default_mesh
+            mesh = default_mesh()
         self.mesh = mesh
         self._fuse = fuse
         self._max_fuse = max_fuse
@@ -230,13 +233,25 @@ class Circuit(_GateMethods):
 
     # -- state management ---------------------------------------------------
 
+    def _sharding(self):
+        if self.mesh is None:
+            return None
+        from .parallel.sharded import state_sharding
+        return state_sharding(self.mesh)
+
     def _init_fn(self):
         n, b = self.num_qubits, self.batch_size
-        key = (n, b, config.get_precision())
+        sharding = self._sharding()
+        key = (n, b, sharding, config.get_precision())
         fn = _INIT_CACHE.get(key)
         if fn is None:
             if b == 1:
-                fn = jax.jit(lambda: sv.init_state(n))
+                def mk():
+                    state = sv.init_state(n)
+                    if sharding is not None:
+                        state = jax.lax.with_sharding_constraint(state, sharding)
+                    return state
+                fn = jax.jit(mk)
             else:
                 fn = jax.jit(lambda: jnp.tile(sv.init_state(n)[None, :], (b, 1)))
             _INIT_CACHE[key] = fn
@@ -270,7 +285,8 @@ class Circuit(_GateMethods):
             return
         ops, values = parametrize(self._gate_queue)
         ir = CircuitIR(self.num_qubits, ops)
-        fn = compile_ir(ir, fuse=self._fuse, max_fuse=self._max_fuse)
+        fn = compile_ir(ir, fuse=self._fuse, max_fuse=self._max_fuse,
+                        sharding=self._sharding())
         params = jnp.asarray(values, dtype=config.real_dtype()) if values \
             else jnp.zeros((0,), dtype=config.real_dtype())
         state = self.state

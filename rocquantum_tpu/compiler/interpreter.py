@@ -157,19 +157,31 @@ def parametrize(ops: Sequence[GateOp]):
 
 
 def compile_ir(ir: CircuitIR, fuse: bool = True, max_fuse: int = 2,
-               donate: bool = True):
+               donate: bool = True, sharding=None):
     """Return a jitted ``f(state, params) -> state`` for this IR, cached by
-    structural key."""
-    key = (ir.structural_key(), fuse, max_fuse, donate, config.get_precision())
+    structural key. With ``sharding`` (a NamedSharding over the amplitude
+    axis), the program runs SPMD over the mesh: XLA inserts the ICI
+    collectives for gates touching device-selecting qubits (the reference's
+    hand-rolled rcclAlltoallv path, MULTI_GPU_GUIDE.md:44-51)."""
+    key = (ir.structural_key(), fuse, max_fuse, donate, sharding,
+           config.get_precision())
     cached = _EXEC_CACHE.get(key)
     if cached is not None:
         return cached
     ops = list(ir.ops)
 
     def run(state, params):
-        return execute(state, ops, params, fuse=fuse, max_fuse=max_fuse)
+        out = execute(state, ops, params, fuse=fuse, max_fuse=max_fuse)
+        if sharding is not None:
+            out = jax.lax.with_sharding_constraint(out, sharding)
+        return out
 
-    fn = jax.jit(run, donate_argnums=(0,) if donate else ())
+    if sharding is not None:
+        fn = jax.jit(run, in_shardings=(sharding, None),
+                     out_shardings=sharding,
+                     donate_argnums=(0,) if donate else ())
+    else:
+        fn = jax.jit(run, donate_argnums=(0,) if donate else ())
     _EXEC_CACHE[key] = fn
     return fn
 
