@@ -1,0 +1,106 @@
+"""Cloud-QPU backend abstraction.
+
+API-parity rebuild of the reference rocquantum/backends/base.py: typed
+exceptions (:20-30), the RocqBackend ABC, and the shared Type A (REST API)
+job lifecycle — submit_job POST /jobs (:61-91), get_job_status (:93-108),
+get_job_result histogram (:110-131).
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Any, Dict, Union
+
+import requests
+
+
+class BackendAuthenticationError(Exception):
+    """Raised when authentication with a third-party backend API fails."""
+
+
+class JobSubmissionError(Exception):
+    """Raised when a job submission to the backend fails."""
+
+
+class ResultRetrievalError(Exception):
+    """Raised when fetching the result of a completed job fails."""
+
+
+class RocqBackend(abc.ABC):
+    """Interface + shared Type A REST functionality for QPU clients."""
+
+    def __init__(self, backend_name: str, api_endpoint: str):
+        self.backend_name = backend_name
+        self.api_endpoint = api_endpoint
+
+    @abc.abstractmethod
+    def authenticate(self) -> None:
+        """Provider-specific authentication flow."""
+        raise NotImplementedError
+
+    @abc.abstractmethod
+    def _get_auth_headers(self) -> Dict[str, str]:
+        """Provider-specific authorization headers."""
+        raise NotImplementedError
+
+    def _build_payload(self, circuit_representation: str,
+                       shots: int) -> Dict[str, Any]:
+        raise NotImplementedError(
+            "This method is for Type A backends and must be overridden.")
+
+    def submit_job(self, circuit: Union["QuantumCircuit", str],
+                   shots: int) -> str:
+        """Default Type A submission: POST QASM to /jobs; returns job id."""
+        if not isinstance(circuit, str):
+            raise JobSubmissionError(
+                "This backend requires a pre-compiled QASM string. "
+                "To submit a QuantumCircuit object, use a different backend.")
+        headers = self._get_auth_headers()
+        headers["Content-Type"] = "application/json"
+        payload = self._build_payload(circuit, shots)
+        try:
+            response = requests.post(f"{self.api_endpoint}/jobs",
+                                     headers=headers, json=payload)
+            response.raise_for_status()
+        except requests.exceptions.RequestException as e:
+            raise JobSubmissionError(
+                f"Job submission failed due to a network error: {e}")
+        response_data = response.json()
+        job_id = response_data.get("id")
+        if not job_id:
+            raise JobSubmissionError("API response did not contain a job ID.")
+        return job_id
+
+    def get_job_status(self, job_id: str) -> str:
+        try:
+            response = requests.get(f"{self.api_endpoint}/jobs/{job_id}",
+                                    headers=self._get_auth_headers())
+            response.raise_for_status()
+        except requests.exceptions.RequestException as e:
+            raise ResultRetrievalError(
+                f"Failed to get job status for job '{job_id}': {e}")
+        status = response.json().get("status")
+        if not status:
+            raise ResultRetrievalError(
+                f"API response for job '{job_id}' did not contain a status.")
+        return status
+
+    def get_job_result(self, job_id: str) -> Dict[str, int]:
+        status = self.get_job_status(job_id)
+        if status != "completed":
+            raise ResultRetrievalError(
+                f"Cannot retrieve results for job '{job_id}' because its "
+                f"status is '{status}'.")
+        try:
+            response = requests.get(f"{self.api_endpoint}/jobs/{job_id}",
+                                    headers=self._get_auth_headers())
+            response.raise_for_status()
+        except requests.exceptions.RequestException as e:
+            raise ResultRetrievalError(
+                f"Failed to retrieve results for job '{job_id}': {e}")
+        histogram = response.json().get("data", {}).get("histogram")
+        if histogram is None:
+            raise ResultRetrievalError(
+                f"API response for job '{job_id}' did not contain a "
+                "histogram.")
+        return histogram

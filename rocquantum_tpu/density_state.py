@@ -1,0 +1,163 @@
+"""Stateful DensityMatrixState handle (the B3 binding surface).
+
+API-parity rebuild of the reference's ``rocq_hip`` pybind module
+(reference: rocquantum/src/python/py_hip_density_mat.cpp — DensityMatrixState
+with apply_gate(matrix, qubit, adjoint) :44-64, apply_cnot :65,
+apply_controlled_gate :68, compute_expectation :82,
+_compute_z_product_expectation :87, bit-flip/depolarizing channels :92-97;
+Pauli enum :99-103). Operations queue and execute as jitted segments.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import List, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import config
+from .ops import density as dmops
+
+
+class Pauli(enum.Enum):
+    I = "I"
+    X = "X"
+    Y = "Y"
+    Z = "Z"
+
+
+class DensityMatrixState:
+    """n-qubit density matrix with an eager-looking, jit-batched API."""
+
+    def __init__(self, num_qubits: int):
+        if num_qubits <= 0:
+            raise ValueError("num_qubits must be positive")
+        self.num_qubits = num_qubits
+        self._rho = None
+        self._queue: List[tuple] = []
+
+    def _flush(self):
+        if self._rho is None:
+            n = self.num_qubits
+            self._rho = jax.jit(lambda: dmops.init_density(n))()
+        if not self._queue:
+            return
+        queue = tuple(self._queue)
+
+        def run(rho):
+            for item in queue:
+                kind = item[0]
+                if kind == "matrix":
+                    _, mat_bytes, shape, targets, adjoint = item
+                    mat = np.frombuffer(mat_bytes, np.complex128).reshape(shape)
+                    m = jnp.asarray(mat, config.complex_dtype())
+                    if adjoint:
+                        m = jnp.conj(m).T
+                    rho = dmops.apply_matrix_dm(rho, m, list(targets))
+                elif kind == "cmatrix":
+                    _, mat_bytes, shape, controls, targets = item
+                    mat = np.frombuffer(mat_bytes, np.complex128).reshape(shape)
+                    m = jnp.asarray(mat, config.complex_dtype())
+                    rho = dmops.apply_controlled_matrix_dm(
+                        rho, m, list(controls), list(targets))
+                elif kind == "gate":
+                    _, name, targets, controls, params = item
+                    rho = dmops.apply_gate_dm(rho, name, list(targets),
+                                              list(controls), list(params))
+                else:  # channel
+                    _, channel, prob, targets = item
+                    rho = dmops.apply_channel(rho, channel, prob,
+                                              list(targets))
+            return rho
+
+        self._rho = jax.jit(run, donate_argnums=(0,))(self._rho)
+        self._queue.clear()
+
+    # -- binding-parity API --------------------------------------------------
+
+    def apply_gate(self, matrix: np.ndarray, qubit: int,
+                   adjoint: bool = False):
+        matrix = np.ascontiguousarray(np.asarray(matrix), np.complex128)
+        self._queue.append(("matrix", matrix.tobytes(), matrix.shape,
+                            (qubit,), bool(adjoint)))
+
+    def apply_matrix(self, matrix: np.ndarray, qubits: Sequence[int]):
+        matrix = np.ascontiguousarray(np.asarray(matrix), np.complex128)
+        self._queue.append(("matrix", matrix.tobytes(), matrix.shape,
+                            tuple(qubits), False))
+
+    def apply_cnot(self, control: int, target: int):
+        self._queue.append(("gate", "CNOT", (target,), (control,), ()))
+
+    def apply_controlled_gate(self, matrix: np.ndarray, control: int,
+                              target: int):
+        matrix = np.ascontiguousarray(np.asarray(matrix), np.complex128)
+        self._queue.append(("cmatrix", matrix.tobytes(), matrix.shape,
+                            (control,), (target,)))
+
+    def apply_h(self, qubit: int):
+        self._queue.append(("gate", "H", (qubit,), (), ()))
+
+    def apply_x(self, qubit: int):
+        self._queue.append(("gate", "X", (qubit,), (), ()))
+
+    def apply_y(self, qubit: int):
+        self._queue.append(("gate", "Y", (qubit,), (), ()))
+
+    def apply_z(self, qubit: int):
+        self._queue.append(("gate", "Z", (qubit,), (), ()))
+
+    def apply_ry(self, theta: float, qubit: int):
+        self._queue.append(("gate", "RY", (qubit,), (), (float(theta),)))
+
+    def apply_rz(self, phi: float, qubit: int):
+        self._queue.append(("gate", "RZ", (qubit,), (), (float(phi),)))
+
+    def apply_bit_flip_channel(self, qubits, prob: float):
+        qubits = [qubits] if isinstance(qubits, int) else list(qubits)
+        self._queue.append(("channel", "bit_flip", float(prob), tuple(qubits)))
+
+    def apply_phase_flip_channel(self, qubits, prob: float):
+        qubits = [qubits] if isinstance(qubits, int) else list(qubits)
+        self._queue.append(("channel", "phase_flip", float(prob),
+                            tuple(qubits)))
+
+    def apply_depolarizing_channel(self, qubits, prob: float):
+        qubits = [qubits] if isinstance(qubits, int) else list(qubits)
+        self._queue.append(("channel", "depolarizing", float(prob),
+                            tuple(qubits)))
+
+    def apply_amplitude_damping_channel(self, qubits, gamma: float):
+        qubits = [qubits] if isinstance(qubits, int) else list(qubits)
+        self._queue.append(("channel", "amplitude_damping", float(gamma),
+                            tuple(qubits)))
+
+    def compute_expectation(self, pauli: "Pauli | str", qubit: int) -> float:
+        """<P_q> = Tr(P_q rho) (py_hip_density_mat.cpp:82)."""
+        self._flush()
+        p = pauli.value if isinstance(pauli, Pauli) else str(pauli).upper()
+        if p == "I":
+            return float(dmops.trace_dm(self._rho))
+        if p == "Z":
+            return float(dmops.expval_z_dm_jit(self._rho, qubit))
+        return float(dmops.expval_pauli_string_dm_jit(
+            self._rho, ops=((p, qubit),)))
+
+    def _compute_z_product_expectation(self, z_indices: Sequence[int]) -> float:
+        """(py_hip_density_mat.cpp:87)"""
+        self._flush()
+        return float(dmops.expval_pauli_product_z_dm_jit(
+            self._rho, qubits=tuple(z_indices)))
+
+    def compute_pauli_string_expectation(self, ops: Sequence[tuple]) -> float:
+        self._flush()
+        return float(dmops.expval_pauli_string_dm_jit(
+            self._rho, ops=tuple(ops)))
+
+    def get_density_matrix(self) -> np.ndarray:
+        self._flush()
+        mat = dmops.to_matrix(self._rho)
+        re, im = jax.jit(lambda r: (jnp.real(r), jnp.imag(r)))(mat)
+        return np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)

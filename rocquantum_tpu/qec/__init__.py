@@ -1,0 +1,3 @@
+from .framework import QuantumErrorCode, Decoder, QEC_Experiment  # noqa: F401
+from .codes.repetition_code import ThreeQubitRepetitionCode  # noqa: F401
+from .decoders.repetition_decoder import RepetitionCodeDecoder  # noqa: F401
