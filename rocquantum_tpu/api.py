@@ -366,12 +366,15 @@ class PauliOperator:
     """Weighted sum of Pauli strings ("X0 Y1" terms); parsing, addition and
     scalar multiplication match the reference (api.py:291-366)."""
 
-    def __init__(self, terms: Union[Dict[str, float], str, None] = None):
+    def __init__(self, terms: Union[Dict[str, float], str, None] = None,
+                 coefficient: float = 1.0):
         self.terms: List[Tuple[List[Tuple[str, int]], float]] = []
         if terms is None:
             return
         if isinstance(terms, str):
-            self._add_pauli_string(terms, 1.0)
+            # optional coefficient supports the DSL constructor form
+            # PauliOperator("X0 Y1", 0.5) (reference rocq/operator.py:60)
+            self._add_pauli_string(terms, coefficient)
         elif isinstance(terms, dict):
             for pauli_str, coeff in terms.items():
                 self._add_pauli_string(pauli_str, coeff)

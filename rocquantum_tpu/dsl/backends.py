@@ -65,8 +65,24 @@ class _BaseBackend:
     def get_state(self):
         raise NotImplementedError
 
-    def _queue_key(self):
-        return (type(self).__name__, self.num_qubits, tuple(self._queue),
+    def _parametrized_queue(self):
+        """Split gate angles out of the queue into a runtime vector so the
+        compiled program is cached by STRUCTURE (VQE loops over a DSL
+        backend must not recompile per parameter value). Channel
+        probabilities stay baked (fixed per noise model)."""
+        key_items, values = [], []
+        for item in self._queue:
+            if item[0] == "gate" and item[4]:
+                _, name, tgt, ctrl, vals = item
+                slots = tuple(range(len(values), len(values) + len(vals)))
+                values.extend(vals)
+                key_items.append(("gate", name, tgt, ctrl, ("slots",) + slots))
+            else:
+                key_items.append(item)
+        return tuple(key_items), values
+
+    def _queue_key(self, key_items):
+        return (type(self).__name__, self.num_qubits, key_items,
                 config.get_precision())
 
 
@@ -82,23 +98,25 @@ class StateVectorBackend(_BaseBackend):
             "Noise models are only supported by the 'density_matrix' backend.")
 
     def _final_state(self) -> jnp.ndarray:
-        key = self._queue_key()
+        key_items, values = self._parametrized_queue()
+        key = self._queue_key(key_items)
         fn = _RUN_CACHE.get(key)
         if fn is None:
-            queue = list(self._queue)
             n = self.num_qubits
 
-            def run():
+            def run(params):
                 state = sv.init_state(n)
-                for item in queue:
+                for item in key_items:
                     _, name, tgt, ctrl, vals = item
+                    if vals and vals[0] == "slots":
+                        vals = [params[i] for i in vals[1:]]
                     state = sv.apply_gate(state, name, list(tgt), list(ctrl),
                                           list(vals))
                 return state
 
             fn = jax.jit(run)
             _RUN_CACHE[key] = fn
-        return fn()
+        return fn(jnp.asarray(values, dtype=config.real_dtype()))
 
     def get_state(self) -> np.ndarray:
         re, im = sv.state_to_parts_jit(self._final_state())
@@ -134,17 +152,19 @@ class DensityMatrixBackend(_BaseBackend):
         return None
 
     def _final_state(self) -> jnp.ndarray:
-        key = self._queue_key()
+        key_items, values = self._parametrized_queue()
+        key = self._queue_key(key_items)
         fn = _RUN_CACHE.get(key)
         if fn is None:
-            queue = list(self._queue)
             n = self.num_qubits
 
-            def run():
+            def run(params):
                 rho = dmops.init_density(n)
-                for item in queue:
+                for item in key_items:
                     if item[0] == "gate":
                         _, name, tgt, ctrl, vals = item
+                        if vals and vals[0] == "slots":
+                            vals = [params[i] for i in vals[1:]]
                         rho = dmops.apply_gate_dm(rho, name, list(tgt),
                                                   list(ctrl), list(vals))
                     else:
@@ -154,7 +174,7 @@ class DensityMatrixBackend(_BaseBackend):
 
             fn = jax.jit(run)
             _RUN_CACHE[key] = fn
-        return fn()
+        return fn(jnp.asarray(values, dtype=config.real_dtype()))
 
     def get_state(self) -> np.ndarray:
         rho = dmops.to_matrix(self._final_state())

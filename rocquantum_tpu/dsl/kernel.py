@@ -49,6 +49,9 @@ class Param:
     def __sub__(self, other):
         return _Expr(self, other, "sub")
 
+    def __getitem__(self, idx):
+        return _Index(self, idx)
+
     def resolve(self, bindings: Dict[str, float]):
         try:
             return bindings[self.name]
@@ -71,6 +74,17 @@ class _Expr:
         if self.op == "sub":
             return a - b
         raise ValueError(self.op)
+
+
+class _Index:
+    """Symbolic indexing into a sequence-valued parameter
+    (``params[0]`` in a recorded kernel body)."""
+
+    def __init__(self, base, idx):
+        self.base, self.idx = base, idx
+
+    def resolve(self, bindings):
+        return self.base.resolve(bindings)[self.idx]
 
 
 def _resolve(value, bindings):
@@ -126,7 +140,13 @@ class QuantumKernel:
         with _KernelBuildContext() as ctx:
             func(*[Param(p) for p in self.param_names])
         self.gate_sequence = ctx.gate_sequence
-        self.num_qubits = ctx.num_qubits
+        # qvec-registered size, or inferred from raw gate targets (the
+        # rocquantum-flavor kernels of examples/vqe_h2.py address qubits
+        # directly without a qvec)
+        max_target = max((t for g in self.gate_sequence
+                          for t in g["targets"]
+                          if isinstance(t, (int,))), default=-1)
+        self.num_qubits = max(ctx.num_qubits, max_target + 1)
 
     def bound_sequence(self, bindings: Dict[str, float]) -> List[dict]:
         out = []

@@ -106,7 +106,13 @@ class SumOperator(QuantumOperator):
         return " + ".join(f"({t.to_string()})" for t in self.terms)
 
 
-def _expectation_on_backend(be, operator: QuantumOperator) -> float:
+def _expectation_on_backend(be, operator) -> float:
+    # duck-typed support for the main-API PauliOperator (list-of-terms form)
+    if not isinstance(operator, QuantumOperator) and hasattr(operator, "terms"):
+        total = 0.0
+        for ops, coeff in operator.terms:
+            total += coeff * (be.expectation_pauli(list(ops)) if ops else 1.0)
+        return total
     if isinstance(operator, SumOperator):
         return float(operator.coefficient.real) * sum(
             _expectation_on_backend(be, t) for t in operator.terms)
