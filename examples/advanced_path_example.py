@@ -6,7 +6,8 @@ optionally runs in native C++)."""
 import numpy as np
 
 from rocquantum_tpu.tensornet import (OptimizerConfig, Pathfinder,
-                                      PathfinderAlgorithm, TensorNetwork)
+                                      PathfinderAlgorithm, TensorNetwork,
+                                      permute)
 
 
 def build_network(tn_or_lists):
@@ -34,7 +35,10 @@ def main():
         tn = TensorNetwork()
         for t, ls in zip(tensors, labels):
             tn.add_tensor(t, list(ls))
-        results[algo] = tn.contract(OptimizerConfig(algorithm=algo)).to_numpy()
+        out = tn.contract(OptimizerConfig(algorithm=algo))
+        # different plans may order the free indices differently; compare in
+        # canonical (sorted-label) axis order
+        results[algo] = permute(out, sorted(out.labels)).to_numpy()
 
     base = results[PathfinderAlgorithm.GREEDY]
     for algo, v in results.items():

@@ -38,6 +38,9 @@ def test_example(script):
     repo_root = os.path.dirname(EXAMPLES_DIR)
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
+    # prevent the sitecustomize TPU-plugin registration (it opens a network
+    # tunnel even for CPU runs and wedges the shared relay)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8").strip()
     # examples import jax before any code of ours runs, so the env vars are
