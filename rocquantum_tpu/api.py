@@ -55,6 +55,18 @@ class Simulator:
     def host_random(self) -> float:
         return float(self._host_rng.random())
 
+    def create_device_matrix(self, numpy_matrix: np.ndarray) -> jax.Array:
+        """Upload a gate matrix to the device (B1's
+        create_device_matrix_from_numpy, python/rocq/bindings.cpp:487).
+        Complex data ships as a float pair and combines on device."""
+        if not isinstance(numpy_matrix, np.ndarray):
+            raise TypeError("Input matrix must be a NumPy array.")
+        m = np.ascontiguousarray(numpy_matrix)
+        re = jnp.asarray(m.real, dtype=config.real_dtype())
+        im = jnp.asarray(m.imag, dtype=config.real_dtype())
+        return jax.jit(
+            lambda r, i: (r + 1j * i).astype(config.complex_dtype()))(re, im)
+
 
 class _GateMethods:
     """Gate-emission methods shared by Circuit and the kernel recorder.
@@ -340,6 +352,18 @@ class Circuit(_GateMethods):
             raise NotImplementedError(
                 "get_statevector is not yet supported for batch_size > 1.")
         re, im = sv.state_to_parts_jit(self.state)
+        return np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
+
+    def get_statevector_slice(self, start: int, size: int) -> np.ndarray:
+        """Amplitudes [start, start+size) without full readback
+        (rocsvGetStateVectorSlice analog)."""
+        self.flush()
+        if self.batch_size > 1:
+            raise NotImplementedError(
+                "get_statevector_slice is not supported for batch_size > 1.")
+        if start < 0 or size <= 0 or start + size > (1 << self.num_qubits):
+            raise ValueError("slice out of range")
+        re, im = sv.state_slice_parts_jit(self.state, start, size)
         return np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
 
     def get_probabilities(self, qubits: Optional[List[int]] = None) -> np.ndarray:

@@ -1,0 +1,193 @@
+"""DensityCircuit: the main-API circuit handle on the density-matrix engine.
+
+Completes the front-end matrix: the reference exposed density-matrix
+simulation only through the DSL backend and raw binding
+(rocq/backends.py DensityMatrixBackend, py_hip_density_mat.cpp); this class
+gives it the same queue/flush/measure/sample/expval surface as
+:class:`rocquantum_tpu.api.Circuit`, plus noise-channel application and
+NoiseModel attachment.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import config
+from .api import PauliOperator, Simulator, _GateMethods
+from .ops import density as dmops
+
+_DM_RUN_CACHE: dict = {}
+
+
+class DensityCircuit(_GateMethods):
+    """Gate+channel queue over a density matrix; flush compiles the queued
+    segment into one jitted program (structure-cached, angles dynamic)."""
+
+    def __init__(self, num_qubits: int, simulator: Simulator,
+                 noise_model=None):
+        if not isinstance(simulator, Simulator):
+            raise TypeError("A valid Simulator instance is required.")
+        if num_qubits < 0:
+            raise ValueError("Number of qubits must be non-negative.")
+        self.num_qubits = num_qubits
+        self.simulator = simulator
+        self.noise_model = noise_model
+        self.batch_size = 1
+        self._queue: List[tuple] = []
+        self._rho: Optional[jax.Array] = None
+
+    # -- queueing -------------------------------------------------------------
+
+    def _enqueue(self, name, targets, controls=(), params=(), matrix=None,
+                 is_adjoint=False):
+        mat_key = None
+        if matrix is not None:
+            m = np.ascontiguousarray(matrix, np.complex128)
+            mat_key = (m.tobytes(), m.shape)
+        self._queue.append(("gate", name.upper(), tuple(targets),
+                            tuple(controls),
+                            tuple(float(p) for p in params), mat_key,
+                            bool(is_adjoint)))
+        if self.noise_model is not None:
+            for ch in self.noise_model.get_channels():
+                if ch["op"] is not None and ch["op"] != name.lower():
+                    continue
+                qs = ch["qubits"] if ch["qubits"] is not None else \
+                    list(targets) + list(controls)
+                self.apply_channel(ch["type"], ch["prob"], qs)
+
+    def apply_channel(self, channel_type: str, probability: float,
+                      qubits: List[int]):
+        """Queue a named noise channel (hipDensityMatApplyChannel surface)."""
+        if channel_type.lower() not in dmops.CHANNELS:
+            raise ValueError(f"Unknown noise channel: {channel_type!r}")
+        self._queue.append(("channel", channel_type.lower(),
+                            float(probability), tuple(qubits)))
+
+    def apply_kraus(self, kraus_ops, qubits: List[int]):
+        mats = tuple((np.ascontiguousarray(k, np.complex128).tobytes(),
+                      np.asarray(k).shape) for k in kraus_ops)
+        self._queue.append(("kraus", mats, tuple(qubits)))
+
+    # -- execution --------------------------------------------------------------
+
+    def flush(self):
+        if not self._queue:
+            if self._rho is None:
+                n = self.num_qubits
+                self._rho = jax.jit(lambda: dmops.init_density(n))()
+            return
+        # split angles into a runtime vector for structure-keyed caching
+        key_items, values = [], []
+        for item in self._queue:
+            if item[0] == "gate" and item[4]:
+                slots = tuple(range(len(values), len(values) + len(item[4])))
+                values.extend(item[4])
+                key_items.append(item[:4] + (("slots",) + slots,) + item[5:])
+            else:
+                key_items.append(item)
+        key_items = tuple(key_items)
+        cache_key = (self.num_qubits, key_items, config.get_precision())
+        fn = _DM_RUN_CACHE.get(cache_key)
+        if fn is None:
+            n = self.num_qubits
+
+            def run(rho, params):
+                for item in key_items:
+                    kind = item[0]
+                    if kind == "gate":
+                        _, name, tgt, ctrl, vals, mat_key, adj = item
+                        if vals and vals[0] == "slots":
+                            vals = [params[i] for i in vals[1:]]
+                        if mat_key is not None:
+                            m = np.frombuffer(mat_key[0], np.complex128
+                                              ).reshape(mat_key[1])
+                            mj = jnp.asarray(m, config.complex_dtype())
+                            if adj:
+                                mj = jnp.conj(mj).T
+                            if ctrl:
+                                rho = dmops.apply_controlled_matrix_dm(
+                                    rho, mj, list(ctrl), list(tgt))
+                            else:
+                                rho = dmops.apply_matrix_dm(rho, mj, list(tgt))
+                        else:
+                            rho = dmops.apply_gate_dm(rho, name, list(tgt),
+                                                      list(ctrl), list(vals),
+                                                      adjoint=adj)
+                    elif kind == "channel":
+                        _, channel, prob, tgt = item
+                        rho = dmops.apply_channel(rho, channel, prob, list(tgt))
+                    else:  # kraus
+                        _, mats, tgt = item
+                        ks = [jnp.asarray(
+                            np.frombuffer(b, np.complex128).reshape(shape),
+                            config.complex_dtype()) for b, shape in mats]
+                        rho = dmops.apply_kraus(rho, ks, list(tgt))
+                return rho
+
+            fn = jax.jit(run, donate_argnums=(0,))
+            _DM_RUN_CACHE[cache_key] = fn
+        if self._rho is None:
+            n = self.num_qubits
+            self._rho = jax.jit(lambda: dmops.init_density(n))()
+        params = jnp.asarray(values, dtype=config.real_dtype())
+        self._rho = fn(self._rho, params)
+        self._queue.clear()
+
+    @property
+    def state(self) -> jax.Array:
+        self.flush()
+        return self._rho
+
+    def reset(self):
+        self._queue.clear()
+        n = self.num_qubits
+        self._rho = jax.jit(lambda: dmops.init_density(n))()
+
+    # -- measurement / readback ----------------------------------------------
+
+    def measure(self, qubit: int) -> Tuple[int, float]:
+        self.flush()
+        self._validate_qubit_index(qubit)
+        p1 = float(dmops.prob_one_dm_jit(self._rho, qubit))
+        outcome = 1 if self.simulator.host_random() < p1 else 0
+        prob = p1 if outcome == 1 else 1.0 - p1
+        self._rho = dmops.collapse_dm_jit(self._rho, qubit, outcome)
+        return outcome, prob
+
+    def sample(self, measured_qubits: List[int], num_shots: int) -> np.ndarray:
+        self.flush()
+        out = dmops.sample_dm_jit(self._rho, qubits=tuple(measured_qubits),
+                                  shots=num_shots,
+                                  key=self.simulator.next_key())
+        return np.asarray(out)
+
+    def get_density_matrix(self) -> np.ndarray:
+        self.flush()
+        mat = dmops.to_matrix(self._rho)
+        re, im = jax.jit(lambda r: (jnp.real(r), jnp.imag(r)))(mat)
+        return np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
+
+    def purity(self) -> float:
+        self.flush()
+        return float(jax.jit(dmops.purity)(self._rho))
+
+    def expval(self, pauli_operator: PauliOperator) -> float:
+        if not isinstance(pauli_operator, PauliOperator):
+            raise TypeError("Input must be a PauliOperator object.")
+        self.flush()
+        total = 0.0
+        for ops, coeff in pauli_operator.terms:
+            if not ops:
+                total += coeff
+            elif all(p == "Z" for p, _ in ops):
+                total += coeff * float(dmops.expval_pauli_product_z_dm_jit(
+                    self._rho, qubits=tuple(q for _, q in ops)))
+            else:
+                total += coeff * float(dmops.expval_pauli_string_dm_jit(
+                    self._rho, ops=tuple(ops)))
+        return total

@@ -318,6 +318,22 @@ def expval_y(state: jnp.ndarray, qubit: int) -> jnp.ndarray:
     return expval_pauli_string(state, [("Y", qubit)])
 
 
+def apply_matrix_and_measure(state: jnp.ndarray, matrix: jnp.ndarray,
+                             targets: Sequence[int], measure_qubit: int):
+    """Apply a matrix then return (state, P(measure_qubit = 1)) in one
+    program (rocsvApplyMatrixAndMeasure decl, hipStateVec.h)."""
+    state = apply_matrix(state, matrix, targets)
+    return state, prob_one(state, measure_qubit)
+
+
+def state_slice_parts(state: jnp.ndarray, start: int, size: int):
+    """(real, imag) of amplitudes [start, start+size) — the
+    rocsvGetStateVectorSlice analog (hipStateVec.cpp:691-730) without
+    pulling the full 2^n vector to host."""
+    sl = jax.lax.dynamic_slice(state, (start,), (size,))
+    return jnp.real(sl), jnp.imag(sl)
+
+
 # ---------------------------------------------------------------------------
 # Host boundary helpers (complex never crosses the jit boundary on TPU)
 # ---------------------------------------------------------------------------
@@ -344,3 +360,4 @@ sample_jit = jax.jit(sample, static_argnames=("qubits", "shots"))
 expval_pauli_product_z_jit = jax.jit(expval_pauli_product_z, static_argnames=("qubits",))
 expval_pauli_string_jit = jax.jit(expval_pauli_string, static_argnames=("ops",))
 state_to_parts_jit = jax.jit(state_to_parts)
+state_slice_parts_jit = jax.jit(state_slice_parts, static_argnums=(1, 2))

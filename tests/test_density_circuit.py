@@ -1,0 +1,78 @@
+"""DensityCircuit (main-API noise-capable circuit handle) tests."""
+
+import numpy as np
+import pytest
+
+import rocquantum_tpu as rocq
+from rocquantum_tpu.density_circuit import DensityCircuit
+from rocquantum_tpu.dsl import NoiseModel
+
+
+class TestDensityCircuit:
+    def test_bell(self):
+        c = DensityCircuit(2, rocq.Simulator())
+        c.h(0)
+        c.cx(0, 1)
+        rho = c.get_density_matrix()
+        psi = np.zeros(4, complex)
+        psi[0] = psi[3] = 2**-0.5
+        np.testing.assert_allclose(rho, np.outer(psi, psi.conj()), atol=1e-6)
+        assert abs(c.purity() - 1.0) < 1e-5
+
+    def test_noise_model_attachment(self):
+        noise = NoiseModel()
+        noise.add_channel("depolarizing", 0.1)
+        c = DensityCircuit(1, rocq.Simulator(), noise_model=noise)
+        c.ry(0.9, 0)
+        expected = np.cos(0.9) * (1 - 4 * 0.1 / 3)
+        assert abs(c.expval(rocq.PauliOperator("Z0")) - expected) < 1e-6
+        assert c.purity() < 1.0
+
+    def test_explicit_channel_and_kraus(self):
+        c = DensityCircuit(1, rocq.Simulator())
+        c.x(0)
+        c.apply_channel("amplitude_damping", 0.25, [0])
+        rho = c.get_density_matrix()
+        np.testing.assert_allclose(rho, np.diag([0.25, 0.75]), atol=1e-6)
+
+        c2 = DensityCircuit(1, rocq.Simulator())
+        p = 0.2
+        c2.apply_kraus([np.sqrt(1 - p) * np.eye(2),
+                        np.sqrt(p) * np.array([[0, 1], [1, 0]])], [0])
+        np.testing.assert_allclose(c2.get_density_matrix(),
+                                   np.diag([1 - p, p]), atol=1e-6)
+
+    def test_measure_and_collapse(self):
+        sim = rocq.Simulator(seed=4)
+        c = DensityCircuit(2, sim)
+        c.h(0)
+        c.cx(0, 1)
+        outcome, prob = c.measure(0)
+        assert abs(prob - 0.5) < 1e-6
+        # post-collapse the two qubits are perfectly correlated
+        out = c.sample([0, 1], 200)
+        assert set(np.unique(out)) == {0 if outcome == 0 else 3}
+
+    def test_sampling_noisy(self):
+        c = DensityCircuit(1, rocq.Simulator(seed=1))
+        c.x(0)
+        c.apply_channel("bit_flip", 0.3, [0])
+        out = c.sample([0], 4000)
+        frac1 = np.mean(out)
+        assert abs(frac1 - 0.7) < 0.05
+
+    def test_parameter_cache_structure(self):
+        # two circuits differing only in angles share a compiled program
+        from rocquantum_tpu.density_circuit import _DM_RUN_CACHE
+        before = len(_DM_RUN_CACHE)
+        for theta in (0.1, 0.2, 0.3):
+            c = DensityCircuit(1, rocq.Simulator())
+            c.ry(theta, 0)
+            c.flush()
+        assert len(_DM_RUN_CACHE) == before + 1
+
+    def test_unitary_matrix_op(self):
+        c = DensityCircuit(1, rocq.Simulator())
+        c.apply_unitary([0], np.array([[0, 1], [1, 0]]))
+        np.testing.assert_allclose(c.get_density_matrix(),
+                                   np.diag([0, 1]), atol=1e-6)
