@@ -35,9 +35,19 @@ PER_SIZE_TIMEOUT_S = 480
 TRANSFER_OVERHEAD_S = 0.035  # measured scalar device->host cost on axon
 
 
+def _enable_compile_cache():
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def bench_at(n):
     import jax
     import jax.numpy as jnp
+    _enable_compile_cache()
     from rocquantum_tpu.compiler.ir import CircuitIR, ParamRef
     from rocquantum_tpu.compiler.interpreter import execute
     from rocquantum_tpu.ops import statevec as sv

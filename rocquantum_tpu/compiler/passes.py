@@ -78,6 +78,20 @@ def plan_fusion(ops: List[GateOp], max_fuse: int = 2) -> List[object]:
                 b.qubits = union
                 b.ops.append(op)
                 continue
+        elif not touching:
+            # Disjoint from every open block: blocks are pairwise disjoint
+            # (they commute), so the op may join any block with room —
+            # kron-fusing independent gates into one pass. Prefer the
+            # fullest block that still fits.
+            candidates = [b for b in open_blocks
+                          if len(b.qubits) + len(q) <= max_fuse]
+            if candidates:
+                b = max(candidates, key=lambda b: len(b.qubits))
+                b.qubits = tuple(sorted(set(b.qubits) | set(q)))
+                b.ops.append(op)
+                continue
+            open_blocks.append(FusedBlock(qubits=q, ops=[op]))
+            continue
         flush(touching)
         open_blocks.append(FusedBlock(qubits=q, ops=[op]))
 
