@@ -118,9 +118,22 @@ def _fused_matrix(block: FusedBlock, params: Optional[jnp.ndarray]) -> jnp.ndarr
 
 
 def execute(state: jnp.ndarray, ops: Sequence, params: Optional[jnp.ndarray] = None,
-            fuse: bool = True, max_fuse: int = 2) -> jnp.ndarray:
-    """Trace a list of GateOps into gate applications on ``state``."""
+            fuse: bool = True, max_fuse: int = 2,
+            low_width: int = 0, high_width: int = 0) -> jnp.ndarray:
+    """Trace a list of GateOps into gate applications on ``state``.
+
+    ``low_width``/``high_width`` > 0 additionally consolidate runs of gates
+    supported on the bottom/top index bits into single matmul blocks — the
+    MXU-native formulation (see passes.consolidate_low/high).
+    """
     plan = plan_fusion(list(ops), max_fuse=max_fuse) if fuse else list(ops)
+    if low_width:
+        from .passes import consolidate_low
+        plan = consolidate_low(plan, low_width)
+    if high_width:
+        from .passes import consolidate_high
+        n = sv.num_qubits_of(state)
+        plan = consolidate_high(plan, high_width, n)
     for item in plan:
         if isinstance(item, FusedBlock):
             mat = _fused_matrix(item, params)
@@ -157,21 +170,23 @@ def parametrize(ops: Sequence[GateOp]):
 
 
 def compile_ir(ir: CircuitIR, fuse: bool = True, max_fuse: int = 2,
-               donate: bool = True, sharding=None):
+               donate: bool = True, sharding=None, low_width: int = 0,
+               high_width: int = 0):
     """Return a jitted ``f(state, params) -> state`` for this IR, cached by
     structural key. With ``sharding`` (a NamedSharding over the amplitude
     axis), the program runs SPMD over the mesh: XLA inserts the ICI
     collectives for gates touching device-selecting qubits (the reference's
     hand-rolled rcclAlltoallv path, MULTI_GPU_GUIDE.md:44-51)."""
-    key = (ir.structural_key(), fuse, max_fuse, donate, sharding,
-           config.get_precision())
+    key = (ir.structural_key(), fuse, max_fuse, donate, sharding, low_width,
+           high_width, config.get_precision())
     cached = _EXEC_CACHE.get(key)
     if cached is not None:
         return cached
     ops = list(ir.ops)
 
     def run(state, params):
-        out = execute(state, ops, params, fuse=fuse, max_fuse=max_fuse)
+        out = execute(state, ops, params, fuse=fuse, max_fuse=max_fuse,
+                      low_width=low_width, high_width=high_width)
         if sharding is not None:
             out = jax.lax.with_sharding_constraint(out, sharding)
         return out

@@ -97,3 +97,65 @@ def plan_fusion(ops: List[GateOp], max_fuse: int = 2) -> List[object]:
 
     flush(list(open_blocks))
     return emitted
+
+
+def _consolidate_region(items: List[object], region: set,
+                        block_qubits: tuple) -> List[object]:
+    """Merge consecutive items supported inside ``region`` into FusedBlocks
+    over ``block_qubits``; region-disjoint items pass through (commute)."""
+    out: List[object] = []
+    open_block = None
+
+    def support(item):
+        if isinstance(item, FusedBlock):
+            return set(item.qubits)
+        return set(item.targets) | set(item.controls)
+
+    def members(item):
+        return item.ops if isinstance(item, FusedBlock) else [item]
+
+    def flush():
+        nonlocal open_block
+        if open_block is not None:
+            out.append(open_block)
+            open_block = None
+
+    for item in items:
+        s = support(item)
+        if s <= region:
+            if open_block is None:
+                open_block = FusedBlock(qubits=block_qubits, ops=[])
+            open_block.ops.extend(members(item))
+        elif s & region:
+            flush()
+            out.append(item)
+        else:
+            out.append(item)
+    flush()
+    return out
+
+
+def consolidate_low(items: List[object], width: int) -> List[object]:
+    """Second fusion stage: merge consecutive items whose qubit support lies
+    entirely in {0..width-1} into one FusedBlock over all ``width`` low
+    qubits. That block applies as a single (R, 2^width) @ W matmul — the
+    MXU-native formulation (the per-qubit einsum path degrades ~40x on the
+    lowest index bits). Items fully above the low region commute with the
+    open block and pass through without flushing it.
+    """
+    if width < 1:
+        return list(items)
+    # single-member blocks are kept: widening a lone low-qubit gate to the
+    # full 2^width matmul stays memory-bound and coalesced, while the
+    # narrow form is the slow path
+    return _consolidate_region(items, set(range(width)),
+                               tuple(range(width)))
+
+
+def consolidate_high(items: List[object], width: int, n: int) -> List[object]:
+    """Mirror of consolidate_low for the TOP ``width`` qubits: merged runs
+    apply as one (2^width, 2^width) @ (2^width, R) left-matmul."""
+    if width < 1:
+        return list(items)
+    return _consolidate_region(items, set(range(n - width, n)),
+                               tuple(range(n - width, n)))

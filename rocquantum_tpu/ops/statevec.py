@@ -99,12 +99,51 @@ def apply_matrix(state: jnp.ndarray, matrix: jnp.ndarray,
     if matrix.shape != (1 << m, 1 << m):
         raise ValueError(f"matrix shape {matrix.shape} != {(1 << m, 1 << m)}")
 
+    mat2d = jnp.asarray(matrix, dtype=state.dtype)
+    if set(targets) == set(range(m)):
+        # Low-contiguous fast path: the matrix applies to the low m index
+        # bits, so the gate is literally (R, 2^m) @ M^T — a clean MXU
+        # matmul with fully coalesced HBM access. (The generic einsum path
+        # lowers to strided accesses that run ~40x slower for the lowest
+        # qubits on TPU.) Reorder matrix indices if targets are a
+        # permutation of range(m).
+        if targets != list(range(m)):
+            perm = [0] * m
+            for k, t in enumerate(targets):
+                perm[t] = k
+            mt = mat2d.reshape((2,) * (2 * m))
+            axes = [m - 1 - perm[m - 1 - j] for j in range(m)]
+            mt = jnp.transpose(mt, axes + [m + a for a in axes])
+            mat2d = mt.reshape(1 << m, 1 << m)
+        rows = state.reshape(-1, 1 << m)
+        out = jnp.matmul(rows, mat2d.T,
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(state.shape)
+
+    if set(targets) == set(range(n - m, n)):
+        # High-contiguous fast path: the matrix applies to the TOP m index
+        # bits -> one left-matmul on the (2^m, R) view (row index bit j =
+        # qubit n-m+j, matching the matrix convention when targets are
+        # ascending).
+        base = n - m
+        if targets != list(range(base, n)):
+            perm = [0] * m
+            for k, t in enumerate(targets):
+                perm[t - base] = k
+            mt = mat2d.reshape((2,) * (2 * m))
+            axes = [m - 1 - perm[m - 1 - j] for j in range(m)]
+            mt = jnp.transpose(mt, axes + [m + a for a in axes])
+            mat2d = mt.reshape(1 << m, 1 << m)
+        cols = state.reshape(1 << m, -1)
+        out = jnp.matmul(mat2d, cols, precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(state.shape)
+
     desc = sorted(targets, reverse=True)
     dims = _exposed_view_dims(n, desc)
     st = state.reshape(dims)
     rank = len(dims)
 
-    mat = jnp.asarray(matrix, dtype=state.dtype).reshape((2,) * (2 * m))
+    mat = mat2d.reshape((2,) * (2 * m))
 
     # Matrix tensor axes: 0..m-1 are row bits MSB->LSB (axis j <-> row bit
     # m-1-j, i.e. targets[m-1-j]); m..2m-1 are column bits likewise. The
