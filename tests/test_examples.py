@@ -29,6 +29,7 @@ EXAMPLES = [
     "vqe_lih.py",
     "qec_repetition_example.py",
     "run_bell_state.py",
+    "compiler_qir_example.py",
 ]
 
 

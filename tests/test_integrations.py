@@ -41,3 +41,36 @@ class TestQiskitProvider:
         # global-phase-free check of the relative phase
         ratio = psi[1] / psi[0]
         assert abs(ratio - 1j) < 1e-5
+
+
+class TestCirqSimulator:
+    def test_bell(self):
+        cirq = pytest.importorskip("cirq", reason="cirq not installed")
+        from rocquantum_tpu.integrations.cirq_simulator import (
+            RocQuantumSimulator)
+
+        q0, q1 = cirq.LineQubit.range(2)
+        circuit = cirq.Circuit([cirq.H(q0), cirq.CNOT(q0, q1),
+                                cirq.measure(q0, q1, key="m")])
+        sim = RocQuantumSimulator()
+        result = sim._run(circuit, cirq.ParamResolver({}), repetitions=500)
+        bits = result["m"]
+        assert set((bits[:, 0] ^ bits[:, 1]).tolist()) == {0}
+
+
+class TestPennyLaneDevice:
+    def test_bell_state(self):
+        qml = pytest.importorskip("pennylane", reason="pennylane not installed")
+        from rocquantum_tpu.integrations.pennylane_device import RocQDevice
+
+        dev = RocQDevice(wires=2)
+
+        @qml.qnode(dev)
+        def bell():
+            qml.Hadamard(wires=0)
+            qml.CNOT(wires=[0, 1])
+            return qml.state()
+
+        state = bell()
+        assert abs(abs(state[0]) - 2**-0.5) < 1e-5
+        assert abs(abs(state[3]) - 2**-0.5) < 1e-5
