@@ -5,11 +5,10 @@ statevector + counts per plugin. Skip when the host framework is absent
 import numpy as np
 import pytest
 
-qiskit = pytest.importorskip("qiskit", reason="qiskit not installed")
-
 
 class TestQiskitProvider:
     def test_bell_counts_and_statevector(self):
+        pytest.importorskip("qiskit", reason="qiskit not installed")
         from qiskit import QuantumCircuit as QiskitCircuit
         from rocquantum_tpu.integrations.qiskit_provider import (
             RocQuantumProvider)
@@ -28,6 +27,7 @@ class TestQiskitProvider:
         assert abs(counts.get("00", 0) / total - 0.5) < 0.1
 
     def test_rz_phase(self):
+        pytest.importorskip("qiskit", reason="qiskit not installed")
         from qiskit import QuantumCircuit as QiskitCircuit
         from rocquantum_tpu.integrations.qiskit_provider import (
             RocQuantumBackend)
