@@ -149,6 +149,23 @@ def execute(state: jnp.ndarray, ops: Sequence, params: Optional[jnp.ndarray] = N
 
 _EXEC_CACHE: dict = {}
 
+# Matmul-consolidation width caps. Measured on v5e (n=24 RY layer): widths
+# of 9 keep the 2^w-wide matmuls memory-bound (14x over the per-gate einsum
+# baseline); 12 tips compute-bound and loses most of the gain.
+_MAX_LOW_WIDTH = 9
+_MAX_HIGH_WIDTH = 9
+
+
+def default_widths(n: int, sharded: bool = False):
+    """(low_width, high_width) defaults for an n-qubit circuit. High-region
+    consolidation is disabled when sharded: the top index bits select the
+    device, and a dense matmul across them would force an all-gather."""
+    low = min(_MAX_LOW_WIDTH, n)
+    if sharded:
+        return low, 0
+    high = min(_MAX_HIGH_WIDTH, n - low)
+    return low, high
+
 
 def parametrize(ops: Sequence[GateOp]):
     """Rewrite concrete float params into ParamRef slots, returning
@@ -170,13 +187,17 @@ def parametrize(ops: Sequence[GateOp]):
 
 
 def compile_ir(ir: CircuitIR, fuse: bool = True, max_fuse: int = 2,
-               donate: bool = True, sharding=None, low_width: int = 0,
-               high_width: int = 0):
+               donate: bool = True, sharding=None, low_width: Optional[int] = None,
+               high_width: Optional[int] = None):
     """Return a jitted ``f(state, params) -> state`` for this IR, cached by
     structural key. With ``sharding`` (a NamedSharding over the amplitude
     axis), the program runs SPMD over the mesh: XLA inserts the ICI
     collectives for gates touching device-selecting qubits (the reference's
     hand-rolled rcclAlltoallv path, MULTI_GPU_GUIDE.md:44-51)."""
+    if low_width is None or high_width is None:
+        dlw, dhw = default_widths(ir.num_qubits, sharded=sharding is not None)
+        low_width = dlw if low_width is None else low_width
+        high_width = dhw if high_width is None else high_width
     key = (ir.structural_key(), fuse, max_fuse, donate, sharding, low_width,
            high_width, config.get_precision())
     cached = _EXEC_CACHE.get(key)

@@ -102,17 +102,21 @@ class StateVectorBackend(_BaseBackend):
         key = self._queue_key(key_items)
         fn = _RUN_CACHE.get(key)
         if fn is None:
+            from ..compiler.ir import GateOp, ParamRef
+            from ..compiler.interpreter import execute, default_widths
             n = self.num_qubits
+            ops = []
+            for item in key_items:
+                _, name, tgt, ctrl, vals = item
+                if vals and vals[0] == "slots":
+                    vals = tuple(ParamRef(i) for i in vals[1:])
+                ops.append(GateOp(name, tuple(tgt), tuple(ctrl), tuple(vals)))
+            lw, hw = default_widths(n)
 
             def run(params):
                 state = sv.init_state(n)
-                for item in key_items:
-                    _, name, tgt, ctrl, vals = item
-                    if vals and vals[0] == "slots":
-                        vals = [params[i] for i in vals[1:]]
-                    state = sv.apply_gate(state, name, list(tgt), list(ctrl),
-                                          list(vals))
-                return state
+                return execute(state, ops, params, low_width=lw,
+                               high_width=hw)
 
             fn = jax.jit(run)
             _RUN_CACHE[key] = fn
