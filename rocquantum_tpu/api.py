@@ -627,13 +627,18 @@ def expval_on_state(state: jnp.ndarray, terms) -> float:
     host->device transfer per evaluation on tunneled TPU backends."""
     terms_key = tuple(tuple(ops) for ops, _ in terms)
     coeffs = np.asarray([c for _, c in terms], dtype=np.float64)
-    cache_key = (terms_key, coeffs.tobytes(), config.get_precision())
+    batched = state.ndim == 2
+    cache_key = (terms_key, coeffs.tobytes(), batched, config.get_precision())
     fn = _EXPVAL_CACHE.get(cache_key)
     if fn is None:
         cvals = jnp.asarray(coeffs, dtype=config.real_dtype())
-        fn = jax.jit(lambda s: _expval_terms_traced(s, terms_key, cvals))
+        body = lambda s: _expval_terms_traced(s, terms_key, cvals)  # noqa: E731
+        fn = jax.jit(jax.vmap(body) if batched else body)
         _EXPVAL_CACHE[cache_key] = fn
-    return float(fn(state))
+    out = fn(state)
+    if batched:
+        return np.asarray(out)  # one energy per batch element (DP axis)
+    return float(out)
 
 
 def get_expval(program: QuantumProgram, hamiltonian: PauliOperator) -> float:

@@ -315,3 +315,11 @@ class TestBatch:
         assert c.state.shape == (3, 4)
         with pytest.raises(NotImplementedError):
             c.get_statevector()
+
+    def test_batched_expval(self, sim):
+        c = rocq.Circuit(2, sim, batch_size=3)
+        c.h(0)
+        c.cx(0, 1)
+        vals = c.expval(rocq.PauliOperator("Z0 Z1"))
+        assert vals.shape == (3,)
+        np.testing.assert_allclose(vals, 1.0, atol=1e-6)
