@@ -241,6 +241,10 @@ class Circuit(_GateMethods):
         self._gate_queue: List[GateOp] = []
         self._is_dirty = False
         self._state = None  # lazily initialized on device inside jit
+        # logical qubit -> physical index bit (diverges from identity only
+        # on sharded circuits, where gates on device-selecting bits are
+        # rescheduled as all-to-all relabels + local gates)
+        self._layout: List[int] = list(range(num_qubits))
         simulator._active_circuits += 1
 
     # -- state management ---------------------------------------------------
@@ -279,7 +283,24 @@ class Circuit(_GateMethods):
         """Re-initialize to |0...0> (rocsvInitializeState semantics)."""
         self._gate_queue.clear()
         self._is_dirty = False
+        self._layout = list(range(self.num_qubits))
         self._state = self._init_fn()()
+
+    def _phys(self, qubit: int) -> int:
+        return self._layout[qubit]
+
+    def _restore_identity_layout(self):
+        """Apply the relabel transposes returning the state to logical
+        order (before full-state readback)."""
+        if self._layout == list(range(self.num_qubits)):
+            return
+        from .compiler.sharded_schedule import unpermute_ops
+        ops = unpermute_ops(self._layout)
+        ir = CircuitIR(self.num_qubits, ops)
+        fn = compile_ir(ir, fuse=False, sharding=self._sharding())
+        self._state = fn(self._state,
+                         jnp.zeros((0,), dtype=config.real_dtype()))
+        self._layout = list(range(self.num_qubits))
 
     # -- queue / flush --------------------------------------------------------
 
@@ -296,6 +317,14 @@ class Circuit(_GateMethods):
         if not self._is_dirty or not self._gate_queue:
             return
         ops, values = parametrize(self._gate_queue)
+        if self.mesh is not None:
+            # localize gates on device-selecting bits (all-to-all relabels
+            # instead of the partitioner's all-gather fallback)
+            from .compiler.sharded_schedule import schedule_for_sharding
+            from .parallel.sharded import num_global_qubits
+            ops, self._layout = schedule_for_sharding(
+                ops, self.num_qubits, num_global_qubits(self.mesh),
+                self._layout)
         ir = CircuitIR(self.num_qubits, ops)
         fn = compile_ir(ir, fuse=self._fuse, max_fuse=self._max_fuse,
                         sharding=self._sharding())
@@ -321,10 +350,11 @@ class Circuit(_GateMethods):
         self._validate_qubit_index(qubit_to_measure)
         if self.batch_size > 1:
             raise NotImplementedError("measure is not supported for batch_size > 1.")
-        p1 = float(sv.prob_one_jit(self.state, qubit_to_measure))
+        phys = self._phys(qubit_to_measure)
+        p1 = float(sv.prob_one_jit(self.state, phys))
         outcome = 1 if self.simulator.host_random() < p1 else 0
         prob = p1 if outcome == 1 else 1.0 - p1
-        self._state = sv.collapse_jit(self.state, qubit_to_measure, outcome)
+        self._state = sv.collapse_jit(self.state, phys, outcome)
         return outcome, prob
 
     def sample(self, measured_qubits: List[int], num_shots: int) -> np.ndarray:
@@ -339,8 +369,10 @@ class Circuit(_GateMethods):
             raise ValueError("Number of shots must be positive.")
         if self.batch_size > 1:
             raise NotImplementedError("sample is not supported for batch_size > 1.")
-        out = sv.sample_jit(self.state, qubits=tuple(measured_qubits),
-                            shots=num_shots, key=self.simulator.next_key())
+        out = sv.sample_jit(
+            self.state,
+            qubits=tuple(self._phys(q) for q in measured_qubits),
+            shots=num_shots, key=self.simulator.next_key())
         return np.asarray(out)
 
     def get_statevector(self) -> np.ndarray:
@@ -351,6 +383,7 @@ class Circuit(_GateMethods):
         if self.batch_size > 1:
             raise NotImplementedError(
                 "get_statevector is not yet supported for batch_size > 1.")
+        self._restore_identity_layout()
         re, im = sv.state_to_parts_jit(self.state)
         return np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
 
@@ -363,13 +396,15 @@ class Circuit(_GateMethods):
                 "get_statevector_slice is not supported for batch_size > 1.")
         if start < 0 or size <= 0 or start + size > (1 << self.num_qubits):
             raise ValueError("slice out of range")
+        self._restore_identity_layout()
         re, im = sv.state_slice_parts_jit(self.state, start, size)
         return np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
 
     def get_probabilities(self, qubits: Optional[List[int]] = None) -> np.ndarray:
         self.flush()
         qubits = list(qubits) if qubits is not None else list(range(self.num_qubits))
-        return np.asarray(sv.marginal_probs_jit(self.state, qubits=tuple(qubits)))
+        return np.asarray(sv.marginal_probs_jit(
+            self.state, qubits=tuple(self._phys(q) for q in qubits)))
 
     def expval(self, pauli_operator: "PauliOperator") -> float:
         """Expectation of a PauliOperator on the current state — computed on
@@ -378,7 +413,9 @@ class Circuit(_GateMethods):
         if not isinstance(pauli_operator, PauliOperator):
             raise TypeError("Input must be a PauliOperator object.")
         self.flush()
-        return expval_on_state(self.state, pauli_operator.terms)
+        terms = [([(p, self._phys(q)) for p, q in ops], coeff)
+                 for ops, coeff in pauli_operator.terms]
+        return expval_on_state(self.state, terms)
 
     def __del__(self):
         sim = getattr(self, "simulator", None)

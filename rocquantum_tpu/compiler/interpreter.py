@@ -90,6 +90,10 @@ def _dense_with_controls(mat: jnp.ndarray, n_controls: int) -> jnp.ndarray:
 def apply_op(state: jnp.ndarray, op: GateOp,
              params: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Apply one GateOp (controlled slice-update fast path preserved)."""
+    if op.name == "SWAP_BITS":
+        # physical index-bit relabel (sharded scheduling): implemented as a
+        # transpose, which XLA lowers to an ICI all-to-all on sharded states
+        return sv.swap_index_bits(state, op.targets[0], op.targets[1])
     base, controls, targets = _split_op(op)
     mat = _base_matrix(op, params)
     return sv.apply_controlled_matrix(state, mat, controls, targets)
@@ -119,7 +123,8 @@ def _fused_matrix(block: FusedBlock, params: Optional[jnp.ndarray]) -> jnp.ndarr
 
 def execute(state: jnp.ndarray, ops: Sequence, params: Optional[jnp.ndarray] = None,
             fuse: bool = True, max_fuse: int = 2,
-            low_width: int = 0, high_width: int = 0) -> jnp.ndarray:
+            low_width: int = 0, high_width: int = 0,
+            sharding=None) -> jnp.ndarray:
     """Trace a list of GateOps into gate applications on ``state``.
 
     ``low_width``/``high_width`` > 0 additionally consolidate runs of gates
@@ -140,6 +145,10 @@ def execute(state: jnp.ndarray, ops: Sequence, params: Optional[jnp.ndarray] = N
             state = sv.apply_matrix(state, mat, list(item.qubits))
         else:
             state = apply_op(state, item, params)
+        if sharding is not None:
+            # pin the layout after every op so the partitioner never falls
+            # back to all-gathering the state
+            state = jax.lax.with_sharding_constraint(state, sharding)
     return state
 
 
@@ -207,7 +216,8 @@ def compile_ir(ir: CircuitIR, fuse: bool = True, max_fuse: int = 2,
 
     def run(state, params):
         out = execute(state, ops, params, fuse=fuse, max_fuse=max_fuse,
-                      low_width=low_width, high_width=high_width)
+                      low_width=low_width, high_width=high_width,
+                      sharding=sharding)
         if sharding is not None:
             out = jax.lax.with_sharding_constraint(out, sharding)
         return out

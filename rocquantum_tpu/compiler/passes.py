@@ -66,7 +66,9 @@ def plan_fusion(ops: List[GateOp], max_fuse: int = 2) -> List[object]:
 
     for op in ops:
         q = _support(op)
-        if len(q) > max_fuse:
+        if len(q) > max_fuse or op.name == "SWAP_BITS":
+            # SWAP_BITS is a layout relabel, not a unitary to fuse — it must
+            # stay a transpose so sharded states reshard via all-to-all
             flush([b for b in open_blocks if set(b.qubits) & set(q)])
             emitted.append(op)
             continue
@@ -122,11 +124,13 @@ def _consolidate_region(items: List[object], region: set,
 
     for item in items:
         s = support(item)
-        if s <= region:
+        is_relabel = (not isinstance(item, FusedBlock)
+                      and item.name == "SWAP_BITS")
+        if s <= region and not is_relabel:
             if open_block is None:
                 open_block = FusedBlock(qubits=block_qubits, ops=[])
             open_block.ops.extend(members(item))
-        elif s & region:
+        elif s & region or is_relabel:
             flush()
             out.append(item)
         else:

@@ -176,3 +176,74 @@ class TestShardedCircuitAPI:
             make_mesh(3)
         with pytest.raises(ValueError):
             make_mesh(100)
+
+
+@requires_multi
+class TestShardedScheduling:
+    def test_no_all_gather_in_scheduled_program(self):
+        """Gates on device-selecting qubits must lower to all-to-all
+        relabels, never all-gathers."""
+        import re
+        from rocquantum_tpu.compiler.sharded_schedule import (
+            schedule_for_sharding)
+        from rocquantum_tpu.parallel import num_global_qubits
+
+        mesh = make_mesh(8)
+        n = 12
+        ir = CircuitIR(n)
+        ir.add("H", [n - 1])
+        ir.add("CNOT", [0], controls=[n - 1])
+        ir.add("RY", [n - 2], params=[0.3])
+        ops, layout = schedule_for_sharding(ir.ops, n,
+                                            num_global_qubits(mesh))
+        sched = CircuitIR(n, ops)
+        fn = compile_ir(sched, sharding=state_sharding(mesh), donate=False)
+        lowered = jax.jit(lambda s, p: fn(s, p)).lower(
+            jax.ShapeDtypeStruct((1 << n,), jnp.complex64,
+                                 sharding=state_sharding(mesh)),
+            jax.ShapeDtypeStruct((1,), jnp.float32))
+        txt = lowered.compile().as_text()
+        assert len(re.findall("all-gather", txt)) == 0, "all-gather leaked in"
+        assert len(re.findall("all-to-all", txt)) > 0
+
+    def test_scheduled_circuit_matches_unscheduled(self):
+        """Sharded Circuit with layout scheduling == plain single-device
+        run, across gates on global qubits, measurement, and readback."""
+        mesh = make_mesh(8)
+        n = 7
+
+        def build(mesh_arg):
+            sim = rocq.Simulator(seed=3)
+            c = rocq.Circuit(n, sim, mesh=mesh_arg)
+            c.h(n - 1)
+            c.cx(n - 1, 0)
+            c.ry(0.7, n - 2)
+            c.cz(n - 2, 1)
+            c.swap(0, n - 1)
+            return c
+
+        ref = build(None)
+        shd = build(mesh)
+        np.testing.assert_allclose(shd.get_statevector(),
+                                   ref.get_statevector(), atol=1e-6)
+        # expectations through the (possibly permuted) layout
+        for term in ("Z0", "Z5 Z6", "X0 X6"):
+            assert abs(shd.expval(rocq.PauliOperator(term))
+                       - ref.expval(rocq.PauliOperator(term))) < 1e-6
+        # sampling addresses logical qubits
+        counts = np.bincount(shd.sample(list(range(n)), 300),
+                             minlength=1 << n)
+        ref_probs = np.abs(ref.get_statevector()) ** 2
+        assert set(np.nonzero(counts)[0]) <= set(
+            np.nonzero(ref_probs > 1e-9)[0])
+
+    def test_mid_circuit_measure_sharded(self):
+        mesh = make_mesh(8)
+        sim = rocq.Simulator(seed=1)
+        c = rocq.Circuit(6, sim, mesh=mesh)
+        c.h(5)
+        c.cx(5, 0)
+        m, p = c.measure(5)   # global qubit measurement
+        assert abs(p - 0.5) < 1e-6
+        out = c.sample([0, 5], 100)
+        assert set(np.unique(out)) == ({0} if m == 0 else {3})
