@@ -49,20 +49,22 @@ def bench_at(n):
     import jax.numpy as jnp
     _enable_compile_cache()
     from rocquantum_tpu.compiler.ir import CircuitIR, ParamRef
-    from rocquantum_tpu.compiler.interpreter import execute
+    from rocquantum_tpu.compiler.interpreter import execute, default_widths
     from rocquantum_tpu.ops import statevec as sv
 
     ir = CircuitIR(n, name="bench_layer")
     for q in range(n):
         ir.add("RY", [q], params=[ParamRef(q)])
     ops = list(ir.ops)
+    low_w, high_w = default_widths(n)
 
     @jax.jit
     def program(params):
         state = sv.init_state(n)
 
         def body(_, s):
-            return execute(s, ops, params)
+            return execute(s, ops, params, low_width=low_w,
+                           high_width=high_w)
 
         state = jax.lax.fori_loop(0, LAYERS, body, state)
         # scalar output forces real synchronization on transfer

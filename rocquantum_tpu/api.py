@@ -235,6 +235,10 @@ class Circuit(_GateMethods):
         if multi_gpu and mesh is None:
             from .parallel.mesh import default_mesh
             mesh = default_mesh()
+        if mesh is not None and batch_size > 1:
+            raise NotImplementedError(
+                "batched + sharded circuits are not supported yet; use a "
+                "(dp, sv) mesh with the parallel module directly")
         self.mesh = mesh
         self._fuse = fuse
         self._max_fuse = max_fuse
