@@ -371,12 +371,17 @@ class Circuit(_GateMethods):
             self._validate_qubit_index(idx, f"measured_qubits element {idx}")
         if num_shots <= 0:
             raise ValueError("Number of shots must be positive.")
+        qubits = tuple(self._phys(q) for q in measured_qubits)
         if self.batch_size > 1:
-            raise NotImplementedError("sample is not supported for batch_size > 1.")
-        out = sv.sample_jit(
-            self.state,
-            qubits=tuple(self._phys(q) for q in measured_qubits),
-            shots=num_shots, key=self.simulator.next_key())
+            # DP axis: independent draws per batch element -> (batch, shots)
+            keys = jax.random.split(self.simulator.next_key(),
+                                    self.batch_size)
+            out = jax.jit(jax.vmap(
+                lambda s, k: sv.sample(s, qubits, num_shots, k)))(
+                    self.state, keys)
+            return np.asarray(out)
+        out = sv.sample_jit(self.state, qubits=qubits,
+                            shots=num_shots, key=self.simulator.next_key())
         return np.asarray(out)
 
     def get_statevector(self) -> np.ndarray:

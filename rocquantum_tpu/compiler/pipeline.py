@@ -69,12 +69,7 @@ class Compiler:
         semantics: clone reversed with is_adjoint toggled)."""
         if self.module is None:
             return False
-        adj = adjoint_ir(self.module)
-        merged = CircuitIR(self.module.num_qubits,
-                           list(self.module.ops),
-                           name=self.module.name)
-        merged.ops = list(self.module.ops)
-        self.adjoint_module = adj
+        self.adjoint_module = adjoint_ir(self.module)
         return True
 
     def run_fusion_pass(self, max_fuse: int = 2):

@@ -110,8 +110,8 @@ def apply_fused_1q_layer(re: jnp.ndarray, im: jnp.ndarray,
     re2 = re.reshape(R, C)
     im2 = im.reshape(R, C)
 
-    grid = (R // tile_rows,) if R > tile_rows else (1,)
     tile_rows = min(tile_rows, R)
+    grid = (max(R // tile_rows, 1),)
     kernel = functools.partial(_kernel, qubits=qubits, col_qubits=col,
                                tile_rows=tile_rows)
     block = pl.BlockSpec((tile_rows, C), lambda i: (i, 0),

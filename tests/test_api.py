@@ -323,3 +323,11 @@ class TestBatch:
         vals = c.expval(rocq.PauliOperator("Z0 Z1"))
         assert vals.shape == (3,)
         np.testing.assert_allclose(vals, 1.0, atol=1e-6)
+
+    def test_batched_sampling(self, sim):
+        c = rocq.Circuit(2, sim, batch_size=3)
+        c.h(0)
+        c.cx(0, 1)
+        out = c.sample([0, 1], 100)
+        assert out.shape == (3, 100)
+        assert set(np.unique(out)) <= {0, 3}
