@@ -779,12 +779,16 @@ def make_energy_fn(kernel_func: Callable, num_qubits: int,
     terms_key = tuple(tuple(ops) for ops, _ in hamiltonian.terms)
     coeffs = np.asarray([c for _, c in hamiltonian.terms], dtype=float)
 
+    from .compiler.interpreter import default_widths
+    low_w, high_w = default_widths(num_qubits)
+
     def energy(param_vec):
         rec = _Recorder(num_qubits)
         func = getattr(kernel_func, "__wrapped__", kernel_func)
         func(rec, *[param_vec[i] for i in range(num_params)])
         state = sv.init_state(num_qubits)
-        state = execute(state, rec.ops, None)
+        state = execute(state, rec.ops, None, low_width=low_w,
+                        high_width=high_w)
         return _expval_terms_traced(
             state, terms_key, jnp.asarray(coeffs, config.real_dtype()))
 
