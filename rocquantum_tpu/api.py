@@ -214,6 +214,11 @@ class _GateMethods:
 
 _INIT_CACHE: dict = {}
 
+# Long circuits compile as chained segments: dispatch between jitted calls
+# is ~30 us while one huge program can OOM-kill the XLA compiler (observed
+# at ~320 ops on the TPU compile service) and defeats executable reuse.
+MAX_SEGMENT_OPS = 96
+
 
 class Circuit(_GateMethods):
     """A gate queue bound to device state; ``flush`` compiles + executes the
@@ -329,16 +334,18 @@ class Circuit(_GateMethods):
             ops, self._layout = schedule_for_sharding(
                 ops, self.num_qubits, num_global_qubits(self.mesh),
                 self._layout)
-        ir = CircuitIR(self.num_qubits, ops)
-        fn = compile_ir(ir, fuse=self._fuse, max_fuse=self._max_fuse,
-                        sharding=self._sharding())
         params = jnp.asarray(values, dtype=config.real_dtype()) if values \
             else jnp.zeros((0,), dtype=config.real_dtype())
         state = self.state
-        if self.batch_size > 1:
-            state = jax.vmap(lambda s: fn(s, params))(state)
-        else:
-            state = fn(state, params)
+        for start in range(0, len(ops), MAX_SEGMENT_OPS):
+            segment = ops[start:start + MAX_SEGMENT_OPS]
+            ir = CircuitIR(self.num_qubits, segment)
+            fn = compile_ir(ir, fuse=self._fuse, max_fuse=self._max_fuse,
+                            sharding=self._sharding())
+            if self.batch_size > 1:
+                state = jax.vmap(lambda s: fn(s, params))(state)
+            else:
+                state = fn(state, params)
         self._state = state
         self._gate_queue.clear()
         self._is_dirty = False

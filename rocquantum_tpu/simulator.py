@@ -58,11 +58,14 @@ class QuantumSimulator:
             self._state = self._init_state()
         if not self._queue:
             return
+        from .api import MAX_SEGMENT_OPS
         ops, values = parametrize(self._queue)
-        fn = compile_ir(CircuitIR(self.num_qubits, ops))
         params = jnp.asarray(values, dtype=config.real_dtype()) if values \
             else jnp.zeros((0,), dtype=config.real_dtype())
-        self._state = fn(self._state, params)
+        for start in range(0, len(ops), MAX_SEGMENT_OPS):
+            fn = compile_ir(CircuitIR(
+                self.num_qubits, ops[start:start + MAX_SEGMENT_OPS]))
+            self._state = fn(self._state, params)
         self._queue.clear()
 
     def _next_key(self):
