@@ -25,7 +25,7 @@ from .. import config
 from ..ops import gates as _g
 from ..ops import statevec as sv
 from .ir import CircuitIR, GateOp, ParamRef
-from .passes import FusedBlock, plan_fusion
+from .passes import DiagBlock, FusedBlock, fuse_diagonals, plan_fusion
 
 # Named gates that carry implicit control structure when emitted via the
 # convenience circuit methods.
@@ -87,6 +87,59 @@ def _dense_with_controls(mat: jnp.ndarray, n_controls: int) -> jnp.ndarray:
     return full.at[-m:, -m:].set(mat)
 
 
+_DIAG_VECS = {"Z": np.array([1, -1]), "S": np.array([1, 1j]),
+              "SDG": np.array([1, -1j]),
+              "T": np.array([1, np.exp(1j * np.pi / 4)]),
+              "TDG": np.array([1, np.exp(-1j * np.pi / 4)])}
+
+
+def _diag_vector(op: GateOp, params) -> jnp.ndarray:
+    """(2,) diagonal of the op's base gate (controls handled by caller)."""
+    base, _, _ = _split_op(op)
+    if base in _DIAG_VECS:
+        d = jnp.asarray(_DIAG_VECS[base], config.complex_dtype())
+    elif base == "RZ":
+        (theta,) = _resolve_params(op, params)
+        theta = jnp.asarray(theta, config.real_dtype())
+        d = jnp.stack([jnp.exp(-0.5j * theta),
+                       jnp.exp(0.5j * theta)]).astype(config.complex_dtype())
+    elif base in ("P", "PHASE"):
+        (lam,) = _resolve_params(op, params)
+        lam = jnp.asarray(lam, config.real_dtype())
+        d = jnp.stack([jnp.ones((), config.complex_dtype()),
+                       jnp.exp(1j * lam).astype(config.complex_dtype())])
+    else:
+        raise ValueError(f"gate {op.name} is not diagonal")
+    if op.is_adjoint:
+        d = jnp.conj(d)
+    return d
+
+
+def _apply_diag_block(state: jnp.ndarray, block: DiagBlock,
+                      params) -> jnp.ndarray:
+    """Multiply all member phase factors in (what XLA fuses into) one
+    elementwise pass over the amplitudes."""
+    n = sv.num_qubits_of(state)
+    for op in block.ops:
+        base, controls, targets = _split_op(op)
+        d = _diag_vector(op, params)
+        qubits = list(controls) + list(targets)
+        desc = sorted(qubits, reverse=True)
+        dims = sv._exposed_view_dims(n, desc)
+        k = len(desc)
+        # factor tensor over desc-ordered qubit axes: 1 everywhere except
+        # the all-controls-one slice, which carries the target diagonal
+        f = jnp.ones((2,) * k, config.complex_dtype())
+        idx = tuple(1 if desc[j] in set(controls) else slice(None)
+                    for j in range(k))
+        f = f.at[idx].set(d)  # the remaining free axis is the target
+        bshape = [1] * len(dims)
+        for j in range(k):
+            bshape[2 * j + 1] = 2
+        state = (state.reshape(dims) * f.reshape(bshape)).reshape(state.shape)
+    return state
+
+
 def apply_op(state: jnp.ndarray, op: GateOp,
              params: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Apply one GateOp (controlled slice-update fast path preserved)."""
@@ -131,7 +184,8 @@ def execute(state: jnp.ndarray, ops: Sequence, params: Optional[jnp.ndarray] = N
     supported on the bottom/top index bits into single matmul blocks — the
     MXU-native formulation (see passes.consolidate_low/high).
     """
-    plan = plan_fusion(list(ops), max_fuse=max_fuse) if fuse else list(ops)
+    items = fuse_diagonals(list(ops)) if fuse else list(ops)
+    plan = plan_fusion(items, max_fuse=max_fuse) if fuse else items
     if low_width:
         from .passes import consolidate_low
         plan = consolidate_low(plan, low_width)
@@ -140,7 +194,9 @@ def execute(state: jnp.ndarray, ops: Sequence, params: Optional[jnp.ndarray] = N
         n = sv.num_qubits_of(state)
         plan = consolidate_high(plan, high_width, n)
     for item in plan:
-        if isinstance(item, FusedBlock):
+        if isinstance(item, DiagBlock):
+            state = _apply_diag_block(state, item, params)
+        elif isinstance(item, FusedBlock):
             mat = _fused_matrix(item, params)
             state = sv.apply_matrix(state, mat, list(item.qubits))
         else:

@@ -36,6 +36,61 @@ class FusedBlock:
     ops: List[GateOp]
 
 
+@dataclasses.dataclass
+class DiagBlock:
+    """A run of diagonal gates applied as ONE elementwise pass: each member
+    contributes a broadcastable phase factor; XLA fuses the multiply chain.
+    Any number of members on any qubits costs a single HBM pass — the QFT's
+    controlled-phase cascade collapses to one pass per layer."""
+    ops: List[GateOp]
+
+    @property
+    def qubits(self) -> Tuple[int, ...]:
+        s = set()
+        for op in self.ops:
+            s |= set(op.targets) | set(op.controls)
+        return tuple(sorted(s))
+
+
+# Diagonal named gates (incl. implicitly-controlled forms: a controlled
+# diagonal is diagonal).
+_DIAGONAL_NAMES = {"Z", "S", "SDG", "T", "TDG", "RZ", "P", "PHASE",
+                   "CZ", "CRZ"}
+
+
+def is_diagonal(op: GateOp) -> bool:
+    return (op.matrix is None and op.name.upper() in _DIAGONAL_NAMES)
+
+
+def fuse_diagonals(ops: List[GateOp]) -> List[object]:
+    """Group consecutive diagonal gates into DiagBlocks; non-diagonal ops on
+    disjoint qubits commute past an open block."""
+    out: List[object] = []
+    block: DiagBlock = None
+
+    def flush():
+        nonlocal block
+        if block is not None:
+            if len(block.ops) == 1:
+                out.append(block.ops[0])
+            else:
+                out.append(block)
+            block = None
+
+    for op in ops:
+        if is_diagonal(op):
+            if block is None:
+                block = DiagBlock(ops=[])
+            block.ops.append(op)
+        else:
+            support = set(op.targets) | set(op.controls)
+            if block is not None and support & set(block.qubits):
+                flush()
+            out.append(op)
+    flush()
+    return out
+
+
 def _support(op: GateOp) -> Tuple[int, ...]:
     return tuple(sorted(set(op.targets) | set(op.controls)))
 
@@ -65,6 +120,10 @@ def plan_fusion(ops: List[GateOp], max_fuse: int = 2) -> List[object]:
                 emitted.append(b)
 
     for op in ops:
+        if isinstance(op, DiagBlock):
+            flush([b for b in open_blocks if set(b.qubits) & set(op.qubits)])
+            emitted.append(op)
+            continue
         q = _support(op)
         if len(q) > max_fuse or op.name == "SWAP_BITS":
             # SWAP_BITS is a layout relabel, not a unitary to fuse — it must
@@ -109,12 +168,13 @@ def _consolidate_region(items: List[object], region: set,
     open_block = None
 
     def support(item):
-        if isinstance(item, FusedBlock):
+        if isinstance(item, (FusedBlock, DiagBlock)):
             return set(item.qubits)
         return set(item.targets) | set(item.controls)
 
     def members(item):
-        return item.ops if isinstance(item, FusedBlock) else [item]
+        return item.ops if isinstance(item, (FusedBlock, DiagBlock)) \
+            else [item]
 
     def flush():
         nonlocal open_block
@@ -124,7 +184,7 @@ def _consolidate_region(items: List[object], region: set,
 
     for item in items:
         s = support(item)
-        is_relabel = (not isinstance(item, FusedBlock)
+        is_relabel = (not isinstance(item, (FusedBlock, DiagBlock))
                       and item.name == "SWAP_BITS")
         if s <= region and not is_relabel:
             if open_block is None:
