@@ -45,44 +45,44 @@ def max_kernel_qubit(n: int) -> int:
 
 def _kernel(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
             qubits: Tuple[int, ...], col_qubits: int, tile_rows: int):
+    """Roll+mask pairing: Mosaic rejects reshapes that split the lane
+    register ("unsupported shape cast" for inner dims < 128), so the
+    amplitude partner at index distance 2^q is fetched with a cyclic roll
+    and blended with a parity mask — uniform for column- and row-space
+    qubits, all pure VPU work."""
     C = 1 << col_qubits
     re = re_ref[...]
     im = im_ref[...]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, C), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, C), 0)
     for k, q in enumerate(qubits):
         a_re, a_im = gm_ref[k, 0, 0, 0], gm_ref[k, 0, 0, 1]
         b_re, b_im = gm_ref[k, 0, 1, 0], gm_ref[k, 0, 1, 1]
         c_re, c_im = gm_ref[k, 1, 0, 0], gm_ref[k, 1, 0, 1]
         d_re, d_im = gm_ref[k, 1, 1, 0], gm_ref[k, 1, 1, 1]
         if q < col_qubits:
-            # column-space pairing: (rows, outer, 2, inner)
-            inner = 1 << q
-            outer = C >> (q + 1)
-            shape = (tile_rows, outer, 2, inner)
-            re4 = re.reshape(shape)
-            im4 = im.reshape(shape)
-            x0r, x1r = re4[:, :, 0, :], re4[:, :, 1, :]
-            x0i, x1i = im4[:, :, 0, :], im4[:, :, 1, :]
+            axis, dist, ids, bit = 1, 1 << q, col_ids, q
         else:
-            # row-space pairing: (outer, 2, inner, C)
-            b = q - col_qubits
-            inner = 1 << b
-            outer = tile_rows >> (b + 1)
-            shape = (outer, 2, inner, C)
-            re4 = re.reshape(shape)
-            im4 = im.reshape(shape)
-            x0r, x1r = re4[:, 0, :, :], re4[:, 1, :, :]
-            x0i, x1i = im4[:, 0, :, :], im4[:, 1, :, :]
-        # y0 = a x0 + b x1 ; y1 = c x0 + d x1 (complex)
-        y0r = a_re * x0r - a_im * x0i + b_re * x1r - b_im * x1i
-        y0i = a_re * x0i + a_im * x0r + b_re * x1i + b_im * x1r
-        y1r = c_re * x0r - c_im * x0i + d_re * x1r - d_im * x1i
-        y1i = c_re * x0i + c_im * x0r + d_re * x1i + d_im * x1r
-        if q < col_qubits:
-            re = jnp.stack([y0r, y1r], axis=2).reshape(tile_rows, C)
-            im = jnp.stack([y0i, y1i], axis=2).reshape(tile_rows, C)
-        else:
-            re = jnp.stack([y0r, y1r], axis=1).reshape(tile_rows, C)
-            im = jnp.stack([y0i, y1i], axis=1).reshape(tile_rows, C)
+            axis, dist, ids, bit = 0, 1 << (q - col_qubits), row_ids, \
+                q - col_qubits
+        is_one = ((ids >> bit) & 1) == 1
+        size = C if axis == 1 else tile_rows
+        # partner of a bit=0 element sits +dist ahead; of a bit=1, -dist
+        # (pltpu.roll requires non-negative shifts; -d == size-d cyclically)
+        fwd_re = pltpu.roll(re, size - dist, axis)   # element at i+dist
+        bwd_re = pltpu.roll(re, dist, axis)          # element at i-dist
+        fwd_im = pltpu.roll(im, size - dist, axis)
+        bwd_im = pltpu.roll(im, dist, axis)
+        p_re = jnp.where(is_one, bwd_re, fwd_re)
+        p_im = jnp.where(is_one, bwd_im, fwd_im)
+        # bit=0: y = a*x + b*p ; bit=1: y = c*p + d*x  (complex arithmetic)
+        e_re = jnp.where(is_one, d_re, a_re)
+        e_im = jnp.where(is_one, d_im, a_im)
+        f_re = jnp.where(is_one, c_re, b_re)
+        f_im = jnp.where(is_one, c_im, b_im)
+        new_re = e_re * re - e_im * im + f_re * p_re - f_im * p_im
+        new_im = e_re * im + e_im * re + f_re * p_im + f_im * p_re
+        re, im = new_re, new_im
     out_re_ref[...] = re
     out_im_ref[...] = im
 
