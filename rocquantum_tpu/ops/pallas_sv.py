@@ -33,7 +33,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 COL_QUBITS = 12          # C = 4096 float32 columns = 16 KiB rows
-TILE_ROWS_LOG2 = 6       # 64-row tiles: 4 x 1 MiB blocks pipelined in VMEM
+TILE_ROWS_LOG2 = 5       # 32-row tiles: 0.5 MiB blocks — roll/select
+                         # temporaries must fit beside the pipelined
+                         # in/out buffers in 16 MiB VMEM
 
 
 def max_kernel_qubit(n: int) -> int:
