@@ -25,7 +25,8 @@ from .. import config
 from ..ops import gates as _g
 from ..ops import statevec as sv
 from .ir import CircuitIR, GateOp, ParamRef
-from .passes import DiagBlock, FusedBlock, fuse_diagonals, plan_fusion
+from .passes import (DiagBlock, FusedBlock, PallasBlock, fuse_diagonals,
+                     fuse_pallas_runs, plan_fusion)
 
 # Named gates that carry implicit control structure when emitted via the
 # convenience circuit methods.
@@ -140,6 +141,35 @@ def _apply_diag_block(state: jnp.ndarray, block: DiagBlock,
     return state
 
 
+def _pallas_enabled() -> bool:
+    import os
+    if os.environ.get("ROCQ_DISABLE_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _apply_pallas_block(state: jnp.ndarray, block: PallasBlock,
+                        params, interpret: bool = False) -> jnp.ndarray:
+    """Run a 1q-gate run through the fused Pallas kernel (one HBM pass)."""
+    from ..ops.pallas_sv import apply_fused_1q_layer
+
+    mats = []
+    qubits = []
+    for op in block.ops:
+        m = _base_matrix(op, params)
+        mats.append(jnp.stack([jnp.real(m), jnp.imag(m)], axis=-1)
+                    .astype(jnp.float32))
+        qubits.append(op.targets[0])
+    gm = jnp.stack(mats)
+    re = jnp.real(state).astype(jnp.float32)
+    im = jnp.imag(state).astype(jnp.float32)
+    re, im = apply_fused_1q_layer(re, im, qubits, gm, interpret=interpret)
+    return (re + 1j * im).astype(state.dtype)
+
+
 def apply_op(state: jnp.ndarray, op: GateOp,
              params: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Apply one GateOp (controlled slice-update fast path preserved)."""
@@ -177,14 +207,23 @@ def _fused_matrix(block: FusedBlock, params: Optional[jnp.ndarray]) -> jnp.ndarr
 def execute(state: jnp.ndarray, ops: Sequence, params: Optional[jnp.ndarray] = None,
             fuse: bool = True, max_fuse: int = 2,
             low_width: int = 0, high_width: int = 0,
-            sharding=None) -> jnp.ndarray:
+            sharding=None, use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """Trace a list of GateOps into gate applications on ``state``.
 
     ``low_width``/``high_width`` > 0 additionally consolidate runs of gates
     supported on the bottom/top index bits into single matmul blocks — the
     MXU-native formulation (see passes.consolidate_low/high).
+    ``use_pallas`` (default: auto — on TPU, unsharded) routes runs of 1q
+    gates through the fused single-pass kernel.
     """
     items = fuse_diagonals(list(ops)) if fuse else list(ops)
+    if use_pallas is None:
+        use_pallas = fuse and sharding is None and _pallas_enabled()
+    if use_pallas:
+        from ..ops.pallas_sv import max_kernel_qubit
+        n = sv.num_qubits_of(state)
+        if n >= 8:  # below that the conversion passes dominate
+            items = fuse_pallas_runs(items, max_kernel_qubit(n))
     plan = plan_fusion(items, max_fuse=max_fuse) if fuse else items
     if low_width:
         from .passes import consolidate_low
@@ -194,7 +233,9 @@ def execute(state: jnp.ndarray, ops: Sequence, params: Optional[jnp.ndarray] = N
         n = sv.num_qubits_of(state)
         plan = consolidate_high(plan, high_width, n)
     for item in plan:
-        if isinstance(item, DiagBlock):
+        if isinstance(item, PallasBlock):
+            state = _apply_pallas_block(state, item, params)
+        elif isinstance(item, DiagBlock):
             state = _apply_diag_block(state, item, params)
         elif isinstance(item, FusedBlock):
             mat = _fused_matrix(item, params)
