@@ -30,7 +30,7 @@ import numpy as np
 
 HBM_BYTES_PER_SEC = 819e9  # v5e
 LAYERS = 32
-SIZES = (26, 24, 22)
+SIZES = (29, 28, 26, 24)
 PER_SIZE_TIMEOUT_S = 480
 TRANSFER_OVERHEAD_S = 0.035  # measured scalar device->host cost on axon
 
