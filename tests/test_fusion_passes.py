@@ -1,0 +1,100 @@
+"""Unit tests for the compiler fusion/consolidation pass pipeline."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from rocquantum_tpu.compiler.ir import CircuitIR, GateOp, ParamRef
+from rocquantum_tpu.compiler.passes import (
+    DiagBlock, FusedBlock, PallasBlock, consolidate_high, consolidate_low,
+    fuse_diagonals, fuse_pallas_runs, is_diagonal, plan_fusion)
+from rocquantum_tpu.compiler.interpreter import execute, parametrize
+from rocquantum_tpu.ops import statevec as sv
+
+
+def g(name, targets, controls=(), params=()):
+    return GateOp(name, tuple(targets), tuple(controls), tuple(params))
+
+
+class TestDiagonalFusion:
+    def test_is_diagonal(self):
+        assert is_diagonal(g("Z", [0]))
+        assert is_diagonal(g("CRZ", [1], [0], [0.3]))
+        assert is_diagonal(g("CZ", [1], [0]))
+        assert not is_diagonal(g("X", [0]))
+        assert not is_diagonal(g("CNOT", [1], [0]))
+
+    def test_consecutive_diagonals_group(self):
+        ops = [g("Z", [0]), g("S", [1]), g("CRZ", [2], [0], [0.1]),
+               g("H", [0]), g("T", [1])]
+        out = fuse_diagonals(ops)
+        assert isinstance(out[0], GateOp) or isinstance(out[0], DiagBlock)
+        blocks = [o for o in out if isinstance(o, DiagBlock)]
+        assert len(blocks) == 1
+        assert len(blocks[0].ops) == 3
+        # H flushed the block (shares qubit 0); T follows alone (unwrapped)
+        names = [o.name for o in out if isinstance(o, GateOp)]
+        assert "H" in names and "T" in names
+
+    def test_disjoint_nondiagonal_passthrough(self):
+        ops = [g("Z", [0]), g("H", [3]), g("S", [0])]
+        out = fuse_diagonals(ops)
+        blocks = [o for o in out if isinstance(o, DiagBlock)]
+        assert len(blocks) == 1 and len(blocks[0].ops) == 2
+
+
+class TestPallasRunCollection:
+    def test_run_collection_threshold(self):
+        ops = [g("H", [q]) for q in range(8)]
+        out = fuse_pallas_runs(ops, max_qubit=17, min_gates=6)
+        assert len(out) == 1 and isinstance(out[0], PallasBlock)
+        short = fuse_pallas_runs([g("H", [0]), g("H", [1])], 17, min_gates=6)
+        assert all(isinstance(o, GateOp) for o in short)
+
+    def test_controlled_and_high_gates_excluded(self):
+        ops = [g("H", [q]) for q in range(6)] + \
+              [g("CNOT", [1], [0])] + [g("H", [q]) for q in range(6)]
+        out = fuse_pallas_runs(ops, max_qubit=17, min_gates=6)
+        assert isinstance(out[0], PallasBlock)
+        assert any(isinstance(o, GateOp) and o.name == "CNOT" for o in out)
+        # gate above the kernel range never joins
+        out2 = fuse_pallas_runs([g("H", [20])] * 7, max_qubit=17)
+        assert all(isinstance(o, GateOp) for o in out2)
+
+
+class TestConsolidation:
+    def test_low_high_regions(self):
+        ops = [g("H", [0]), g("T", [1]), g("H", [7]), g("H", [6]),
+               g("CNOT", [4], [3])]
+        plan = plan_fusion(ops)
+        plan = consolidate_low(plan, 2)
+        plan = consolidate_high(plan, 2, 8)
+        lows = [b for b in plan if isinstance(b, FusedBlock)
+                and b.qubits == (0, 1)]
+        highs = [b for b in plan if isinstance(b, FusedBlock)
+                 and b.qubits == (6, 7)]
+        assert lows and highs
+
+    def test_swap_bits_never_fused(self):
+        ops = [g("H", [0]), GateOp("SWAP_BITS", (0, 5)), g("H", [0])]
+        plan = plan_fusion(ops)
+        plan = consolidate_low(plan, 6)
+        names = [o.name for o in plan if isinstance(o, GateOp)]
+        assert "SWAP_BITS" in names
+
+
+class TestPipelineEquivalence:
+    @pytest.mark.parametrize("seed", range(3))
+    def test_all_passes_preserve_semantics(self, seed):
+        from rocquantum_tpu.models import random_circuit_ir
+        n = 9
+        ir = random_circuit_ir(n, 20, seed=seed)
+        ops, values = parametrize(ir.ops)
+        p = jnp.asarray(values, jnp.float32)
+        base = execute(sv.init_state(n), ops, p, fuse=False,
+                       use_pallas=False)
+        full = execute(sv.init_state(n), ops, p, low_width=4, high_width=4,
+                       use_pallas=False)
+        np.testing.assert_allclose(np.asarray(jnp.abs(base - full)),
+                                   0, atol=1e-5)
