@@ -705,8 +705,7 @@ def get_expval(program: QuantumProgram, hamiltonian: PauliOperator) -> float:
     circuit = program.circuit_ref
     if not isinstance(hamiltonian, PauliOperator):
         raise TypeError("Input hamiltonian must be a rocQ PauliOperator object.")
-    circuit.flush()
-    return expval_on_state(circuit.state, hamiltonian.terms)
+    return circuit.expval(hamiltonian)  # handles the sharded qubit layout
 
 
 class Kernel:

@@ -247,3 +247,28 @@ class TestShardedScheduling:
         assert abs(p - 0.5) < 1e-6
         out = c.sample([0, 5], 100)
         assert set(np.unique(out)) == ({0} if m == 0 else {3})
+
+    def test_get_expval_through_layout(self):
+        """rocq.get_expval on a sharded program must respect the physical
+        qubit layout left by scheduling."""
+        mesh = make_mesh(8)
+        sim = rocq.Simulator(seed=2)
+
+        @rocq.kernel
+        def k(q):
+            q.h(6)          # global qubit -> forces a relabel
+            q.cx(6, 0)
+
+        prog = rocq.build(k, 7, sim)
+        prog.circuit_ref.mesh = None  # plain reference run
+        ref = rocq.Circuit(7, rocq.Simulator())
+        kf = getattr(k, "__wrapped__", k)
+        kf(ref)
+        c = rocq.Circuit(7, sim, mesh=mesh)
+        kf(c)
+        c.flush()
+        prog2 = rocq.QuantumProgram("t", 7)
+        prog2.circuit_ref = c
+        for term in ("Z0 Z6", "X0 X6", "Z6"):
+            assert abs(rocq.get_expval(prog2, rocq.PauliOperator(term))
+                       - ref.expval(rocq.PauliOperator(term))) < 1e-6
