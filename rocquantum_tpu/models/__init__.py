@@ -2,3 +2,4 @@ from .circuits import (  # noqa: F401
     qft_ir, ghz_ir, random_circuit_ir, qaoa_maxcut_ir,
     hardware_efficient_ansatz_ir,
 )
+from .evolution import trotter_ir, evolve  # noqa: F401
