@@ -17,6 +17,7 @@ _CTRL_RE = re.compile(
     r"^ctrl\((?P<n>\d+)\)\s*@\s*(?P<name>[a-z]+)\s*"
     r"(?P<args>q\[\d+\](?:\s*,\s*q\[\d+\])*)\s*;$")
 _QREG_RE = re.compile(r"^qubit\[(\d+)\]\s+q\s*;$")
+_QREG2_RE = re.compile(r"^qreg\s+q\[(\d+)\]\s*;$")  # OpenQASM 2.0
 
 _NAME_MAP = {
     "h": ("H", 1, 0), "x": ("X", 1, 0), "y": ("Y", 1, 0), "z": ("Z", 1, 0),
@@ -35,11 +36,12 @@ def parse_qasm3(text: str) -> CircuitIR:
     ops = []
     for raw in text.splitlines():
         line = raw.split("//")[0].strip()
-        if not line or line.startswith(("OPENQASM", "include", "bit[")):
+        if not line or line.startswith(("OPENQASM", "include", "bit[",
+                                        "creg", "barrier")):
             continue
-        if line.startswith("c = measure") or line.startswith("c=measure"):
-            continue
-        m = _QREG_RE.match(line)
+        if line.startswith(("c = measure", "c=measure", "measure ")):
+            continue  # terminal measurement (2.0: 'measure q -> c;')
+        m = _QREG_RE.match(line) or _QREG2_RE.match(line)
         if m:
             num_qubits = int(m.group(1))
             continue

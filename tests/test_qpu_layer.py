@@ -225,3 +225,20 @@ class TestCLI:
         rc = main(["run", "--backend", "ionq"])
         assert rc == 1
         assert "IONQ_API_KEY" in capsys.readouterr().out
+
+
+class TestQasm2Compat:
+    def test_parse_openqasm2(self):
+        text = "\n".join([
+            "OPENQASM 2.0;",
+            'include "qelib1.inc";',
+            "qreg q[2];",
+            "creg c[2];",
+            "h q[0];",
+            "cx q[0], q[1];",
+            "barrier q;",
+            "measure q -> c;",
+        ])
+        ir = parse_qasm3(text)
+        assert ir.num_qubits == 2
+        assert [op.name for op in ir.ops] == ["H", "CNOT"]
