@@ -30,6 +30,7 @@ EXAMPLES = [
     "qec_repetition_example.py",
     "run_bell_state.py",
     "compiler_qir_example.py",
+    "vqe_h2_reference_style.py",
 ]
 
 
