@@ -29,13 +29,15 @@ class TestDiagonalFusion:
         ops = [g("Z", [0]), g("S", [1]), g("CRZ", [2], [0], [0.1]),
                g("H", [0]), g("T", [1])]
         out = fuse_diagonals(ops)
-        assert isinstance(out[0], GateOp) or isinstance(out[0], DiagBlock)
         blocks = [o for o in out if isinstance(o, DiagBlock)]
-        assert len(blocks) == 1
+        # first block holds the 3-gate cascade; H flushes it (shares qubit
+        # 0); the trailing T stays a (singleton) DiagBlock — the elementwise
+        # path is the fast path even for lone diagonals
+        assert len(blocks) == 2
         assert len(blocks[0].ops) == 3
-        # H flushed the block (shares qubit 0); T follows alone (unwrapped)
+        assert len(blocks[1].ops) == 1 and blocks[1].ops[0].name == "T"
         names = [o.name for o in out if isinstance(o, GateOp)]
-        assert "H" in names and "T" in names
+        assert "H" in names
 
     def test_disjoint_nondiagonal_passthrough(self):
         ops = [g("Z", [0]), g("H", [3]), g("S", [0])]
