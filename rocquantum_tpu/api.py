@@ -328,12 +328,17 @@ class Circuit(_GateMethods):
         ops, values = parametrize(self._gate_queue)
         if self.mesh is not None:
             # localize gates on device-selecting bits (all-to-all relabels
-            # instead of the partitioner's all-gather fallback)
+            # instead of the partitioner's all-gather fallback); SWAPs are
+            # elided into the layout inside the scheduler
             from .compiler.sharded_schedule import schedule_for_sharding
             from .parallel.sharded import num_global_qubits
             ops, self._layout = schedule_for_sharding(
                 ops, self.num_qubits, num_global_qubits(self.mesh),
                 self._layout)
+        elif self.batch_size == 1:
+            # single-device: SWAP gates become free qubit relabels
+            from .compiler.sharded_schedule import elide_swaps
+            ops, self._layout = elide_swaps(ops, self._layout)
         params = jnp.asarray(values, dtype=config.real_dtype()) if values \
             else jnp.zeros((0,), dtype=config.real_dtype())
         state = self.state

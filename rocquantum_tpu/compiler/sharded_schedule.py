@@ -23,6 +23,31 @@ from .ir import GateOp
 SWAP_BITS = "SWAP_BITS"  # pseudo-op: exchange two physical index bits
 
 
+def _is_plain_swap(op: GateOp) -> bool:
+    return (op.name == "SWAP" and not op.controls and op.matrix is None)
+
+
+def elide_swaps(ops: Sequence[GateOp], layout: Sequence[int]
+                ) -> Tuple[List[GateOp], List[int]]:
+    """Turn SWAP gates into layout relabels (zero data movement — SWAP is
+    self-adjoint so the is_adjoint flag is irrelevant) and map all other
+    ops' qubits through the evolving logical->physical layout. Used by
+    single-device circuits; the sharded scheduler does the same inline,
+    where it also makes cross-device SWAPs free."""
+    layout = list(layout)
+    out: List[GateOp] = []
+    for op in ops:
+        if _is_plain_swap(op):
+            a, b = op.targets
+            layout[a], layout[b] = layout[b], layout[a]
+            continue
+        out.append(GateOp(op.name,
+                          tuple(layout[t] for t in op.targets),
+                          tuple(layout[c] for c in op.controls),
+                          op.params, op.matrix, op.is_adjoint))
+    return out, layout
+
+
 def schedule_for_sharding(ops: Sequence[GateOp], n: int, n_global: int,
                           initial_layout: Sequence[int] = None
                           ) -> Tuple[List[GateOp], List[int]]:
@@ -58,6 +83,14 @@ def schedule_for_sharding(ops: Sequence[GateOp], n: int, n_global: int,
         return uses[i] if i < len(uses) else float("inf")
 
     for step, op in enumerate(ops):
+        if _is_plain_swap(op):
+            # SWAP = relabel: free, even across the device boundary (the
+            # alternative is a full all-to-all)
+            a, b = op.targets
+            layout[a], layout[b] = layout[b], layout[a]
+            for q in (a, b):
+                use_ptr[q] += 1
+            continue
         support = set(op.targets) | set(op.controls)
         if len(support) > n_local:
             raise ValueError(
