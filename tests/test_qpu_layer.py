@@ -242,3 +242,57 @@ class TestQasm2Compat:
         ir = parse_qasm3(text)
         assert ir.num_qubits == 2
         assert [op.name for op in ir.ops] == ["H", "CNOT"]
+
+
+class TestRigettiBackendMocked:
+    def _with_fake_boto3(self, monkeypatch):
+        import sys, types
+        braket = mock.Mock()
+        braket.create_quantum_task.return_value = {
+            "quantumTaskArn": "arn:task/1"}
+        braket.get_quantum_task.return_value = {
+            "status": "COMPLETED",
+            "outputS3Bucket": "bucket",
+            "outputS3Directory": "dir",
+        }
+        s3_body = mock.Mock()
+        s3_body.read.return_value = json.dumps(
+            {"measurementProbabilities": {"00": 0.5, "11": 0.5}}).encode()
+        s3 = mock.Mock()
+        s3.get_object.return_value = {"Body": s3_body}
+
+        fake_boto3 = types.ModuleType("boto3")
+        fake_boto3.client = lambda name, region_name=None: (
+            braket if name == "braket" else s3)
+        fake_botocore = types.ModuleType("botocore")
+        fake_exc = types.ModuleType("botocore.exceptions")
+
+        class _E(Exception):
+            pass
+
+        fake_exc.BotoCoreError = _E
+        fake_exc.ClientError = _E
+        fake_botocore.exceptions = fake_exc
+        monkeypatch.setitem(sys.modules, "boto3", fake_boto3)
+        monkeypatch.setitem(sys.modules, "botocore", fake_botocore)
+        monkeypatch.setitem(sys.modules, "botocore.exceptions", fake_exc)
+        return braket
+
+    def test_full_lifecycle(self, monkeypatch):
+        braket = self._with_fake_boto3(monkeypatch)
+        from rocquantum_tpu.backends.rigetti import RigettiBackend
+        be = RigettiBackend()
+        be.authenticate()
+        arn = be.submit_job("OPENQASM 3.0;", shots=100)
+        assert arn == "arn:task/1"
+        kwargs = braket.create_quantum_task.call_args.kwargs
+        assert kwargs["shots"] == 100
+        assert "braket.ir.openqasm.program" in kwargs["action"]
+        assert be.get_job_status(arn) == "completed"
+        assert be.get_job_result(arn) == {"00": 0.5, "11": 0.5}
+
+    def test_unauthenticated_submit(self):
+        from rocquantum_tpu.backends.rigetti import RigettiBackend
+        be = RigettiBackend()
+        with pytest.raises(BackendAuthenticationError):
+            be.submit_job("OPENQASM 3.0;", shots=10)
