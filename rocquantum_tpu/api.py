@@ -396,6 +396,17 @@ class Circuit(_GateMethods):
                             shots=num_shots, key=self.simulator.next_key())
         return np.asarray(out)
 
+    def sample_counts(self, measured_qubits: List[int],
+                      num_shots: int) -> Dict[str, int]:
+        """Histogram with bitstring keys (qubits[0] = rightmost bit), the
+        format cloud providers return."""
+        from collections import Counter
+        samples = self.sample(measured_qubits, num_shots)
+        k = len(measured_qubits)
+        return {format(int(v), f"0{k}b"): c
+                for v, c in sorted(Counter(np.asarray(samples).ravel()
+                                           .tolist()).items())}
+
     def get_statevector(self) -> np.ndarray:
         """Full state readback (rocsvGetStateVectorFull,
         hipStateVec.cpp:691). Complex cannot cross the device boundary on

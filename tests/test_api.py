@@ -331,3 +331,11 @@ class TestBatch:
         out = c.sample([0, 1], 100)
         assert out.shape == (3, 100)
         assert set(np.unique(out)) <= {0, 3}
+
+    def test_sample_counts_format(self, sim):
+        c = rocq.Circuit(2, sim)
+        c.h(0)
+        c.cx(0, 1)
+        counts = c.sample_counts([0, 1], 300)
+        assert set(counts) <= {"00", "11"}
+        assert sum(counts.values()) == 300
