@@ -21,7 +21,6 @@ API-compatible rebuild of the reference's main Python front end
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np

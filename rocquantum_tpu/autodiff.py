@@ -23,7 +23,7 @@ parameter-shift (api.py:694-734) plus an IR-reversal compiler pass
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 import jax
@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from . import config
 from .compiler.interpreter import _base_matrix, _split_op
-from .compiler.ir import GateOp, ParamRef
+from .compiler.ir import GateOp, ParamRef  # noqa: F401 (ParamRef re-exported for callers)
 from .ops import statevec as sv
 
 

@@ -64,7 +64,6 @@ class QuantumBrillianceBackend(RocqBackend):
                              shots: int) -> Dict[str, int]:
         from collections import Counter
         from ..simulator import QuantumSimulator
-        from ..compiler.interpreter import compile_ir
 
         sim = QuantumSimulator(circuit.num_qubits)
         ir = circuit.to_ir()

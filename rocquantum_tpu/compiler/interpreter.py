@@ -15,7 +15,7 @@ VQE inner loop — reuses the executable.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import jax

@@ -10,8 +10,6 @@ slots) ready for compile_ir / Circuit replay.
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import numpy as np
 
 from ..compiler.ir import CircuitIR, ParamRef

@@ -29,13 +29,9 @@ qubit-remap scheduling (it lowers to one all-to-all on the sharded axis).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .. import config
 from ..ops import statevec as sv
 from .mesh import SV_AXIS
 

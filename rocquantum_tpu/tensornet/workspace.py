@@ -10,7 +10,7 @@ executor can decide which steps need slicing before anything is allocated.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 
