@@ -220,9 +220,11 @@ def execute(state: jnp.ndarray, ops: Sequence, params: Optional[jnp.ndarray] = N
     if use_pallas is None:
         use_pallas = fuse and sharding is None and _pallas_enabled()
     if use_pallas:
-        from ..ops.pallas_sv import max_kernel_qubit
+        from ..ops.pallas_sv import COL_QUBITS, max_kernel_qubit
         n = sv.num_qubits_of(state)
-        if n >= 8:  # below that the conversion passes dominate
+        # need >= 8-row tiles (sublane-aligned; smaller shapes unvalidated
+        # on hardware) and enough state for the conversion passes to pay off
+        if n >= COL_QUBITS + 3:
             items = fuse_pallas_runs(items, max_kernel_qubit(n))
     plan = plan_fusion(items, max_fuse=max_fuse) if fuse else items
     if low_width:
