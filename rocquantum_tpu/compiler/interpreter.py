@@ -182,10 +182,90 @@ def apply_op(state: jnp.ndarray, op: GateOp,
     return sv.apply_controlled_matrix(state, mat, controls, targets)
 
 
+def _np_gate_matrix(name: str, params) -> np.ndarray:
+    """Host (numpy) gate matrices for static-parameter fusion."""
+    key = name.upper()
+    if key in _g.FIXED:
+        return np.asarray(_g.FIXED[key], np.complex128)
+    if key in ("RX", "RY", "RZ", "P", "PHASE", "U3"):
+        theta = float(params[0])
+        c, s = np.cos(theta / 2), np.sin(theta / 2)
+        if key == "RX":
+            return np.array([[c, -1j * s], [-1j * s, c]])
+        if key == "RY":
+            return np.array([[c, -s], [s, c]])
+        if key == "RZ":
+            return np.diag([np.exp(-0.5j * theta), np.exp(0.5j * theta)])
+        if key in ("P", "PHASE"):
+            return np.diag([1.0, np.exp(1j * theta)])
+        t, phi, lam = (float(p) for p in params)
+        ct, st = np.cos(t / 2), np.sin(t / 2)
+        return np.array([[ct, -np.exp(1j * lam) * st],
+                         [np.exp(1j * phi) * st,
+                          np.exp(1j * (phi + lam)) * ct]])
+    raise KeyError(key)
+
+
+def _np_apply_rows(acc: np.ndarray, mat: np.ndarray, local, k: int) -> np.ndarray:
+    """numpy: left-apply ``mat`` on the row-index bits ``local`` of acc."""
+    m = len(local)
+    tin = acc.reshape((2,) * k + (acc.shape[1],))
+    mt = mat.reshape((2,) * (2 * m))
+    row_axis = {k - 1 - q: i for i, q in enumerate(local)}
+    labels = list(range(k + 1))
+    row_label = [k + 1 + i for i in range(m)]
+    mat_labels = ([row_label[m - 1 - j] for j in range(m)]
+                  + [k - 1 - local[m - 1 - j] for j in range(m)])
+    out_labels = [row_label[row_axis[a]] if a in row_axis else a
+                  for a in range(k)] + [k]
+    out = np.einsum(mt, mat_labels, tin, labels, out_labels)
+    return out.reshape(acc.shape)
+
+
+def _static_fused_matrix(block: FusedBlock) -> Optional[np.ndarray]:
+    """Host-side product when every member has static params — the fused
+    matrix bakes into the program as ONE constant (GateFusion.cpp's
+    host-side products, generalized). Returns None when any member is
+    parameterized or adjoint-of-parameterized."""
+    bq = list(block.qubits)
+    pos = {q: i for i, q in enumerate(bq)}
+    k = len(bq)
+    acc = np.eye(1 << k, dtype=np.complex128)
+    for op in block.ops:
+        # static means concrete host floats only — ParamRefs AND traced
+        # values (the adjoint-grad path embeds tracers directly) disqualify
+        if any(not isinstance(p, (int, float, np.integer, np.floating))
+               for p in op.params):
+            return None
+        base, controls, targets = _split_op(op)
+        if op.matrix is not None:
+            mat = np.asarray(op.matrix, np.complex128)
+        else:
+            try:
+                mat = _np_gate_matrix(base, op.params)
+            except KeyError:
+                return None
+        if op.is_adjoint:
+            mat = mat.conj().T
+        if controls:
+            m = mat.shape[0]
+            full = np.eye(m << len(controls), dtype=np.complex128)
+            full[-m:, -m:] = mat
+            mat = full
+            targets = targets + controls
+        acc = _np_apply_rows(acc, mat, [pos[q] for q in targets], k)
+    return acc
+
+
 def _fused_matrix(block: FusedBlock, params: Optional[jnp.ndarray]) -> jnp.ndarray:
     """Multiply the block's member unitaries into one dense matrix over
-    block.qubits (traced; analog of GateFusion's host-side 4x4 products,
-    GateFusion.cpp:89-156, generalized and qubit-order-correct)."""
+    block.qubits (analog of GateFusion's host-side 4x4 products,
+    GateFusion.cpp:89-156, generalized and qubit-order-correct). Static
+    blocks are computed on host and baked as constants; parameterized
+    blocks build the matrix in-program (traced)."""
+    static = _static_fused_matrix(block)
+    if static is not None:
+        return jnp.asarray(static, config.complex_dtype())
     bq = list(block.qubits)
     pos = {q: i for i, q in enumerate(bq)}
     k = len(bq)
