@@ -64,6 +64,26 @@ def grad(kernel_obj: QuantumKernel, pauli_string: str, params):
 
 
 # --- submodule aliases matching the reference package layout -------------
+# Eagerly import the full rocquantum_tpu tree and alias every module under
+# this package name, so deep imports like
+# `from rocquantum.qec.codes.repetition_code import ...` work AND the loaded
+# modules keep their true __package__ (their own relative imports resolve
+# against rocquantum_tpu, not this shim).
+import importlib as _importlib  # noqa: E402
+import pkgutil as _pkgutil  # noqa: E402
+
+import rocquantum_tpu as _rtpu  # noqa: E402
+
+for _m in _pkgutil.walk_packages(_rtpu.__path__, "rocquantum_tpu."):
+    try:
+        _importlib.import_module(_m.name)
+    except ImportError:
+        pass  # optional deps (qiskit/cirq/pennylane plugins)
+for _name, _mod in list(_sys.modules.items()):
+    if _name.startswith("rocquantum_tpu.") and _mod is not None:
+        _sys.modules.setdefault("rocquantum" + _name[len("rocquantum_tpu"):],
+                                _mod)
+
 from rocquantum_tpu import qcircuit as circuit  # noqa: E402
 from rocquantum_tpu import core  # noqa: E402
 from rocquantum_tpu import backends  # noqa: E402
