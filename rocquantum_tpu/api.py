@@ -808,8 +808,11 @@ def make_energy_fn(kernel_func: Callable, num_qubits: int,
         func = getattr(kernel_func, "__wrapped__", kernel_func)
         func(rec, *[param_vec[i] for i in range(num_params)])
         state = sv.init_state(num_qubits)
+        # use_pallas=False: this function is differentiated and pallas_call
+        # has no AD rule (the XLA consolidation paths are fully
+        # differentiable)
         state = execute(state, rec.ops, None, low_width=low_w,
-                        high_width=high_w)
+                        high_width=high_w, use_pallas=False)
         return _expval_terms_traced(
             state, terms_key, jnp.asarray(coeffs, config.real_dtype()))
 
