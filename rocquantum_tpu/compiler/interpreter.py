@@ -171,12 +171,15 @@ def _apply_pallas_block(state: jnp.ndarray, block: PallasBlock,
 
 
 def apply_op(state: jnp.ndarray, op: GateOp,
-             params: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+             params: Optional[jnp.ndarray] = None,
+             sharded: bool = False) -> jnp.ndarray:
     """Apply one GateOp (controlled slice-update fast path preserved)."""
     if op.name == "SWAP_BITS":
-        # physical index-bit relabel (sharded scheduling): implemented as a
-        # transpose, which XLA lowers to an ICI all-to-all on sharded states
-        return sv.swap_index_bits(state, op.targets[0], op.targets[1])
+        # physical index-bit relabel: under sharding the transpose form is
+        # required (it lowers to the ICI all-to-all); on one device the
+        # fused-einsum SWAP avoids a padded materialized transpose
+        return sv.swap_index_bits(state, op.targets[0], op.targets[1],
+                                  use_transpose=sharded)
     base, controls, targets = _split_op(op)
     mat = _base_matrix(op, params)
     return sv.apply_controlled_matrix(state, mat, controls, targets)
@@ -323,7 +326,8 @@ def execute(state: jnp.ndarray, ops: Sequence, params: Optional[jnp.ndarray] = N
             mat = _fused_matrix(item, params)
             state = sv.apply_matrix(state, mat, list(item.qubits))
         else:
-            state = apply_op(state, item, params)
+            state = apply_op(state, item, params,
+                             sharded=sharding is not None)
         if sharding is not None:
             # pin the layout after every op so the partitioner never falls
             # back to all-gathering the state

@@ -100,7 +100,13 @@ def apply_matrix(state: jnp.ndarray, matrix: jnp.ndarray,
         raise ValueError(f"matrix shape {matrix.shape} != {(1 << m, 1 << m)}")
 
     mat2d = jnp.asarray(matrix, dtype=state.dtype)
-    if set(targets) == set(range(m)):
+    if _needs_roll_select(targets, n):
+        return _roll_select_apply(state, mat2d, targets)
+    # The contiguous matmul fast paths only pay off when the matrix spans a
+    # full lane register: a (R, 2^m) operand with 2^m < 128 gets padded to
+    # 128 lanes by the TPU layout (observed 64x HBM blowup -> OOM for m=1).
+    use_matmul = (1 << m) >= 128
+    if use_matmul and set(targets) == set(range(m)):
         # Low-contiguous fast path: the matrix applies to the low m index
         # bits, so the gate is literally (R, 2^m) @ M^T — a clean MXU
         # matmul with fully coalesced HBM access. (The generic einsum path
@@ -120,7 +126,7 @@ def apply_matrix(state: jnp.ndarray, matrix: jnp.ndarray,
                          precision=jax.lax.Precision.HIGHEST)
         return out.reshape(state.shape)
 
-    if set(targets) == set(range(n - m, n)):
+    if use_matmul and set(targets) == set(range(n - m, n)):
         # High-contiguous fast path: the matrix applies to the TOP m index
         # bits -> one left-matmul on the (2^m, R) view (row index bit j =
         # qubit n-m+j, matching the matrix convention when targets are
@@ -169,6 +175,64 @@ def apply_matrix(state: jnp.ndarray, matrix: jnp.ndarray,
     return out.reshape(state.shape)
 
 
+_LANE_QUBITS = 7  # 2^7 = 128 = TPU lane width
+_ROLL_SELECT_MAX_TARGETS = 2
+
+
+def _roll_select_apply(state: jnp.ndarray, matrix: jnp.ndarray,
+                       targets: Sequence[int],
+                       controls: Sequence[int] = ()) -> jnp.ndarray:
+    """m-qubit (optionally controlled) gate via partner-rolls + selects.
+
+    For targets inside the lane register (q < 7) the exposed-axis views
+    create sub-128 trailing dims whose padded intermediates TPU may
+    MATERIALIZE (observed 64x HBM blowup at n=26). Rolling the flat state
+    by ± pair distances keeps every buffer 1-D and layout-clean. Used for
+    m <= 2 (2^m partner configurations, each built with <= m rolls).
+    """
+    targets = list(targets)
+    m = len(targets)
+    mat = jnp.asarray(matrix, state.dtype)
+    idx = jax.lax.iota(jnp.uint32, state.shape[0])
+    bits = [((idx >> q) & 1) == 1 for q in targets]  # per-element own bits
+
+    # row index of each element within the 2^m matrix block
+    row = jnp.zeros_like(idx)
+    for k in range(m):
+        row = row | (bits[k].astype(jnp.uint32) << k)
+
+    out = jnp.zeros_like(state)
+    for j in range(1 << m):
+        # partner amplitude with target bits set to configuration j
+        x = state
+        for k, q in enumerate(targets):
+            d = 1 << q
+            jk = (j >> k) & 1
+            shifted = jnp.roll(x, d if jk == 0 else -d)
+            x = jnp.where(bits[k] == bool(jk), x, shifted)
+        # coefficient M[row(i), j] per element (2^m-entry table select)
+        col = mat[:, j]
+        coef = col[0]
+        for r in range(1, 1 << m):
+            coef = jnp.where(row == r, col[r], coef)
+        out = out + coef * x
+    if controls:
+        cmask = jnp.ones(state.shape, bool)
+        for c in controls:
+            cmask = cmask & (((idx >> c) & 1) == 1)
+        out = jnp.where(cmask, out, state)
+    return out
+
+
+def _needs_roll_select(targets, n) -> bool:
+    """Small gates touching the lane register take the roll-select path on
+    big states (the exposed-view einsum is both slow and pad-hazardous
+    there)."""
+    return (len(targets) <= _ROLL_SELECT_MAX_TARGETS
+            and min(targets) < _LANE_QUBITS
+            and n > _LANE_QUBITS)
+
+
 def apply_controlled_matrix(state: jnp.ndarray, matrix: jnp.ndarray,
                             controls: Sequence[int],
                             targets: Sequence[int]) -> jnp.ndarray:
@@ -182,10 +246,12 @@ def apply_controlled_matrix(state: jnp.ndarray, matrix: jnp.ndarray,
     """
     controls = list(controls)
     targets = list(targets)
-    if not controls:
-        return apply_matrix(state, matrix, targets)
     if set(controls) & set(targets):
         raise ValueError("control and target qubits overlap")
+    if _needs_roll_select(targets, num_qubits_of(state)):
+        return _roll_select_apply(state, matrix, targets, controls)
+    if not controls:
+        return apply_matrix(state, matrix, targets)
 
     n = num_qubits_of(state)
     desc = sorted(controls, reverse=True)
@@ -234,15 +300,24 @@ def _mat(name, dtype):
     return jnp.asarray(_g.FIXED[name], dtype=dtype)
 
 
-def swap_index_bits(state: jnp.ndarray, q1: int, q2: int) -> jnp.ndarray:
+def swap_index_bits(state: jnp.ndarray, q1: int, q2: int,
+                    use_transpose: bool = False) -> jnp.ndarray:
     """Exchange the roles of index bits q1 and q2 (a qubit relabel).
 
     Single-device analog of rocsvSwapIndexBits (hipStateVec.h:135-137,
-    swap_kernels.hip:95-114). On a sharded state this same transpose, placed
-    under jit with shardings, becomes an ICI all-to-all (see parallel/).
+    swap_kernels.hip:95-114).
+
+    ``use_transpose=True`` implements it as an explicit rank-5 transpose —
+    required under sharding, where XLA lowers the constrained transpose to
+    the ICI all-to-all (see parallel/). On a single device the transpose
+    MATERIALIZES its padded intermediate (observed 64x HBM blowup when the
+    low bit is near 0), so the default path applies the SWAP matrix via the
+    fused einsum instead (identical result, no materialization).
     """
     if q1 == q2:
         return state
+    if not use_transpose:
+        return apply_matrix(state, _mat("SWAP", state.dtype), [q1, q2])
     n = num_qubits_of(state)
     hi, lo = max(q1, q2), min(q1, q2)
     dims = _exposed_view_dims(n, [hi, lo])  # rank 5, qubit axes at 1 and 3

@@ -87,7 +87,7 @@ def swap_index_bits_sharded(state: jax.Array, q1: int, q2: int,
 
     @jax.jit
     def do(s):
-        out = sv.swap_index_bits(s, q1, q2)
+        out = sv.swap_index_bits(s, q1, q2, use_transpose=True)
         return jax.lax.with_sharding_constraint(out, sharding)
 
     return do(state)
