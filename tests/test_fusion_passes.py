@@ -100,3 +100,51 @@ class TestPipelineEquivalence:
                        use_pallas=False)
         np.testing.assert_allclose(np.asarray(jnp.abs(base - full)),
                                    0, atol=1e-5)
+
+
+class TestLaneRegionLayoutHazard:
+    def test_cross_lane_gate_avoids_exposed_views(self):
+        """Regression: H(25) + CNOT(25->0) at n=26 must not lower to
+        exposed-view einsums with sub-lane trailing dims — TPU materialized
+        them at 64x padding (32 GB for a 0.5 GB state). The roll-select
+        path keeps all buffers 1-D."""
+        import jax
+        import jax.numpy as jnp
+        from rocquantum_tpu.compiler.interpreter import compile_ir
+        n = 26
+        ir = CircuitIR(n)
+        ir.add("H", [n - 1])
+        ir.add("CNOT", [0], controls=[n - 1])
+        fn = compile_ir(ir, donate=False, low_width=9, high_width=9)
+        txt = jax.jit(lambda s, p: fn(s, p)).lower(
+            jax.ShapeDtypeStruct((1 << n,), jnp.complex64),
+            jax.ShapeDtypeStruct((0,), jnp.float32)).as_text()
+        # the pathological signature: a rank>=5 view exposing qubit 0
+        assert "16777216x2x1" not in txt
+        assert "x2x1xcomplex" not in txt
+
+    def test_roll_select_matches_reference(self):
+        """roll-select path == dense reference for controlled/plain gates
+        with lane-region targets at n just above the lane boundary."""
+        import jax.numpy as jnp
+        from rocquantum_tpu.ops import statevec as sv
+        rng = np.random.default_rng(3)
+        n = 9
+        v = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+        v = (v / np.linalg.norm(v)).astype(np.complex64)
+        u = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+        state = jnp.asarray(v)
+        got = sv._roll_select_apply(state, jnp.asarray(u, jnp.complex64),
+                                    [2], [8, 5])
+        # reference via dense controlled construction
+        full = np.zeros((1 << n, 1 << n), complex)
+        for col in range(1 << n):
+            if ((col >> 8) & 1) and ((col >> 5) & 1):
+                t = (col >> 2) & 1
+                for tn_ in (0, 1):
+                    row = (col & ~(1 << 2)) | (tn_ << 2)
+                    full[row, col] += u[tn_, t]
+            else:
+                full[col, col] = 1.0
+        expected = full @ v
+        np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)
