@@ -30,8 +30,13 @@ import numpy as np
 
 HBM_BYTES_PER_SEC = 819e9  # v5e
 LAYERS = 32
-SIZES = (29, 28, 26, 24)
+REPS = 2        # layers per fori_loop body: lets the relabel scheduler
+                # amortize bit-rotations across layers (rotation toggles
+                # back to identity every 2 layers)
+SIZES = (30, 29, 28, 26, 24)
 PER_SIZE_TIMEOUT_S = 480
+QFT_TIMEOUT_S = 480
+QFT_N = 20
 TRANSFER_OVERHEAD_S = 0.035  # measured scalar device->host cost on axon
 
 
@@ -49,26 +54,38 @@ def bench_at(n):
     import jax.numpy as jnp
     _enable_compile_cache()
     from rocquantum_tpu.compiler.ir import CircuitIR, ParamRef
-    from rocquantum_tpu.compiler.interpreter import execute, default_widths
-    from rocquantum_tpu.ops import statevec as sv
+    from rocquantum_tpu.compiler.interpreter import (default_widths,
+                                                     execute_pair, init_pair)
 
     ir = CircuitIR(n, name="bench_layer")
-    for q in range(n):
-        ir.add("RY", [q], params=[ParamRef(q)])
+    for _ in range(REPS):
+        for q in range(n):
+            ir.add("RY", [q], params=[ParamRef(q)])
     ops = list(ir.ops)
     low_w, high_w = default_widths(n)
 
     @jax.jit
     def program(params):
-        state = sv.init_state(n)
+        # float-pair carry: half the working set of complex64 + conversion,
+        # which is what fits n=30 (8 GiB of amplitudes) on one 16 GiB chip
+        re, im = init_pair(n)
 
-        def body(_, s):
-            return execute(s, ops, params, low_width=low_w,
-                           high_width=high_w)
+        def body(_, c):
+            return execute_pair(c[0], c[1], ops, params, low_width=low_w,
+                                high_width=high_w)
 
-        state = jax.lax.fori_loop(0, LAYERS, body, state)
+        if n >= 30:
+            # unrolled: a fori_loop carry is double-buffered by XLA
+            # (2 x 8 GiB = the observed 258 MiB-over OOM); straight-line
+            # code lets buffer assignment chain the passes in place
+            c = (re, im)
+            for i in range(LAYERS // REPS):
+                c = body(i, c)
+            re, im = c
+        else:
+            re, im = jax.lax.fori_loop(0, LAYERS // REPS, body, (re, im))
         # scalar output forces real synchronization on transfer
-        return jnp.sum(jnp.abs(state) ** 2)
+        return jnp.sum(re * re + im * im)
 
     params = jnp.asarray(np.linspace(0.1, 1.0, n), jnp.float32)
     norm = float(program(params))  # compile + warmup
@@ -87,6 +104,62 @@ def run_single(n):
     gps = bench_at(n)
     print(json.dumps({"n": n, "gates_per_sec": gps}))
     return 0
+
+
+def bench_qft():
+    """QFT wall-clock via the Circuit API (segmented execution) — the
+    reference's declared benchmark workload (benchmarks/run_benchmark.py:
+    36-37, QFT 10-20)."""
+    import jax
+    _enable_compile_cache()
+    import rocquantum_tpu as rocq
+    from rocquantum_tpu.models import qft_ir
+
+    ir = qft_ir(QFT_N)
+    sim = rocq.Simulator()
+
+    def run_once():
+        c = rocq.Circuit(QFT_N, sim)
+        for op in ir.ops:
+            c._enqueue(op.name, op.targets, op.controls, op.params, op.matrix)
+        c.flush()
+        # scalar read forces synchronization on this backend
+        return float(c.expval(rocq.PauliOperator({"Z0": 1.0})))
+
+    run_once()  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_once()
+        times.append(time.perf_counter() - t0)
+    return len(ir.ops), min(times) - TRANSFER_OVERHEAD_S
+
+
+def run_qft():
+    n_ops, secs = bench_qft()
+    print(json.dumps({"qft_n": QFT_N, "qft_ops": n_ops,
+                      "qft_ms": round(secs * 1e3, 2)}))
+    return 0
+
+
+def probe_qft():
+    script = os.path.abspath(__file__)
+    try:
+        out = subprocess.run([sys.executable, script, "--qft"],
+                             capture_output=True, text=True,
+                             timeout=QFT_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        return None
+    if out.returncode != 0:
+        return None
+    for line in out.stdout.splitlines():
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "qft_ms" in rec:
+            return rec
+    return None
 
 
 def probe():
@@ -113,7 +186,10 @@ def probe():
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=None)
+    parser.add_argument("--qft", action="store_true")
     args = parser.parse_args()
+    if args.qft:
+        return run_qft()
     if args.size is not None:
         return run_single(args.size)
 
@@ -124,13 +200,17 @@ def main():
                           "error": "no size completed within budget"}))
         return 1
     ideal = HBM_BYTES_PER_SEC / (16.0 * (1 << n_used))
-    print(json.dumps({
+    record = {
         "metric": (f"1q-gate throughput, {n_used}-qubit statevector "
                    "(complex64)"),
         "value": round(gates_per_sec, 2),
         "unit": "gates/s",
         "vs_baseline": round(gates_per_sec / ideal, 3),
-    }))
+    }
+    qft = probe_qft()  # second workload: mixed-gate QFT wall-clock
+    if qft is not None:
+        record["qft_n20_ms"] = qft["qft_ms"]
+    print(json.dumps(record))
     return 0
 
 

@@ -27,6 +27,7 @@ from ..ops import statevec as sv
 from .ir import CircuitIR, GateOp, ParamRef
 from .passes import (DiagBlock, FusedBlock, PallasBlock, fuse_diagonals,
                      fuse_pallas_runs, plan_fusion)
+from ..utils.cache import BoundedCache
 
 # Named gates that carry implicit control structure when emitted via the
 # convenience circuit methods.
@@ -151,22 +152,54 @@ def _pallas_enabled() -> bool:
         return False
 
 
-def _apply_pallas_block(state: jnp.ndarray, block: PallasBlock,
-                        params, interpret: bool = False) -> jnp.ndarray:
-    """Run a 1q-gate run through the fused Pallas kernel (one HBM pass)."""
-    from ..ops.pallas_sv import apply_fused_1q_layer
+# 1q gates whose matrices are purely real (a static, trace-time fact used
+# to drop the imaginary-coefficient FMAs in the VPU-bound Pallas kernel)
+_REAL_1Q = {"X", "H", "RY", "Z", "I", "ID"}
+
+
+def _has_real_matrix(op: GateOp) -> bool:
+    if op.matrix is not None:
+        return bool(np.allclose(np.imag(np.asarray(op.matrix)), 0.0))
+    return op.name.upper() in _REAL_1Q
+
+
+def _apply_pallas_block_pair(re: jnp.ndarray, im: jnp.ndarray,
+                             block: PallasBlock, params,
+                             interpret: bool = False):
+    """Pair-native core: run a 1q-gate run through the fused Pallas kernel
+    on a (re, im) float32 state. In-window runs cost ONE HBM pass; runs
+    touching higher qubits are scheduled as kernel passes + index-bit
+    rotations (ops/relabel.py)."""
+    from ..ops.pallas_sv import apply_fused_1q_layer, max_kernel_qubit
+    from ..ops.relabel import execute_plan, plan_full_1q_layer
 
     mats = []
     qubits = []
+    real_flags = []
     for op in block.ops:
         m = _base_matrix(op, params)
         mats.append(jnp.stack([jnp.real(m), jnp.imag(m)], axis=-1)
                     .astype(jnp.float32))
         qubits.append(op.targets[0])
+        real_flags.append(_has_real_matrix(op))
     gm = jnp.stack(mats)
+    n = re.shape[-1].bit_length() - 1
+    limit = max_kernel_qubit(n) + 1
+    if max(qubits) < limit:
+        return apply_fused_1q_layer(re, im, qubits, gm,
+                                    real_flags=real_flags,
+                                    interpret=interpret)
+    plan = plan_full_1q_layer(n, qubits, limit, pair_ok=n > limit)
+    return execute_plan(re, im, plan, gm, n, real_flags=real_flags,
+                        interpret=interpret)
+
+
+def _apply_pallas_block(state: jnp.ndarray, block: PallasBlock,
+                        params, interpret: bool = False) -> jnp.ndarray:
     re = jnp.real(state).astype(jnp.float32)
     im = jnp.imag(state).astype(jnp.float32)
-    re, im = apply_fused_1q_layer(re, im, qubits, gm, interpret=interpret)
+    re, im = _apply_pallas_block_pair(re, im, block, params,
+                                      interpret=interpret)
     return (re + 1j * im).astype(state.dtype)
 
 
@@ -308,7 +341,8 @@ def execute(state: jnp.ndarray, ops: Sequence, params: Optional[jnp.ndarray] = N
         # need >= 8-row tiles (sublane-aligned; smaller shapes unvalidated
         # on hardware) and enough state for the conversion passes to pay off
         if n >= COL_QUBITS + 3:
-            items = fuse_pallas_runs(items, max_kernel_qubit(n))
+            items = fuse_pallas_runs(items, n - 1, num_qubits=n,
+                                     relabel_reach=max_kernel_qubit(n) + 1)
     plan = plan_fusion(items, max_fuse=max_fuse) if fuse else items
     if low_width:
         from .passes import consolidate_low
@@ -335,11 +369,67 @@ def execute(state: jnp.ndarray, ops: Sequence, params: Optional[jnp.ndarray] = N
     return state
 
 
+def init_pair(n: int):
+    """|0...0> as a (re, im) float32 pair — HALF the working-set of the
+    complex64 + conversion path, which is what lets n=30 (8 GiB of state)
+    fit one 16 GiB v5e chip."""
+    re = jnp.zeros((1 << n,), jnp.float32).at[0].set(1.0)
+    im = jnp.zeros((1 << n,), jnp.float32)
+    return re, im
+
+
+def execute_pair(re: jnp.ndarray, im: jnp.ndarray, ops: Sequence,
+                 params: Optional[jnp.ndarray] = None,
+                 fuse: bool = True, max_fuse: int = 2,
+                 low_width: int = 0, high_width: int = 0,
+                 use_pallas: Optional[bool] = None):
+    """``execute`` on a float-pair state: PallasBlocks run pair-native
+    (no complex materialization — with the kernels' in/out aliasing the
+    whole pass is in-place in HBM); other items convert locally.
+
+    For circuits that fuse entirely into PallasBlocks (1q layers), peak HBM
+    is one state; the complex-carry path peaks at 2x at the conversion
+    boundary, which is exactly the 258 MiB-over-budget OOM observed at
+    n=30 on a 16 GiB chip.
+    """
+    n = re.shape[-1].bit_length() - 1
+    items = fuse_diagonals(list(ops)) if fuse else list(ops)
+    if use_pallas is None:
+        use_pallas = fuse and _pallas_enabled()
+    if use_pallas:
+        from ..ops.pallas_sv import COL_QUBITS, max_kernel_qubit
+        if n >= COL_QUBITS + 3:
+            items = fuse_pallas_runs(items, n - 1, num_qubits=n,
+                                     relabel_reach=max_kernel_qubit(n) + 1)
+    plan = plan_fusion(items, max_fuse=max_fuse) if fuse else items
+    if low_width:
+        from .passes import consolidate_low
+        plan = consolidate_low(plan, low_width)
+    if high_width:
+        from .passes import consolidate_high
+        plan = consolidate_high(plan, high_width, n)
+    for item in plan:
+        if isinstance(item, PallasBlock):
+            re, im = _apply_pallas_block_pair(re, im, item, params)
+            continue
+        state = (re + 1j * im).astype(config.complex_dtype())
+        if isinstance(item, DiagBlock):
+            state = _apply_diag_block(state, item, params)
+        elif isinstance(item, FusedBlock):
+            mat = _fused_matrix(item, params)
+            state = sv.apply_matrix(state, mat, list(item.qubits))
+        else:
+            state = apply_op(state, item, params)
+        re = jnp.real(state).astype(jnp.float32)
+        im = jnp.imag(state).astype(jnp.float32)
+    return re, im
+
+
 # ---------------------------------------------------------------------------
 # Executable cache
 # ---------------------------------------------------------------------------
 
-_EXEC_CACHE: dict = {}
+_EXEC_CACHE = BoundedCache()
 
 # Matmul-consolidation width caps. Measured on v5e (n=24 RY layer): widths
 # of 9 keep the 2^w-wide matmuls memory-bound (14x over the per-gate einsum
@@ -380,24 +470,31 @@ def parametrize(ops: Sequence[GateOp]):
 
 def compile_ir(ir: CircuitIR, fuse: bool = True, max_fuse: int = 2,
                donate: bool = True, sharding=None, low_width: Optional[int] = None,
-               high_width: Optional[int] = None):
+               high_width: Optional[int] = None, batched: bool = False,
+               batch_sharding=None):
     """Return a jitted ``f(state, params) -> state`` for this IR, cached by
     structural key. With ``sharding`` (a NamedSharding over the amplitude
     axis), the program runs SPMD over the mesh: XLA inserts the ICI
     collectives for gates touching device-selecting qubits (the reference's
-    hand-rolled rcclAlltoallv path, MULTI_GPU_GUIDE.md:44-51)."""
+    hand-rolled rcclAlltoallv path, MULTI_GPU_GUIDE.md:44-51).
+
+    ``batched=True`` vmaps the circuit over a leading batch axis — the
+    reference's ``batchSize`` threading (hipStateVec.h:61) — and composes
+    with sharding: per-op constraints pin the amplitude axis inside the
+    vmap while ``batch_sharding`` (e.g. P('dp', 'sv') over a 2-D mesh) pins
+    the (batch, 2^n) array at the boundary."""
     if low_width is None or high_width is None:
         dlw, dhw = default_widths(ir.num_qubits, sharded=sharding is not None)
         low_width = dlw if low_width is None else low_width
         high_width = dhw if high_width is None else high_width
     key = (ir.structural_key(), fuse, max_fuse, donate, sharding, low_width,
-           high_width, config.get_precision())
+           high_width, batched, batch_sharding, config.get_precision())
     cached = _EXEC_CACHE.get(key)
     if cached is not None:
         return cached
     ops = list(ir.ops)
 
-    def run(state, params):
+    def run_one(state, params):
         out = execute(state, ops, params, fuse=fuse, max_fuse=max_fuse,
                       low_width=low_width, high_width=high_width,
                       sharding=sharding)
@@ -405,9 +502,19 @@ def compile_ir(ir: CircuitIR, fuse: bool = True, max_fuse: int = 2,
             out = jax.lax.with_sharding_constraint(out, sharding)
         return out
 
-    if sharding is not None:
-        fn = jax.jit(run, in_shardings=(sharding, None),
-                     out_shardings=sharding,
+    if batched:
+        def run(state, params):
+            out = jax.vmap(lambda s: run_one(s, params))(state)
+            if batch_sharding is not None:
+                out = jax.lax.with_sharding_constraint(out, batch_sharding)
+            return out
+    else:
+        run = run_one
+
+    io_sharding = batch_sharding if batched else sharding
+    if io_sharding is not None:
+        fn = jax.jit(run, in_shardings=(io_sharding, None),
+                     out_shardings=io_sharding,
                      donate_argnums=(0,) if donate else ())
     else:
         fn = jax.jit(run, donate_argnums=(0,) if donate else ())

@@ -66,11 +66,20 @@ class PallasBlock:
 
 
 def fuse_pallas_runs(items: List[object], max_qubit: int,
-                     min_gates: int = 6) -> List[object]:
+                     min_gates: int = 6, num_qubits: int = None,
+                     relabel_reach: int = None) -> List[object]:
     """Collect runs of uncontrolled 1q gates on qubits <= max_qubit into
     PallasBlocks (runs shorter than ``min_gates`` aren't worth the
     float-pair conversion passes). Disjoint items commute past an open
-    run."""
+    run.
+
+    With ``relabel_reach`` set (the kernel's in-tile window, see
+    ops/relabel.py), gates ABOVE the window are accepted too and scheduled
+    via index-bit rotations — but only when the resulting plan beats leaving
+    the high gates to the matmul-consolidation paths; otherwise the run is
+    split back into an in-window PallasBlock plus raw high-qubit ops (1q
+    gates on distinct qubits commute, so the split preserves semantics).
+    """
     out: List[object] = []
     block: PallasBlock = None
 
@@ -85,11 +94,36 @@ def fuse_pallas_runs(items: List[object], max_qubit: int,
                 and item.name not in ("SWAP_BITS", "SWAP")
                 and item.targets[0] <= max_qubit)
 
+    def emit_run(ops):
+        if relabel_reach is None:
+            out.append(PallasBlock(ops=ops))
+            return
+        high = [op for op in ops if op.targets[0] >= relabel_reach]
+        if not high:
+            out.append(PallasBlock(ops=ops))
+            return
+        from ..ops.relabel import plan_full_1q_layer
+        plan = plan_full_1q_layer(num_qubits, [op.targets[0] for op in ops],
+                                  relabel_reach,
+                                  pair_ok=num_qubits > relabel_reach)
+        n_items = len(plan)
+        # old-path cost for the same run: one fused pass for the in-window
+        # gates plus roughly one pass per out-of-window gate
+        if n_items <= 1 + len(high) and n_items < len(ops):
+            out.append(PallasBlock(ops=ops))
+        else:
+            low = [op for op in ops if op.targets[0] < relabel_reach]
+            if len(low) >= min_gates:
+                out.append(PallasBlock(ops=low))
+            else:
+                out.extend(low)
+            out.extend(high)
+
     def flush():
         nonlocal block
         if block is not None:
             if len(block.ops) >= min_gates:
-                out.append(block)
+                emit_run(block.ops)
             else:
                 out.extend(block.ops)
             block = None

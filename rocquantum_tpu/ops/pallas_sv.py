@@ -45,59 +45,138 @@ def max_kernel_qubit(n: int) -> int:
     return col + tile - 1
 
 
-def _kernel(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
-            qubits: Tuple[int, ...], col_qubits: int, tile_rows: int):
-    """Roll+mask pairing: Mosaic rejects reshapes that split the lane
-    register ("unsupported shape cast" for inner dims < 128), so the
-    amplitude partner at index distance 2^q is fetched with a cyclic roll
-    and blended with a parity mask — uniform for column- and row-space
-    qubits, all pure VPU work."""
+def _gate_step(re, im, p_re, p_im, is_one, coeffs, real_mat=False):
+    """One 1q-gate update given the partner amplitudes and the own-bit mask.
+
+    bit=0 elements: y = a*x + b*partner ; bit=1: y = c*partner + d*x
+    (complex arithmetic on float pairs). ``real_mat`` (a static, trace-time
+    fact about the gate NAME — RY/H/X/Z have real matrices) drops the
+    imaginary-coefficient terms: 6 FMAs instead of 14 on the kernel's
+    VPU-bound hot path."""
+    (a_re, a_im), (b_re, b_im), (c_re, c_im), (d_re, d_im) = coeffs
+    e_re = jnp.where(is_one, d_re, a_re)
+    f_re = jnp.where(is_one, c_re, b_re)
+    if real_mat:
+        new_re = e_re * re + f_re * p_re
+        new_im = e_re * im + f_re * p_im
+        return new_re, new_im
+    e_im = jnp.where(is_one, d_im, a_im)
+    f_im = jnp.where(is_one, c_im, b_im)
+    new_re = e_re * re - e_im * im + f_re * p_re - f_im * p_im
+    new_im = e_re * im + e_im * re + f_re * p_im + f_im * p_re
+    return new_re, new_im
+
+
+def _roll_gate(re, im, q, is_one_cache, coeffs, col_qubits, tile_rows,
+               real_mat=False):
+    """Apply a 1q gate on an in-tile qubit via roll+mask pairing: Mosaic
+    rejects reshapes that split the lane register ("unsupported shape cast"
+    for inner dims < 128), so the amplitude partner at index distance 2^q is
+    fetched with a cyclic roll and blended with a parity mask — uniform for
+    column- and row-space qubits, all pure VPU work."""
     C = 1 << col_qubits
-    re = re_ref[...]
-    im = im_ref[...]
+    if q < col_qubits:
+        axis, dist, size = 1, 1 << q, C
+    else:
+        axis, dist, size = 0, 1 << (q - col_qubits), tile_rows
+    is_one = is_one_cache(q)
+    # partner of a bit=0 element sits +dist ahead; of a bit=1, -dist
+    # (pltpu.roll requires non-negative shifts; -d == size-d cyclically)
+    fwd_re = pltpu.roll(re, size - dist, axis)   # element at i+dist
+    bwd_re = pltpu.roll(re, dist, axis)          # element at i-dist
+    fwd_im = pltpu.roll(im, size - dist, axis)
+    bwd_im = pltpu.roll(im, dist, axis)
+    p_re = jnp.where(is_one, bwd_re, fwd_re)
+    p_im = jnp.where(is_one, bwd_im, fwd_im)
+    return _gate_step(re, im, p_re, p_im, is_one, coeffs,
+                      real_mat=real_mat)
+
+
+def _mask_factory(col_qubits: int, tile_rows: int):
+    C = 1 << col_qubits
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, C), 1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, C), 0)
-    for k, q in enumerate(qubits):
-        a_re, a_im = gm_ref[k, 0, 0, 0], gm_ref[k, 0, 0, 1]
-        b_re, b_im = gm_ref[k, 0, 1, 0], gm_ref[k, 0, 1, 1]
-        c_re, c_im = gm_ref[k, 1, 0, 0], gm_ref[k, 1, 0, 1]
-        d_re, d_im = gm_ref[k, 1, 1, 0], gm_ref[k, 1, 1, 1]
+
+    def is_one(q):
         if q < col_qubits:
-            axis, dist, ids, bit = 1, 1 << q, col_ids, q
-        else:
-            axis, dist, ids, bit = 0, 1 << (q - col_qubits), row_ids, \
-                q - col_qubits
-        is_one = ((ids >> bit) & 1) == 1
-        size = C if axis == 1 else tile_rows
-        # partner of a bit=0 element sits +dist ahead; of a bit=1, -dist
-        # (pltpu.roll requires non-negative shifts; -d == size-d cyclically)
-        fwd_re = pltpu.roll(re, size - dist, axis)   # element at i+dist
-        bwd_re = pltpu.roll(re, dist, axis)          # element at i-dist
-        fwd_im = pltpu.roll(im, size - dist, axis)
-        bwd_im = pltpu.roll(im, dist, axis)
-        p_re = jnp.where(is_one, bwd_re, fwd_re)
-        p_im = jnp.where(is_one, bwd_im, fwd_im)
-        # bit=0: y = a*x + b*p ; bit=1: y = c*p + d*x  (complex arithmetic)
-        e_re = jnp.where(is_one, d_re, a_re)
-        e_im = jnp.where(is_one, d_im, a_im)
-        f_re = jnp.where(is_one, c_re, b_re)
-        f_im = jnp.where(is_one, c_im, b_im)
-        new_re = e_re * re - e_im * im + f_re * p_re - f_im * p_im
-        new_im = e_re * im + e_im * re + f_re * p_im + f_im * p_re
-        re, im = new_re, new_im
+            return ((col_ids >> q) & 1) == 1
+        return ((row_ids >> (q - col_qubits)) & 1) == 1
+
+    return is_one
+
+
+def _coeffs(gm_ref, k):
+    return (((gm_ref[k, 0, 0, 0]), (gm_ref[k, 0, 0, 1])),
+            ((gm_ref[k, 0, 1, 0]), (gm_ref[k, 0, 1, 1])),
+            ((gm_ref[k, 1, 0, 0]), (gm_ref[k, 1, 0, 1])),
+            ((gm_ref[k, 1, 1, 0]), (gm_ref[k, 1, 1, 1])))
+
+
+def _kernel(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
+            qubits: Tuple[int, ...], real_flags: Tuple[bool, ...],
+            col_qubits: int, tile_rows: int):
+    re = re_ref[...]
+    im = im_ref[...]
+    is_one = _mask_factory(col_qubits, tile_rows)
+    for k, q in enumerate(qubits):
+        re, im = _roll_gate(re, im, q, is_one, _coeffs(gm_ref, k),
+                            col_qubits, tile_rows, real_mat=real_flags[k])
     out_re_ref[...] = re
     out_im_ref[...] = im
+
+
+def _kernel_paired(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
+                   qubits: Tuple[int, ...], real_flags: Tuple[bool, ...],
+                   pair_bit: int, col_qubits: int, tile_rows: int):
+    """Fused 1q layer over a PAIRED block: the refs are (1, 2, 1, T, C)
+    slices of a 5-D state view whose axis 1 is index bit ``pair_bit``. Gates
+    on in-tile qubits roll within each half; the gate on ``pair_bit`` is an
+    elementwise cross-half combine (the two partner amplitudes live in the
+    same block) — extending the kernel's reach by one arbitrary high qubit
+    without extra HBM traffic."""
+    re0, im0 = re_ref[0, 0, 0], im_ref[0, 0, 0]
+    re1, im1 = re_ref[0, 1, 0], im_ref[0, 1, 0]
+    is_one = _mask_factory(col_qubits, tile_rows)
+    for k, q in enumerate(qubits):
+        cs = _coeffs(gm_ref, k)
+        if q == pair_bit:
+            # x0 (bit=0) partner is x1 and vice versa; masks are constants
+            (a_re, a_im), (b_re, b_im), (c_re, c_im), (d_re, d_im) = cs
+            if real_flags[k]:
+                n0_re = a_re * re0 + b_re * re1
+                n0_im = a_re * im0 + b_re * im1
+                n1_re = c_re * re0 + d_re * re1
+                n1_im = c_re * im0 + d_re * im1
+            else:
+                n0_re = a_re * re0 - a_im * im0 + b_re * re1 - b_im * im1
+                n0_im = a_re * im0 + a_im * re0 + b_re * im1 + b_im * re1
+                n1_re = c_re * re0 - c_im * im0 + d_re * re1 - d_im * im1
+                n1_im = c_re * im0 + c_im * re0 + d_re * im1 + d_im * re1
+            re0, im0, re1, im1 = n0_re, n0_im, n1_re, n1_im
+        else:
+            re0, im0 = _roll_gate(re0, im0, q, is_one, cs, col_qubits,
+                                  tile_rows, real_mat=real_flags[k])
+            re1, im1 = _roll_gate(re1, im1, q, is_one, cs, col_qubits,
+                                  tile_rows, real_mat=real_flags[k])
+    out_re_ref[0, 0, 0] = re0
+    out_im_ref[0, 0, 0] = im0
+    out_re_ref[0, 1, 0] = re1
+    out_im_ref[0, 1, 0] = im1
 
 
 def apply_fused_1q_layer(re: jnp.ndarray, im: jnp.ndarray,
                          qubits: Sequence[int],
                          gate_mats: jnp.ndarray,
+                         pair_bit: int = None,
+                         real_flags: Sequence[bool] = None,
                          interpret: bool = False):
     """Apply 1q gates (gate k on ``qubits[k]``) to the float-pair state in
     one pass.
 
     gate_mats: float32 (K, 2, 2, 2) — [k, row, col, re/im].
-    All qubits must satisfy q <= max_kernel_qubit(n).
+    All qubits must satisfy q <= max_kernel_qubit(n), except that one extra
+    high qubit equal to ``pair_bit`` (any index bit above the tile region)
+    is reachable via block pairing (_kernel_paired).
     """
     n = (re.size).bit_length() - 1
     col = min(COL_QUBITS, n)
@@ -105,30 +184,81 @@ def apply_fused_1q_layer(re: jnp.ndarray, im: jnp.ndarray,
     tile_rows = 1 << tile_log2
     limit = col + tile_log2
     qubits = tuple(int(q) for q in qubits)
-    if any(q >= limit for q in qubits):
-        raise ValueError(f"kernel handles qubits < {limit}, got {qubits}")
+    real_flags = tuple(bool(f) for f in real_flags) if real_flags is not None \
+        else (False,) * len(qubits)
+    if len(real_flags) != len(qubits):
+        raise ValueError("real_flags length must match qubits")
+    in_tile = [q for q in qubits if q != pair_bit]
+    if any(q >= limit for q in in_tile):
+        raise ValueError(f"kernel handles qubits < {limit} (or == pair_bit "
+                         f"{pair_bit}), got {qubits}")
     C = 1 << col
     R = 1 << (n - col)
-    re2 = re.reshape(R, C)
-    im2 = im.reshape(R, C)
-
     tile_rows = min(tile_rows, R)
-    grid = (max(R // tile_rows, 1),)
-    kernel = functools.partial(_kernel, qubits=qubits, col_qubits=col,
+
+    gspec = pl.BlockSpec((len(qubits), 2, 2, 2),
+                         lambda *idx: (0,) * 4, memory_space=pltpu.VMEM)
+
+    if pair_bit is None or all(q != pair_bit for q in qubits):
+        re2 = re.reshape(R, C)
+        im2 = im.reshape(R, C)
+        grid = (max(R // tile_rows, 1),)
+        kernel = functools.partial(_kernel, qubits=qubits,
+                                   real_flags=real_flags, col_qubits=col,
+                                   tile_rows=tile_rows)
+        block = pl.BlockSpec((tile_rows, C), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        out_re, out_im = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[gspec, block, block],
+            out_specs=(block, block),
+            out_shape=(jax.ShapeDtypeStruct((R, C), jnp.float32),
+                       jax.ShapeDtypeStruct((R, C), jnp.float32)),
+            # identity block maps -> in-place is safe; halves peak HBM
+            input_output_aliases={1: 0, 2: 1},
+            interpret=interpret,
+        )(gate_mats, re2, im2)
+        return out_re.reshape(re.shape), out_im.reshape(im.shape)
+
+    pair_bit = int(pair_bit)
+    if not (limit <= pair_bit < n):
+        raise ValueError(f"pair_bit {pair_bit} must be a block bit in "
+                         f"[{limit}, {n})")
+    # 5-D view exposing pair_bit as its own axis: (A, 2, B, T, C) where
+    # B covers bits [col+tile, pair_bit) and A bits (pair_bit, n).
+    t_log2 = tile_rows.bit_length() - 1
+    B = 1 << (pair_bit - col - t_log2)
+    A = 1 << (n - 1 - pair_bit)
+    shape5 = (A, 2, B, tile_rows, C)
+    re5 = re.reshape(shape5)
+    im5 = im.reshape(shape5)
+    grid = (A, B)
+    kernel = functools.partial(_kernel_paired, qubits=qubits,
+                               real_flags=real_flags,
+                               pair_bit=pair_bit, col_qubits=col,
                                tile_rows=tile_rows)
-    block = pl.BlockSpec((tile_rows, C), lambda i: (i, 0),
+    block = pl.BlockSpec((1, 2, 1, tile_rows, C),
+                         lambda a, b: (a, 0, b, 0, 0),
                          memory_space=pltpu.VMEM)
-    gspec = pl.BlockSpec((len(qubits), 2, 2, 2), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
+    # the paired blocks are 2x the unpaired ones; the default scoped-vmem
+    # limit (16 MiB) falls ~1.6 MiB short of the double-buffered in/out set,
+    # so raise it (fine: v5e physical VMEM is 128 MiB)
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024)
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[gspec, block, block],
         out_specs=(block, block),
-        out_shape=(jax.ShapeDtypeStruct((R, C), jnp.float32),
-                   jax.ShapeDtypeStruct((R, C), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct(shape5, jnp.float32),
+                   jax.ShapeDtypeStruct(shape5, jnp.float32)),
+        input_output_aliases={1: 0, 2: 1},
         interpret=interpret,
-    )(gate_mats, re2, im2)
+        **params,
+    )(gate_mats, re5, im5)
     return out_re.reshape(re.shape), out_im.reshape(im.shape)
 
 

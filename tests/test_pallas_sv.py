@@ -80,3 +80,98 @@ def test_rejects_out_of_range_qubit():
         apply_fused_1q_layer(re, im, [max_kernel_qubit(n) + 1],
                              jnp.zeros((1, 2, 2, 2), jnp.float32),
                              interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# Pair-bit + relabel scheduling (full-qubit-range coverage)
+# ---------------------------------------------------------------------------
+
+from rocquantum_tpu.ops.relabel import (KernelPass, Rotation,  # noqa: E402
+                                        execute_plan, plan_full_1q_layer,
+                                        rotate_bits_down)
+
+
+def test_pair_bit_matches_einsum():
+    # in-tile qubits + one block bit reached via pairing (n=18: col=12,
+    # tile=5 -> limit=17 < n, so bit 17 is a block bit)
+    n = 18
+    state = rand_state(n, 11)
+    limit = max_kernel_qubit(n) + 1
+    assert limit < n
+    qubits = [0, 5, 13, limit]
+    rng = np.random.default_rng(3)
+    mats = [np.asarray(g.H), np.asarray(g.S), np.asarray(g.T),
+            np.asarray(g.Y)]
+    expected = reference_apply(state, qubits, mats)
+    re = jnp.real(jnp.asarray(state))
+    im = jnp.imag(jnp.asarray(state))
+    re, im = apply_fused_1q_layer(re, im, qubits,
+                                  jnp.asarray(pack_gate_mats(mats)),
+                                  pair_bit=limit, interpret=True)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_rotate_bits_down_roundtrip():
+    n = 10
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=1 << n).astype(np.float32))
+    # rotating down by s then by size-s restores the array
+    y = rotate_bits_down(x, n, 2)
+    z = rotate_bits_down(y, n, (n - 7) - 2)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(x))
+    # semantic check: bit at position 7+2 moves to position 7
+    # index with only bit 9 set maps to index with only bit 7 set
+    e = jnp.zeros((1 << n,), jnp.float32).at[1 << 9].set(1.0)
+    r = rotate_bits_down(e, n, 2)
+    assert float(r[1 << 7]) == 1.0
+
+
+def test_plan_full_layer_covers_everything_and_restores():
+    n = 29
+    reach = 17
+    qubits = list(range(n))
+    plan = plan_full_1q_layer(n, qubits, reach)
+    covered = []
+    rot = 0
+    size = n - 7
+    for item in plan:
+        if isinstance(item, Rotation):
+            rot = (rot + item.shift) % size
+        else:
+            covered.extend(item.gate_idx)
+    assert sorted(covered) == list(range(n))
+    assert rot == 0  # identity restored
+    k_passes = [p for p in plan if isinstance(p, KernelPass)]
+    rots = [p for p in plan if isinstance(p, Rotation)]
+    # full 29-qubit layer: 2 kernel passes + 2 rotations
+    assert len(k_passes) == 2 and len(rots) == 2
+
+
+@pytest.mark.parametrize("n,qubits", [
+    (17, list(range(17))),
+    (18, list(range(18))),
+    (19, list(range(19))),
+    (20, [0, 3, 11, 14, 17, 18, 19]),
+    (21, list(range(21)) + [20, 19, 0]),  # repeated qubits keep order
+])
+def test_full_range_plan_matches_einsum(n, qubits):
+    rng = np.random.default_rng(n)
+    state = rand_state(n, n)
+    mats = []
+    for _ in qubits:
+        th = rng.normal()
+        mats.append(np.array(
+            [[np.cos(th / 2), -1j * np.sin(th / 2)],
+             [-1j * np.sin(th / 2), np.cos(th / 2)]], np.complex64))
+    expected = reference_apply(state, qubits, mats)
+    from rocquantum_tpu.ops.pallas_sv import COL_QUBITS, TILE_ROWS_LOG2
+    reach = min(COL_QUBITS, n) + min(TILE_ROWS_LOG2, n - min(COL_QUBITS, n))
+    plan = plan_full_1q_layer(n, qubits, reach, pair_ok=n > reach)
+    re = jnp.real(jnp.asarray(state))
+    im = jnp.imag(jnp.asarray(state))
+    re, im = execute_plan(re, im, plan,
+                          jnp.asarray(pack_gate_mats(mats)), n,
+                          interpret=True)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
