@@ -22,6 +22,7 @@ from .api import (  # noqa: F401
     adjoint,
     grad,
     adjoint_grad,
+    make_energy_fn,
     trace_kernel,
 )
 

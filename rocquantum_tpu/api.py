@@ -31,6 +31,7 @@ from . import config
 from .compiler import CircuitIR, GateOp, ParamRef, adjoint_ir, compile_ir, execute, parametrize
 from .compiler.qasm import to_qasm3
 from .ops import statevec as sv
+from .utils.cache import BoundedCache
 
 
 class Simulator:
@@ -211,7 +212,7 @@ class _GateMethods:
                       matrix=np.ascontiguousarray(matrix, dtype=np.complex128))
 
 
-_INIT_CACHE: dict = {}
+_INIT_CACHE = BoundedCache()
 
 # Long circuits compile as chained segments: dispatch between jitted calls
 # is ~30 us while one huge program can OOM-kill the XLA compiler (observed
@@ -239,10 +240,12 @@ class Circuit(_GateMethods):
         if multi_gpu and mesh is None:
             from .parallel.mesh import default_mesh
             mesh = default_mesh()
-        if mesh is not None and batch_size > 1:
-            raise NotImplementedError(
-                "batched + sharded circuits are not supported yet; use a "
-                "(dp, sv) mesh with the parallel module directly")
+        if mesh is not None:
+            from .parallel.mesh import SV_AXIS
+            if SV_AXIS not in mesh.axis_names:
+                raise ValueError(
+                    f"sharded circuits need an '{SV_AXIS}' mesh axis; got "
+                    f"{mesh.axis_names}")
         self.mesh = mesh
         self._fuse = fuse
         self._max_fuse = max_fuse
@@ -263,10 +266,22 @@ class Circuit(_GateMethods):
         from .parallel.sharded import state_sharding
         return state_sharding(self.mesh)
 
+    def _batch_sharding(self):
+        """(batch, 2^n) sharding: batch over 'dp' when the mesh has it,
+        replicated otherwise; amplitudes over 'sv' (the reference's batched
+        distributed state, rocsvAllocateDistributedState + batchSize)."""
+        if self.mesh is None or self.batch_size == 1:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .parallel.mesh import BATCH_AXIS, SV_AXIS
+        dp = BATCH_AXIS if BATCH_AXIS in self.mesh.axis_names else None
+        return NamedSharding(self.mesh, P(dp, SV_AXIS))
+
     def _init_fn(self):
         n, b = self.num_qubits, self.batch_size
         sharding = self._sharding()
-        key = (n, b, sharding, config.get_precision())
+        bsharding = self._batch_sharding()
+        key = (n, b, sharding, bsharding, config.get_precision())
         fn = _INIT_CACHE.get(key)
         if fn is None:
             if b == 1:
@@ -277,7 +292,13 @@ class Circuit(_GateMethods):
                     return state
                 fn = jax.jit(mk)
             else:
-                fn = jax.jit(lambda: jnp.tile(sv.init_state(n)[None, :], (b, 1)))
+                def mk_batched():
+                    state = jnp.tile(sv.init_state(n)[None, :], (b, 1))
+                    if bsharding is not None:
+                        state = jax.lax.with_sharding_constraint(state,
+                                                                 bsharding)
+                    return state
+                fn = jax.jit(mk_batched)
             _INIT_CACHE[key] = fn
         return fn
 
@@ -305,7 +326,9 @@ class Circuit(_GateMethods):
         from .compiler.sharded_schedule import unpermute_ops
         ops = unpermute_ops(self._layout)
         ir = CircuitIR(self.num_qubits, ops)
-        fn = compile_ir(ir, fuse=False, sharding=self._sharding())
+        fn = compile_ir(ir, fuse=False, sharding=self._sharding(),
+                        batched=self.batch_size > 1,
+                        batch_sharding=self._batch_sharding())
         self._state = fn(self._state,
                          jnp.zeros((0,), dtype=config.real_dtype()))
         self._layout = list(range(self.num_qubits))
@@ -345,11 +368,10 @@ class Circuit(_GateMethods):
             segment = ops[start:start + MAX_SEGMENT_OPS]
             ir = CircuitIR(self.num_qubits, segment)
             fn = compile_ir(ir, fuse=self._fuse, max_fuse=self._max_fuse,
-                            sharding=self._sharding())
-            if self.batch_size > 1:
-                state = jax.vmap(lambda s: fn(s, params))(state)
-            else:
-                state = fn(state, params)
+                            sharding=self._sharding(),
+                            batched=self.batch_size > 1,
+                            batch_sharding=self._batch_sharding())
+            state = fn(state, params)
         self._state = state
         self._gate_queue.clear()
         self._is_dirty = False
@@ -363,9 +385,21 @@ class Circuit(_GateMethods):
         examples/dynamic_circuit_example.py)."""
         self.flush()
         self._validate_qubit_index(qubit_to_measure)
-        if self.batch_size > 1:
-            raise NotImplementedError("measure is not supported for batch_size > 1.")
         phys = self._phys(qubit_to_measure)
+        if self.batch_size > 1:
+            # per-batch-element draw + collapse (batchSize threading through
+            # the measurement kernels, hipStateVec.h:61): returns
+            # (outcomes, probabilities) arrays of shape (batch,)
+            p1 = np.asarray(jax.jit(jax.vmap(
+                lambda s: sv.prob_one(s, phys)))(self.state))
+            draws = np.asarray(
+                [self.simulator.host_random() for _ in range(self.batch_size)])
+            outcomes = (draws < p1).astype(np.int32)
+            probs = np.where(outcomes == 1, p1, 1.0 - p1)
+            self._state = jax.jit(jax.vmap(
+                lambda s, o: sv.collapse_dyn(s, phys, o)))(
+                    self.state, jnp.asarray(outcomes))
+            return outcomes, probs
         p1 = float(sv.prob_one_jit(self.state, phys))
         outcome = 1 if self.simulator.host_random() < p1 else 0
         prob = p1 if outcome == 1 else 1.0 - p1
@@ -411,31 +445,33 @@ class Circuit(_GateMethods):
         hipStateVec.cpp:691). Complex cannot cross the device boundary on
         TPU, so the transfer is a (real, imag) pair."""
         self.flush()
-        if self.batch_size > 1:
-            raise NotImplementedError(
-                "get_statevector is not yet supported for batch_size > 1.")
         self._restore_identity_layout()
         re, im = sv.state_to_parts_jit(self.state)
+        # batch_size > 1 returns the (batch, 2^n) array, one row per element
         return np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
 
     def get_statevector_slice(self, start: int, size: int) -> np.ndarray:
         """Amplitudes [start, start+size) without full readback
         (rocsvGetStateVectorSlice analog)."""
         self.flush()
-        if self.batch_size > 1:
-            raise NotImplementedError(
-                "get_statevector_slice is not supported for batch_size > 1.")
         if start < 0 or size <= 0 or start + size > (1 << self.num_qubits):
             raise ValueError("slice out of range")
         self._restore_identity_layout()
-        re, im = sv.state_slice_parts_jit(self.state, start, size)
+        if self.batch_size > 1:
+            re, im = jax.jit(jax.vmap(
+                lambda s: sv.state_slice_parts(s, start, size)))(self.state)
+        else:
+            re, im = sv.state_slice_parts_jit(self.state, start, size)
         return np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
 
     def get_probabilities(self, qubits: Optional[List[int]] = None) -> np.ndarray:
         self.flush()
         qubits = list(qubits) if qubits is not None else list(range(self.num_qubits))
-        return np.asarray(sv.marginal_probs_jit(
-            self.state, qubits=tuple(self._phys(q) for q in qubits)))
+        phys = tuple(self._phys(q) for q in qubits)
+        if self.batch_size > 1:
+            return np.asarray(jax.jit(jax.vmap(
+                lambda s: sv.marginal_probs(s, phys)))(self.state))
+        return np.asarray(sv.marginal_probs_jit(self.state, qubits=phys))
 
     def expval(self, pauli_operator: "PauliOperator") -> float:
         """Expectation of a PauliOperator on the current state — computed on
@@ -684,7 +720,7 @@ def _expval_terms_traced(state: jnp.ndarray, terms_key, coeffs) -> jnp.ndarray:
     return total
 
 
-_EXPVAL_CACHE: dict = {}
+_EXPVAL_CACHE = BoundedCache()
 
 
 def expval_on_state(state: jnp.ndarray, terms) -> float:
@@ -787,25 +823,54 @@ def grad(kernel_func: Callable, num_qubits: int, simulator: Simulator,
 # Adjoint (reverse-mode) differentiation — the fast path
 # ---------------------------------------------------------------------------
 
-_ADJ_CACHE: dict = {}
+_ADJ_CACHE = BoundedCache()
 
 
 def make_energy_fn(kernel_func: Callable, num_qubits: int,
-                   hamiltonian: PauliOperator, num_params: int):
-    """One jitted ``energy(params) -> float`` for a kernel + Hamiltonian:
-    trace the kernel with traced parameter values, simulate, sum term
-    expectations. ``jax.grad`` of this is true adjoint differentiation —
-    one forward+reverse sweep instead of 2P circuit executions."""
+                   hamiltonian: PauliOperator, num_params: int,
+                   reversible: Optional[bool] = None):
+    """One jitted ``energy(params) -> float`` for a kernel + Hamiltonian.
+
+    ``jax.grad`` of the result is true adjoint differentiation — one
+    forward+reverse sweep instead of 2P circuit executions.
+
+    ``reversible`` (default: auto) selects the O(1)-memory backward sweep
+    (autodiff.make_reversible_execute): intermediates are RECONSTRUCTED by
+    inverse gates instead of stored, so memory stays 2 statevectors
+    regardless of depth — the regime plain AD cannot reach (its residuals
+    are O(depth * 2^n)). Auto falls back to plain AD only when the kernel
+    body cannot be traced with symbolic ParamRef arguments (e.g. it does
+    host arithmetic on the parameters).
+    """
 
     terms_key = tuple(tuple(ops) for ops, _ in hamiltonian.terms)
     coeffs = np.asarray([c for _, c in hamiltonian.terms], dtype=float)
+    func = getattr(kernel_func, "__wrapped__", kernel_func)
+
+    if reversible is None or reversible:
+        try:
+            rec = _Recorder(num_qubits)
+            func(rec, *[ParamRef(i) for i in range(num_params)])
+            from .autodiff import make_reversible_execute
+            run = make_reversible_execute(rec.ops)
+
+            def energy_rev(param_vec):
+                state = sv.init_state(num_qubits)
+                state = run(state, param_vec)
+                return _expval_terms_traced(
+                    state, terms_key,
+                    jnp.asarray(coeffs, config.real_dtype()))
+
+            return energy_rev
+        except Exception:
+            if reversible:
+                raise
 
     from .compiler.interpreter import default_widths
     low_w, high_w = default_widths(num_qubits)
 
     def energy(param_vec):
         rec = _Recorder(num_qubits)
-        func = getattr(kernel_func, "__wrapped__", kernel_func)
         func(rec, *[param_vec[i] for i in range(num_params)])
         state = sv.init_state(num_qubits)
         # use_pallas=False: this function is differentiated and pallas_call
@@ -827,7 +892,15 @@ def adjoint_grad(kernel_func: Callable, num_qubits: int, simulator: Simulator,
     (BASELINE.json north star: replaces parameter-shift's 2P executions)."""
     params = jnp.asarray(np.asarray(initial_params, dtype=float),
                          dtype=config.real_dtype())
-    key = (id(getattr(kernel_func, "__wrapped__", kernel_func)), num_qubits,
+    # Key on the kernel's traced circuit STRUCTURE, not id(func): id() is
+    # reused after GC, so a new kernel could silently hit a dead kernel's
+    # jitted program. Tracing with concrete host params is cheap (pure
+    # Python) and gives the exact structure energy() will re-trace.
+    rec = _Recorder(num_qubits)
+    func = getattr(kernel_func, "__wrapped__", kernel_func)
+    func(rec, *[float(p) for p in np.asarray(initial_params, dtype=float)])
+    ir_key = CircuitIR(num_qubits, rec.ops).structural_key()
+    key = (ir_key, num_qubits,
            repr(observable), params.shape[0], config.get_precision())
     fn = _ADJ_CACHE.get(key)
     if fn is None:

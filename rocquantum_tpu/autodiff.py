@@ -96,13 +96,14 @@ def reversible_energy_fn(kernel_func, num_qubits: int, hamiltonian,
     """Energy function whose gradient runs the O(1)-memory adjoint sweep
     (drop-in alternative to api.make_energy_fn)."""
     from .api import _Recorder, _expval_terms_traced
-    from .compiler.interpreter import parametrize
 
     rec = _Recorder(num_qubits)
     func = getattr(kernel_func, "__wrapped__", kernel_func)
     func(rec, *[ParamRef(i) for i in range(num_params)])
-    ops, _ = parametrize(rec.ops)
-    run = make_reversible_execute(ops)
+    # NB: concrete (fixed-angle) params stay concrete — re-parametrizing
+    # them would allocate ParamRef indices colliding with the kernel's own
+    # ParamRef(0..P-1) slots
+    run = make_reversible_execute(rec.ops)
     terms_key = tuple(tuple(t) for t, _ in hamiltonian.terms)
     coeffs = np.asarray([c for _, c in hamiltonian.terms], dtype=float)
 

@@ -19,8 +19,9 @@ import jax.numpy as jnp
 from . import config
 from .api import PauliOperator, Simulator, _GateMethods
 from .ops import density as dmops
+from .utils.cache import BoundedCache
 
-_DM_RUN_CACHE: dict = {}
+_DM_RUN_CACHE = BoundedCache()
 
 
 class DensityCircuit(_GateMethods):

@@ -18,10 +18,11 @@ import jax.numpy as jnp
 from .. import config
 from ..ops import density as dmops
 from ..ops import statevec as sv
+from ..utils.cache import BoundedCache
 
 _GATE_PARAM_ORDER = {"rx": ("theta",), "ry": ("theta",), "rz": ("phi",)}
 
-_RUN_CACHE: Dict = {}
+_RUN_CACHE = BoundedCache()
 
 
 def _canon_op(op_name: str, targets: Sequence[int], params: Optional[Dict]):

@@ -79,7 +79,9 @@ class RocQDevice(QubitDevice):
         return self.marginal_prob(all_probs, wires_to_trace)
 
     def generate_samples(self):
-        probs = self.analytic_probability()
+        probs = np.asarray(self.analytic_probability(), dtype=np.float64)
+        probs = np.maximum(probs, 0.0)
+        probs /= probs.sum()  # float32 statevector norms are only ~1e-7 exact
         n = len(self.wires)
         rng = np.random.default_rng()
         outcomes = rng.choice(len(probs), size=self.shots, p=probs)

@@ -350,6 +350,23 @@ def collapse(state: jnp.ndarray, qubit: int, outcome: int) -> jnp.ndarray:
     return out.reshape(state.shape)
 
 
+def collapse_dyn(state: jnp.ndarray, qubit: int,
+                 outcome: jnp.ndarray) -> jnp.ndarray:
+    """Collapse with a TRACED outcome (0/1) — the vmap-able form used for
+    per-batch-element measurement (the reference threads batchSize through
+    collapse_state_kernel, measurement_kernels.hip:37-61)."""
+    n = num_qubits_of(state)
+    st = state.reshape((1 << (n - 1 - qubit), 2, 1 << qubit))
+    outcome = jnp.asarray(outcome, jnp.int32)
+    keep = jax.lax.dynamic_index_in_dim(st, outcome, axis=1, keepdims=False)
+    norm = jnp.sqrt(jnp.sum(jnp.abs(keep) ** 2))
+    keep = keep / jnp.maximum(norm, jnp.asarray(config.eps(), norm.dtype)
+                              ).astype(state.dtype)
+    zero = jnp.zeros_like(st)
+    out = jax.lax.dynamic_update_index_in_dim(zero, keep, outcome, axis=1)
+    return out.reshape(state.shape)
+
+
 def marginal_probs(state: jnp.ndarray, qubits: Sequence[int]) -> jnp.ndarray:
     """Marginal probability vector over ``qubits``; outcome integer packs
     ``qubits[0]`` into bit 0 (sampling convention of rocsvSample,

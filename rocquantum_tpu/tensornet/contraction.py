@@ -13,9 +13,12 @@ Design differences, TPU-first:
     GEMM the reference hand-rolled (and schedules MXU tiling);
   * the whole plan traces into ONE jitted program per (network structure,
     config); no workspace bump allocator — XLA owns memory;
-  * slicing unrolls the slice loop in-trace, writing disjoint slabs of the
-    full result (the reference's accumulate-at-offset semantics,
-    AccumulationKernels.hip.cpp:8-33, as a pure stack+transpose).
+  * slicing runs as a lax.fori_loop whose body contracts ONE slab (inputs
+    dynamically sliced along the sliced labels) and writes it at its offset
+    in the preallocated output via dynamic_update_slice — the reference's
+    accumulate-at-offset semantics (AccumulationKernels.hip.cpp:8-33) with
+    peak temp memory bounded by one slab, and trace size independent of the
+    slice count.
 """
 
 from __future__ import annotations
@@ -133,16 +136,42 @@ class TensorNetwork:
         if cfg.memory_limit_bytes is None:
             cfg.memory_limit_bytes = self.memory_limit_bytes
 
+        jit_body, datas, out_labels_box, plan = self._build_runner(cfg)
+        result_data = jax.jit(jit_body)(*datas)
+        return Tensor(result_data, out_labels_box[0] if out_labels_box
+                      else self._traced_labels(plan))
+
+    def compiled_memory_stats(self,
+                              optimizer_config: Union[OptimizerConfig, dict,
+                                                      None] = None):
+        """AOT-compile the contraction and return XLA's memory analysis —
+        lets callers (and tests) assert that slicing actually bounds peak
+        temp memory (test_hipTensorNet_slicing.cpp checked values only)."""
+        if isinstance(optimizer_config, dict):
+            cfg = OptimizerConfig.from_dict(optimizer_config)
+        else:
+            cfg = optimizer_config or OptimizerConfig()
+        if cfg.memory_limit_bytes is None:
+            cfg.memory_limit_bytes = self.memory_limit_bytes
+        jit_body, datas, _, _ = self._build_runner(cfg)
+        return jax.jit(jit_body).lower(*datas).compile().memory_analysis()
+
+    def _build_runner(self, cfg: OptimizerConfig):
         plan = self._plan(cfg)
         self.last_plan = plan
         itemsize = np.dtype(config.complex_dtype()).itemsize
         limit_elems = (cfg.memory_limit_bytes // itemsize
                        if cfg.memory_limit_bytes else None)
+        min_slices = int(getattr(cfg, "num_slices", 0) or 0)
 
         tensors = list(self.tensors)
         datas = [t.data for t in tensors]
         labels = [t.labels for t in tensors]
         self.last_num_slices = 1
+        # num_slices (hipTensorNet_api.h:35) applies to the step with the
+        # largest output even when no memory limit forces slicing there
+        biggest = max(plan.steps, key=lambda s: s.out_size, default=None) \
+            if plan.steps else None
 
         def run(*arrays):
             cur = [Tensor(a, l) for a, l in zip(arrays, labels)]
@@ -151,9 +180,12 @@ class TensorNetwork:
                 rest = [t for k, t in enumerate(cur) if k not in (step.i, step.j)]
                 keep = {l for t in rest for l in t.labels}
                 out_elems = step.out_size
-                if limit_elems is not None and out_elems > limit_elems:
+                force = min_slices if (step is biggest
+                                       and min_slices > 1) else 1
+                if (limit_elems is not None and out_elems > limit_elems) \
+                        or force > 1:
                     result = self._sliced_pair(a, b, step.out_labels, keep,
-                                               limit_elems, cfg)
+                                               limit_elems, force)
                 else:
                     result = contract_pair(a, b, keep=keep)
                     # enforce planned output label set
@@ -175,9 +207,7 @@ class TensorNetwork:
             out_labels_box.append(out_labels)
             return data
 
-        result_data = jax.jit(jit_body)(*datas)
-        return Tensor(result_data, out_labels_box[0] if out_labels_box
-                      else self._traced_labels(plan))
+        return jit_body, datas, out_labels_box, plan
 
     def _traced_labels(self, plan):
         # labels are deterministic from the plan; recompute without tracing
@@ -188,59 +218,102 @@ class TensorNetwork:
         return cur[0]
 
     def _sliced_pair(self, a: Tensor, b: Tensor, out_labels, keep,
-                     limit_elems: int, cfg: OptimizerConfig) -> Tensor:
-        """Slice the largest free (output) index of a violating contraction
+                     limit_elems: Optional[int],
+                     min_slices: int = 1) -> Tensor:
+        """Slice the largest free (output) indices of a violating contraction
         and stitch partial results (selectSliceIndex hipTensorNet.cpp:398-448
-        + executeSlicedContraction :450-569)."""
+        + executeSlicedContraction :450-569).
+
+        Executed as ONE lax.fori_loop over slice combinations: each
+        iteration contracts one slab (inputs dynamically sliced) and writes
+        it at its offset in the preallocated output — peak temp memory is a
+        single slab, not num_slices of them, and the trace does not grow
+        with the slice count.
+        """
+        out_labels = list(out_labels)
         dims = {}
         dims.update({l: a.dim_of(l) for l in a.labels})
         dims.update({l: b.dim_of(l) for l in b.labels})
         out_elems = int(np.prod([dims[l] for l in out_labels], dtype=np.int64))
 
-        # choose slice labels (largest free index first) until the slab fits
+        def divisor_at_least(dim: int, need: int) -> int:
+            need = min(max(1, need), dim)
+            for c in range(need, dim + 1):
+                if dim % c == 0:
+                    return c
+            return dim
+
+        # choose (label, chunks) specs, largest free index first, until the
+        # slab fits the memory limit
         free_sorted = sorted(out_labels, key=lambda l: -dims[l])
-        slice_labels: List[str] = []
+        specs: List[Tuple[str, int]] = []
+        chunks_of: Dict[str, int] = {}
         slab = out_elems
-        for l in free_sorted:
-            if slab <= limit_elems:
-                break
-            slice_labels.append(l)
-            slab //= dims[l]
-        if slab > limit_elems:
-            raise MemoryError(
-                f"contraction output of {out_elems} elements cannot be "
-                f"sliced under the memory limit ({limit_elems} elements)")
+        if limit_elems is not None:
+            if limit_elems < 1:
+                raise MemoryError(
+                    f"memory limit below one element ({out_elems}-element "
+                    "output cannot fit)")
+            for l in free_sorted:
+                if slab <= limit_elems:
+                    break
+                c = divisor_at_least(dims[l], -(-slab // limit_elems))
+                specs.append((l, c))
+                chunks_of[l] = c
+                slab //= c
+            if slab > limit_elems:
+                raise MemoryError(
+                    f"contraction output of {out_elems} elements cannot be "
+                    f"sliced under the memory limit ({limit_elems} elements)")
+        # honor a user-requested minimum slice count (hipTensorNet_api.h:35)
+        total = int(np.prod([c for _, c in chunks_of.items()] or [1],
+                            dtype=np.int64))
+        if min_slices > 1:
+            for l in free_sorted:
+                if total >= min_slices:
+                    break
+                cur = chunks_of.get(l, 1)
+                want = cur * (-(-min_slices // total))
+                c = divisor_at_least(dims[l], min(want, dims[l]))
+                if c > cur:
+                    total = total // cur * c
+                    chunks_of[l] = c
+            specs = [(l, chunks_of[l]) for l in free_sorted if l in chunks_of]
+        if not specs:
+            return contract_pair(a, b, keep=keep)
 
-        def partial(fixed: Dict[str, int]) -> jnp.ndarray:
-            ad, al = a.data, list(a.labels)
-            bd, bl = b.data, list(b.labels)
-            for lab, v in fixed.items():
-                if lab in al:
-                    ax = al.index(lab)
-                    ad = jnp.take(ad, v, axis=ax)
-                    al.pop(ax)
-                if lab in bl:
-                    ax = bl.index(lab)
-                    bd = jnp.take(bd, v, axis=ax)
-                    bl.pop(ax)
-            sub_out = [l for l in out_labels if l not in fixed]
-            return _einsum_pair(ad, al, bd, bl, sub_out)
+        csize = {l: dims[l] // c for l, c in specs}
+        total = int(np.prod([c for _, c in specs], dtype=np.int64))
+        self.last_num_slices = max(self.last_num_slices, total)
 
-        # enumerate slice index combinations (unrolled at trace time)
-        combos = [{}]
-        for lab in slice_labels:
-            combos = [dict(c, **{lab: v}) for c in combos
-                      for v in range(dims[lab])]
-        self.last_num_slices = max(self.last_num_slices, len(combos))
-        # partial results share label order sub_out; stack along new leading
-        # axes (one per slice label) then move into output positions
-        sub_out = [l for l in out_labels if l not in set(slice_labels)]
-        parts = [partial(c) for c in combos]
-        stacked = jnp.stack(parts).reshape(
-            tuple(dims[l] for l in slice_labels) + parts[0].shape)
-        stacked_labels = list(slice_labels) + sub_out
-        perm = [stacked_labels.index(l) for l in out_labels]
-        return Tensor(jnp.transpose(stacked, perm), tuple(out_labels))
+        a_labels, b_labels = list(a.labels), list(b.labels)
+        out_shape = tuple(dims[l] for l in out_labels)
+        dtype = jnp.result_type(a.data.dtype, b.data.dtype)
+
+        def body(k, out):
+            # decode k -> chunk start per sliced label (row-major over specs)
+            rem = k
+            starts: Dict[str, jnp.ndarray] = {}
+            for l, c in reversed(specs):
+                starts[l] = (rem % c) * csize[l]
+                rem = rem // c
+            ad, bd = a.data, b.data
+            for l, _ in specs:
+                if l in a_labels:
+                    ad = jax.lax.dynamic_slice_in_dim(
+                        ad, starts[l], csize[l], axis=a_labels.index(l))
+                if l in b_labels:
+                    bd = jax.lax.dynamic_slice_in_dim(
+                        bd, starts[l], csize[l], axis=b_labels.index(l))
+            # sliced labels stay as (chunk-sized) output axes, so the slab
+            # has exactly the out_labels axis order
+            part = _einsum_pair(ad, a_labels, bd, b_labels, out_labels)
+            offs = tuple(starts.get(l, 0) for l in out_labels)
+            return jax.lax.dynamic_update_slice(out, part.astype(dtype), offs)
+
+        out = jax.lax.fori_loop(0, total, body,
+                                jnp.zeros(out_shape, dtype))
+        return Tensor(out, tuple(out_labels))
 
 
 def tensor_svd(tensor: Tensor, row_labels: Sequence[str],

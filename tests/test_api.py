@@ -313,8 +313,10 @@ class TestBatch:
         c.cx(0, 1)
         c.flush()
         assert c.state.shape == (3, 4)
-        with pytest.raises(NotImplementedError):
-            c.get_statevector()
+        states = c.get_statevector()  # one row per batch element
+        assert states.shape == (3, 4)
+        np.testing.assert_allclose(np.abs(states[:, 0]), 2**-0.5, atol=1e-6)
+        np.testing.assert_allclose(np.abs(states[:, 3]), 2**-0.5, atol=1e-6)
 
     def test_batched_expval(self, sim):
         c = rocq.Circuit(2, sim, batch_size=3)

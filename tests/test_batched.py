@@ -1,0 +1,128 @@
+"""Batched (DP) simulation: batched+sharded circuits and per-batch-element
+measurement/readback — the reference threads ``batchSize`` through every
+kernel including the distributed decls (hipStateVec.h:61,
+single_qubit_kernels.hip:35-51, rocsvAllocateDistributedState
+hipStateVec.h:92). VERDICT r1 items 2+3.
+
+Runs on the 8-virtual-device CPU mesh from conftest.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import rocquantum_tpu as rocq
+from rocquantum_tpu.parallel.mesh import make_mesh, make_mesh_2d
+
+
+def _bell_plus_ry(circ, theta):
+    circ.h(0)
+    circ.cx(0, 1)
+    circ.ry(theta, 2)
+
+
+class TestBatchedSharded:
+    def _reference_states(self, n, batch, theta):
+        sim = rocq.Simulator()
+        states = []
+        for _ in range(batch):
+            c = rocq.Circuit(n, sim)
+            _bell_plus_ry(c, theta)
+            states.append(c.get_statevector())
+        return np.stack(states)
+
+    @pytest.mark.parametrize("mesh_shape", [("1d", 4), ("2d", (2, 4))])
+    def test_batched_sharded_matches_single_device(self, mesh_shape):
+        n, batch, theta = 5, 4, 0.37
+        kind, shape = mesh_shape
+        mesh = make_mesh(shape) if kind == "1d" else make_mesh_2d(*shape)
+        sim = rocq.Simulator()
+        c = rocq.Circuit(n, sim, batch_size=batch, mesh=mesh)
+        _bell_plus_ry(c, theta)
+        got = c.get_statevector()
+        assert got.shape == (batch, 1 << n)
+        expected = self._reference_states(n, batch, theta)
+        np.testing.assert_allclose(got, expected, atol=1e-6)
+
+    def test_batched_sharded_gate_on_global_qubit(self):
+        # gates on device-selecting (top) qubits must still be exact
+        n, batch = 5, 2
+        mesh = make_mesh_2d(2, 4)
+        sim = rocq.Simulator()
+        c = rocq.Circuit(n, sim, batch_size=batch, mesh=mesh)
+        c.h(n - 1)
+        c.cx(n - 1, 0)
+        got = c.get_statevector()
+        ref = rocq.Circuit(n, rocq.Simulator())
+        ref.h(n - 1)
+        ref.cx(n - 1, 0)
+        expected = ref.get_statevector()
+        for b in range(batch):
+            np.testing.assert_allclose(got[b], expected, atol=1e-6)
+
+    def test_batched_sharded_expval_and_sample(self):
+        n, batch = 4, 4
+        mesh = make_mesh_2d(2, 4)
+        sim = rocq.Simulator(seed=3)
+        c = rocq.Circuit(n, sim, batch_size=batch, mesh=mesh)
+        c.h(0)
+        c.cx(0, 1)
+        ev = c.expval(rocq.PauliOperator({"Z0 Z1": 1.0}))
+        np.testing.assert_allclose(np.asarray(ev), np.ones(batch), atol=1e-6)
+        samples = c.sample([0, 1], 200)
+        assert samples.shape == (batch, 200)
+        assert set(np.unique(samples)) <= {0, 3}
+
+
+class TestBatchedMeasurement:
+    def test_batched_measure_collapses_each_element(self):
+        batch = 6
+        sim = rocq.Simulator(seed=11)
+        c = rocq.Circuit(1, sim, batch_size=batch)
+        for _ in range(1):
+            c.h(0)
+        outcomes, probs = c.measure(0)
+        assert outcomes.shape == (batch,)
+        np.testing.assert_allclose(probs, 0.5 * np.ones(batch), atol=1e-6)
+        # each element collapsed to its own outcome
+        states = c.get_statevector()
+        for b in range(batch):
+            expected = np.zeros(2, complex)
+            expected[outcomes[b]] = 1.0
+            np.testing.assert_allclose(np.abs(states[b]), np.abs(expected),
+                                       atol=1e-6)
+
+    def test_batched_statevector_slice(self):
+        batch = 3
+        sim = rocq.Simulator()
+        c = rocq.Circuit(2, sim, batch_size=batch)
+        c.h(0)
+        sl = c.get_statevector_slice(0, 2)
+        assert sl.shape == (batch, 2)
+        np.testing.assert_allclose(np.abs(sl), 2**-0.5 * np.ones((batch, 2)),
+                                   atol=1e-6)
+
+    def test_batched_probabilities(self):
+        batch = 2
+        sim = rocq.Simulator()
+        c = rocq.Circuit(2, sim, batch_size=batch)
+        c.h(0)
+        c.cx(0, 1)
+        probs = c.get_probabilities()
+        assert probs.shape == (batch, 4)
+        np.testing.assert_allclose(probs[:, 0], 0.5, atol=1e-6)
+        np.testing.assert_allclose(probs[:, 3], 0.5, atol=1e-6)
+
+    def test_batched_mid_circuit_conditional_stats(self):
+        # measure then continue: collapse must feed the next segment
+        batch = 8
+        sim = rocq.Simulator(seed=5)
+        c = rocq.Circuit(2, sim, batch_size=batch)
+        c.h(0)
+        outcomes, _ = c.measure(0)
+        c.cx(0, 1)
+        states = c.get_statevector()
+        for b in range(batch):
+            idx = int(outcomes[b]) * 3  # |00> or |11>
+            assert abs(abs(states[b][idx]) - 1.0) < 1e-6

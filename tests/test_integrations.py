@@ -64,13 +64,40 @@ class TestPennyLaneDevice:
         from rocquantum_tpu.integrations.pennylane_device import RocQDevice
 
         dev = RocQDevice(wires=2)
+        if getattr(qml, "__rocq_stub__", False):
+            # stub mode: no qnode machinery — drive the device API directly
+            # (apply/state IS the plugin translation layer under test)
+            dev.apply([qml.Hadamard(wires=0), qml.CNOT(wires=[0, 1])])
+            state = dev.state
+        else:
+            @qml.qnode(dev)
+            def bell():
+                qml.Hadamard(wires=0)
+                qml.CNOT(wires=[0, 1])
+                return qml.state()
 
-        @qml.qnode(dev)
-        def bell():
-            qml.Hadamard(wires=0)
-            qml.CNOT(wires=[0, 1])
-            return qml.state()
-
-        state = bell()
+            state = bell()
         assert abs(abs(state[0]) - 2**-0.5) < 1e-5
         assert abs(abs(state[3]) - 2**-0.5) < 1e-5
+
+    def test_rx_probability_and_samples(self):
+        qml = pytest.importorskip("pennylane", reason="pennylane not installed")
+        from rocquantum_tpu.integrations.pennylane_device import RocQDevice
+
+        theta = 0.9
+        dev = RocQDevice(wires=1, shots=4000)
+        dev.apply([qml.RX(theta, wires=0)])
+        probs = dev.analytic_probability()
+        assert abs(probs[1] - np.sin(theta / 2) ** 2) < 1e-5
+        samples = dev.generate_samples()
+        assert samples.shape == (4000, 1)
+        assert abs(samples.mean() - np.sin(theta / 2) ** 2) < 0.05
+
+    def test_qubit_unitary_fallback(self):
+        qml = pytest.importorskip("pennylane", reason="pennylane not installed")
+        from rocquantum_tpu.integrations.pennylane_device import RocQDevice
+
+        dev = RocQDevice(wires=1)
+        u = np.array([[0, 1], [1, 0]], dtype=complex)  # X as a raw matrix
+        dev.apply([qml.QubitUnitary(u, wires=0)])
+        assert abs(abs(dev.state[1]) - 1.0) < 1e-5

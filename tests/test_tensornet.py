@@ -208,3 +208,69 @@ class TestSVD:
         t = Tensor.from_numpy(rand((2, 2), 0), ["a", "b"])
         with pytest.raises(ValueError):
             tensor_svd(t, ["a"], ["a"])
+
+
+class TestSlicingMemoryAndNumSlices:
+    """Round-2 additions: slicing must actually BOUND peak temp memory (the
+    r1 unrolled-stack version materialized every slab simultaneously), and
+    OptimizerConfig.num_slices (hipTensorNet_api.h:35) must be consumed."""
+
+    @staticmethod
+    def _pair_network(dim=32):
+        tn = TensorNetwork()
+        rng = np.random.default_rng(7)
+        a = (rng.normal(size=(dim, dim)) + 1j * rng.normal(size=(dim, dim))
+             ).astype(np.complex64)
+        b = (rng.normal(size=(dim, dim)) + 1j * rng.normal(size=(dim, dim))
+             ).astype(np.complex64)
+        tn.add_tensor(a, ["a", "k"])
+        tn.add_tensor(b, ["k", "b"])
+        return tn, a, b
+
+    def test_num_slices_honored_without_memory_limit(self):
+        tn, a, b = self._pair_network()
+        out = tn.contract({"num_slices": 4})
+        assert tn.last_num_slices >= 4
+        np.testing.assert_allclose(out.to_numpy(), a @ b, rtol=2e-3)
+
+    def test_num_slices_combines_with_memory_limit(self):
+        tn, a, b = self._pair_network()
+        out = tn.contract({"memory_limit": 32 * 32 * 8, "num_slices": 8})
+        assert tn.last_num_slices >= 8
+        np.testing.assert_allclose(out.to_numpy(), a @ b, rtol=2e-3)
+
+    def test_sliced_peak_temp_memory_is_bounded(self):
+        # a contraction whose output is 2^22 elements (32 MiB complex64):
+        # sliced into 64 slabs, XLA temp allocation must stay well below the
+        # unsliced version's (which holds output-sized einsum temps)
+        dim = 1 << 11
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(dim, 16)).astype(np.float32).astype(np.complex64)
+        b = rng.normal(size=(16, dim)).astype(np.float32).astype(np.complex64)
+
+        def build():
+            tn = TensorNetwork()
+            tn.add_tensor(a, ["a", "k"])
+            tn.add_tensor(b, ["k", "b"])
+            return tn
+
+        out_bytes = dim * dim * 8
+        unsliced = build().compiled_memory_stats()
+        tn = build()
+        sliced = tn.compiled_memory_stats({"memory_limit": out_bytes // 64})
+        assert tn.last_num_slices >= 64
+        # temp memory beyond the (unavoidable) output buffer must be at most
+        # a couple of slabs, far below one full extra output copy
+        slab = out_bytes // 64
+        assert sliced.temp_size_in_bytes <= out_bytes + 4 * slab, (
+            sliced.temp_size_in_bytes, out_bytes)
+        # and the sliced program must not use MORE temp than unsliced
+        assert sliced.temp_size_in_bytes <= unsliced.temp_size_in_bytes \
+            + 4 * slab
+
+    def test_sliced_equals_unsliced_chunked(self):
+        # chunked (non-elementwise) slicing path: limit forces chunks of 8
+        tn, a, b = self._pair_network()
+        out = tn.contract({"memory_limit": 32 * 32 * 8 // 4})
+        assert tn.last_num_slices >= 4
+        np.testing.assert_allclose(out.to_numpy(), a @ b, rtol=2e-3)
