@@ -39,8 +39,17 @@ class LocalTPUBackend(RocqBackend):
         from ..simulator import QuantumSimulator
 
         if isinstance(circuit, str):
-            from ..compiler.qasm_parser import parse_qasm3
-            ir = parse_qasm3(circuit)
+            from ..compiler.qasm_parser import parse_qasm3_program
+            program = parse_qasm3_program(circuit)
+            if not program.is_static:
+                # dynamic circuit (mid-circuit measurement / classical
+                # control): shot-batched execution
+                from ..compiler.dynamic import run_dynamic
+                histogram = run_dynamic(program, shots, seed=self._seed)
+                job_id = f"local-{uuid.uuid4()}"
+                self._results[job_id] = histogram
+                return job_id
+            ir = program.to_ir()
         elif isinstance(circuit, QuantumCircuit):
             ir = circuit.to_ir()
         else:

@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 ROT_LO = 7  # rotations never touch bits [0, 7): 2^7 = 128-float lane register
@@ -131,7 +132,11 @@ def execute_plan(re: jnp.ndarray, im: jnp.ndarray, plan: List[object],
 
     for item in plan:
         if isinstance(item, Rotation):
+            # serialize the two transposes: scheduled concurrently they hold
+            # 2 full states (in+out each) = 16 GiB at n=30 — the barrier
+            # caps peak at 1.5 states
             re = rotate_bits_down(re, n, item.shift)
+            re, im = jax.lax.optimization_barrier((re, im))
             im = rotate_bits_down(im, n, item.shift)
         else:
             gm = gate_mats[np.asarray(item.gate_idx)]
