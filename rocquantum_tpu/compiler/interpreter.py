@@ -142,10 +142,19 @@ def _apply_diag_block(state: jnp.ndarray, block: DiagBlock,
     return state
 
 
+def _pallas_interpret() -> bool:
+    """Force Pallas interpret mode (CPU test coverage of the full
+    execute->kernel integration)."""
+    import os
+    return bool(os.environ.get("ROCQ_PALLAS_INTERPRET"))
+
+
 def _pallas_enabled() -> bool:
     import os
     if os.environ.get("ROCQ_DISABLE_PALLAS"):
         return False
+    if _pallas_interpret():
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:
@@ -163,35 +172,100 @@ def _has_real_matrix(op: GateOp) -> bool:
     return op.name.upper() in _REAL_1Q
 
 
+def pallas_block_specs(block: PallasBlock, params):
+    """(kinds, supports, gate_mats, real_flags) for a PallasBlock's ops:
+    kind "U" (dense 1q matrix) or "CNOT" (control, target) per gate."""
+    mats, kinds, supports, real_flags = [], [], [], []
+    eye = jnp.stack([jnp.eye(2, dtype=jnp.float32),
+                     jnp.zeros((2, 2), jnp.float32)], axis=-1)
+    for op in block.ops:
+        base, controls, targets = _split_op(op)
+        if base == "X" and len(controls) == 1 and op.matrix is None:
+            kinds.append("CNOT")
+            supports.append((controls[0], targets[0]))
+            mats.append(eye)  # placeholder, unused by the CNOT path
+            real_flags.append(True)
+        else:
+            m = _base_matrix(op, params)
+            kinds.append("U")
+            supports.append((targets[0],))
+            mats.append(jnp.stack([jnp.real(m), jnp.imag(m)], axis=-1)
+                        .astype(jnp.float32))
+            real_flags.append(_has_real_matrix(op))
+    return kinds, supports, jnp.stack(mats), real_flags
+
+
+def _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
+                      interpret: bool = False):
+    """Run prepared gate specs through the fused kernel on a float-pair
+    state whose length defines the qubit count (a full state, or one shard
+    under shard_map)."""
+    from ..ops.pallas_sv import apply_fused_layer, max_kernel_qubit
+    from ..ops.relabel import execute_plan, plan_full_layer
+
+    n = re.shape[-1].bit_length() - 1
+    limit = max_kernel_qubit(n) + 1
+    if max(q for s in supports for q in s) < limit:
+        specs = tuple((k,) + tuple(s) for k, s in zip(kinds, supports))
+        return apply_fused_layer(re, im, specs, gm, real_flags=real_flags,
+                                 interpret=interpret)
+    plan = plan_full_layer(n, supports, limit, pair_ok=n > limit)
+    return execute_plan(re, im, plan, gm, n, kinds=kinds,
+                        real_flags=real_flags, interpret=interpret)
+
+
 def _apply_pallas_block_pair(re: jnp.ndarray, im: jnp.ndarray,
                              block: PallasBlock, params,
                              interpret: bool = False):
-    """Pair-native core: run a 1q-gate run through the fused Pallas kernel
-    on a (re, im) float32 state. In-window runs cost ONE HBM pass; runs
-    touching higher qubits are scheduled as kernel passes + index-bit
+    """Pair-native core: run a 1q+CNOT gate run through the fused Pallas
+    kernel on a (re, im) float32 state. In-window runs cost ONE HBM pass;
+    runs touching higher qubits are scheduled as kernel passes + index-bit
     rotations (ops/relabel.py)."""
-    from ..ops.pallas_sv import apply_fused_1q_layer, max_kernel_qubit
-    from ..ops.relabel import execute_plan, plan_full_1q_layer
+    kinds, supports, gm, real_flags = pallas_block_specs(block, params)
+    return _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
+                             interpret=interpret)
 
-    mats = []
-    qubits = []
-    real_flags = []
-    for op in block.ops:
-        m = _base_matrix(op, params)
-        mats.append(jnp.stack([jnp.real(m), jnp.imag(m)], axis=-1)
-                    .astype(jnp.float32))
-        qubits.append(op.targets[0])
-        real_flags.append(_has_real_matrix(op))
-    gm = jnp.stack(mats)
-    n = re.shape[-1].bit_length() - 1
-    limit = max_kernel_qubit(n) + 1
-    if max(qubits) < limit:
-        return apply_fused_1q_layer(re, im, qubits, gm,
-                                    real_flags=real_flags,
-                                    interpret=interpret)
-    plan = plan_full_1q_layer(n, qubits, limit, pair_ok=n > limit)
-    return execute_plan(re, im, plan, gm, n, real_flags=real_flags,
-                        interpret=interpret)
+
+def _apply_pallas_block_sharded(state: jnp.ndarray, block: PallasBlock,
+                                params, sharding) -> jnp.ndarray:
+    """Sharded fused-kernel path: shard_map the kernel over the mesh — each
+    device streams its LOCAL amplitude slice through VMEM (gates here touch
+    only local index bits; the sharded scheduler localized the rest), so the
+    fused pass costs one local-HBM sweep and zero ICI traffic."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+    kinds, supports, gm, real_flags = pallas_block_specs(block, params)
+    interpret = _pallas_interpret()
+
+    def local_fn(s, g):
+        re = jnp.real(s).astype(jnp.float32)
+        im = jnp.imag(s).astype(jnp.float32)
+        re, im = _run_pallas_specs(re, im, kinds, supports, g, real_flags,
+                                   interpret=interpret)
+        return (re + 1j * im).astype(s.dtype)
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation; the kernel is purely local (no collectives), so the
+    # sharding of the output is fully described by out_specs
+    return shard_map(local_fn, mesh=sharding.mesh,
+                     in_specs=(sharding.spec, P()),
+                     out_specs=sharding.spec, check_vma=False)(state, gm)
+
+
+def _sv_shard_count(sharding) -> int:
+    """Number of shards along the amplitude axis of a flat-state sharding."""
+    try:
+        ax = sharding.spec[0]
+    except (AttributeError, IndexError, TypeError):
+        return 1
+    if ax is None:
+        return 1
+    names = (ax,) if isinstance(ax, str) else tuple(ax)
+    count = 1
+    for nm in names:
+        count *= sharding.mesh.shape[nm]
+    return count
 
 
 def _apply_pallas_block(state: jnp.ndarray, block: PallasBlock,
@@ -334,15 +408,22 @@ def execute(state: jnp.ndarray, ops: Sequence, params: Optional[jnp.ndarray] = N
     """
     items = fuse_diagonals(list(ops)) if fuse else list(ops)
     if use_pallas is None:
-        use_pallas = fuse and sharding is None and _pallas_enabled()
+        use_pallas = fuse and _pallas_enabled()
     if use_pallas:
         from ..ops.pallas_sv import COL_QUBITS, max_kernel_qubit
         n = sv.num_qubits_of(state)
+        if sharding is not None:
+            # sharded: the kernel runs per-shard under shard_map — only
+            # LOCAL index bits (below the device-selecting top bits) are
+            # reachable; the sharded scheduler already localized gates
+            n_loc = n - (_sv_shard_count(sharding) - 1).bit_length()
+        else:
+            n_loc = n
         # need >= 8-row tiles (sublane-aligned; smaller shapes unvalidated
         # on hardware) and enough state for the conversion passes to pay off
-        if n >= COL_QUBITS + 3:
-            items = fuse_pallas_runs(items, n - 1, num_qubits=n,
-                                     relabel_reach=max_kernel_qubit(n) + 1)
+        if n_loc >= COL_QUBITS + 3:
+            items = fuse_pallas_runs(items, n_loc - 1, num_qubits=n_loc,
+                                     relabel_reach=max_kernel_qubit(n_loc) + 1)
     plan = plan_fusion(items, max_fuse=max_fuse) if fuse else items
     if low_width:
         from .passes import consolidate_low
@@ -353,7 +434,12 @@ def execute(state: jnp.ndarray, ops: Sequence, params: Optional[jnp.ndarray] = N
         plan = consolidate_high(plan, high_width, n)
     for item in plan:
         if isinstance(item, PallasBlock):
-            state = _apply_pallas_block(state, item, params)
+            if sharding is not None:
+                state = _apply_pallas_block_sharded(state, item, params,
+                                                    sharding)
+            else:
+                state = _apply_pallas_block(state, item, params,
+                                            interpret=_pallas_interpret())
         elif isinstance(item, DiagBlock):
             state = _apply_diag_block(state, item, params)
         elif isinstance(item, FusedBlock):
@@ -410,7 +496,8 @@ def execute_pair(re: jnp.ndarray, im: jnp.ndarray, ops: Sequence,
         plan = consolidate_high(plan, high_width, n)
     for item in plan:
         if isinstance(item, PallasBlock):
-            re, im = _apply_pallas_block_pair(re, im, item, params)
+            re, im = _apply_pallas_block_pair(re, im, item, params,
+                                              interpret=_pallas_interpret())
             continue
         state = (re + 1j * im).astype(config.complex_dtype())
         if isinstance(item, DiagBlock):

@@ -54,15 +54,18 @@ class DiagBlock:
 
 @dataclasses.dataclass
 class PallasBlock:
-    """A run of uncontrolled single-qubit gates applied by the Pallas
-    fused-layer kernel: the whole run costs ONE pass over the amplitudes
-    (plus a complex<->float-pair conversion each side). Measured 4.3x over
-    the consolidated XLA path for a 17-gate layer at n=24."""
+    """A run of single-qubit gates and CNOTs applied by the Pallas
+    fused-layer kernel: the whole run costs ~ONE pass over the amplitudes
+    per ~29 covered qubits (plus a complex<->float-pair conversion each
+    side when the caller carries a complex state)."""
     ops: List[GateOp]
 
     @property
     def qubits(self) -> Tuple[int, ...]:
-        return tuple(sorted({op.targets[0] for op in self.ops}))
+        s = set()
+        for op in self.ops:
+            s |= set(op.targets) | set(op.controls)
+        return tuple(sorted(s))
 
 
 def fuse_pallas_runs(items: List[object], max_qubit: int,
@@ -88,36 +91,65 @@ def fuse_pallas_runs(items: List[object], max_qubit: int,
             return set(item.qubits)
         return set(item.targets) | set(item.controls)
 
+    def _sup(op):
+        """Qubit support of an eligible op (CNOT: (control, target))."""
+        if op.name.upper() in ("CNOT", "CX"):
+            if op.controls:
+                return (op.controls[0], op.targets[0])
+            return (op.targets[0], op.targets[1])
+        return (op.targets[0],)
+
     def eligible(item):
-        return (isinstance(item, GateOp) and not item.controls
-                and len(item.targets) == 1 and item.matrix is None
-                and item.name not in ("SWAP_BITS", "SWAP")
+        if not isinstance(item, GateOp) or item.matrix is not None:
+            return False
+        name = item.name.upper()
+        if name in ("CNOT", "CX"):
+            ok = ((len(item.controls) == 1 and len(item.targets) == 1)
+                  or (not item.controls and len(item.targets) == 2))
+            return ok and all(q <= max_qubit for q in _sup(item))
+        return (not item.controls and len(item.targets) == 1
+                and name not in ("SWAP_BITS", "SWAP")
                 and item.targets[0] <= max_qubit)
 
     def emit_run(ops):
         if relabel_reach is None:
             out.append(PallasBlock(ops=ops))
             return
-        high = [op for op in ops if op.targets[0] >= relabel_reach]
-        if not high:
+        sups = [_sup(op) for op in ops]
+        high_idx = [i for i, s in enumerate(sups)
+                    if any(q >= relabel_reach for q in s)]
+        if not high_idx:
             out.append(PallasBlock(ops=ops))
             return
-        from ..ops.relabel import plan_full_1q_layer
-        plan = plan_full_1q_layer(num_qubits, [op.targets[0] for op in ops],
-                                  relabel_reach,
-                                  pair_ok=num_qubits > relabel_reach)
+        from ..ops.relabel import plan_full_layer
+        try:
+            plan = plan_full_layer(num_qubits, sups, relabel_reach,
+                                   pair_ok=num_qubits > relabel_reach)
+        except ValueError:
+            # unschedulable without rotations (pair-bit-only regime at
+            # n > MAX_ROTATION_QUBITS): force the split path below
+            plan = list(range(2 * len(ops) + 2))
         n_items = len(plan)
         # old-path cost for the same run: one fused pass for the in-window
         # gates plus roughly one pass per out-of-window gate
-        if n_items <= 1 + len(high) and n_items < len(ops):
+        if n_items <= 1 + len(high_idx) and n_items < len(ops):
             out.append(PallasBlock(ops=ops))
+            return
+        # inefficient plan: split back into an in-window block + raw high
+        # ops — ONLY when no high op shares a qubit with a low op (the
+        # split reorders across the run, which is valid only for disjoint
+        # supports); otherwise keep the (dependency-correct) plan
+        high_qubits = {q for i in high_idx for q in sups[i]}
+        low_idx = [i for i in range(len(ops)) if i not in set(high_idx)]
+        if any(set(sups[i]) & high_qubits for i in low_idx):
+            out.append(PallasBlock(ops=ops))
+            return
+        low = [ops[i] for i in low_idx]
+        if len(low) >= min_gates:
+            out.append(PallasBlock(ops=low))
         else:
-            low = [op for op in ops if op.targets[0] < relabel_reach]
-            if len(low) >= min_gates:
-                out.append(PallasBlock(ops=low))
-            else:
-                out.extend(low)
-            out.extend(high)
+            out.extend(low)
+        out.extend(ops[i] for i in high_idx)
 
     def flush():
         nonlocal block

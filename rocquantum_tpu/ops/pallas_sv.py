@@ -92,6 +92,42 @@ def _roll_gate(re, im, q, is_one_cache, coeffs, col_qubits, tile_rows,
                       real_mat=real_mat)
 
 
+def _cnot_roll(re, im, c, t, is_one_cache, col_qubits, tile_rows):
+    """CNOT with control+target both in-tile: target-partner fetch via one
+    roll pair, applied only where the control bit is 1 (~10 VPU ops/elem —
+    the two_qubit_kernels.hip:17-51 analog, fused into the layer pass)."""
+    C = 1 << col_qubits
+    if t < col_qubits:
+        axis, dist, size = 1, 1 << t, C
+    else:
+        axis, dist, size = 0, 1 << (t - col_qubits), tile_rows
+    m_c = is_one_cache(c)
+    m_t = is_one_cache(t)
+    fwd_re = pltpu.roll(re, size - dist, axis)
+    bwd_re = pltpu.roll(re, dist, axis)
+    fwd_im = pltpu.roll(im, size - dist, axis)
+    bwd_im = pltpu.roll(im, dist, axis)
+    p_re = jnp.where(m_t, bwd_re, fwd_re)
+    p_im = jnp.where(m_t, bwd_im, fwd_im)
+    return jnp.where(m_c, p_re, re), jnp.where(m_c, p_im, im)
+
+
+def _x_roll(re, im, t, is_one_cache, col_qubits, tile_rows):
+    """Unconditional X on an in-tile qubit (y = partner)."""
+    C = 1 << col_qubits
+    if t < col_qubits:
+        axis, dist, size = 1, 1 << t, C
+    else:
+        axis, dist, size = 0, 1 << (t - col_qubits), tile_rows
+    m_t = is_one_cache(t)
+    fwd_re = pltpu.roll(re, size - dist, axis)
+    bwd_re = pltpu.roll(re, dist, axis)
+    fwd_im = pltpu.roll(im, size - dist, axis)
+    bwd_im = pltpu.roll(im, dist, axis)
+    return (jnp.where(m_t, bwd_re, fwd_re),
+            jnp.where(m_t, bwd_im, fwd_im))
+
+
 def _mask_factory(col_qubits: int, tile_rows: int):
     C = 1 << col_qubits
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, C), 1)
@@ -113,20 +149,25 @@ def _coeffs(gm_ref, k):
 
 
 def _kernel(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
-            qubits: Tuple[int, ...], real_flags: Tuple[bool, ...],
+            specs: Tuple[Tuple, ...], real_flags: Tuple[bool, ...],
             col_qubits: int, tile_rows: int):
     re = re_ref[...]
     im = im_ref[...]
     is_one = _mask_factory(col_qubits, tile_rows)
-    for k, q in enumerate(qubits):
-        re, im = _roll_gate(re, im, q, is_one, _coeffs(gm_ref, k),
-                            col_qubits, tile_rows, real_mat=real_flags[k])
+    for k, spec in enumerate(specs):
+        if spec[0] == "CNOT":
+            re, im = _cnot_roll(re, im, spec[1], spec[2], is_one,
+                                col_qubits, tile_rows)
+        else:
+            re, im = _roll_gate(re, im, spec[1], is_one, _coeffs(gm_ref, k),
+                                col_qubits, tile_rows,
+                                real_mat=real_flags[k])
     out_re_ref[...] = re
     out_im_ref[...] = im
 
 
 def _kernel_paired(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
-                   qubits: Tuple[int, ...], real_flags: Tuple[bool, ...],
+                   specs: Tuple[Tuple, ...], real_flags: Tuple[bool, ...],
                    pair_bit: int, col_qubits: int, tile_rows: int):
     """Fused 1q layer over a PAIRED block: the refs are (1, 2, 1, T, C)
     slices of a 5-D state view whose axis 1 is index bit ``pair_bit``. Gates
@@ -137,7 +178,28 @@ def _kernel_paired(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
     re0, im0 = re_ref[0, 0, 0], im_ref[0, 0, 0]
     re1, im1 = re_ref[0, 1, 0], im_ref[0, 1, 0]
     is_one = _mask_factory(col_qubits, tile_rows)
-    for k, q in enumerate(qubits):
+    for k, spec in enumerate(specs):
+        if spec[0] == "CNOT":
+            c, tq = spec[1], spec[2]
+            if c == pair_bit:
+                # control selects the half: X on target within half 1 only
+                re1, im1 = _x_roll(re1, im1, tq, is_one, col_qubits,
+                                   tile_rows)
+            elif tq == pair_bit:
+                # target is the pair bit: swap halves where control is 1
+                m_c = is_one(c)
+                n0_re = jnp.where(m_c, re1, re0)
+                n0_im = jnp.where(m_c, im1, im0)
+                n1_re = jnp.where(m_c, re0, re1)
+                n1_im = jnp.where(m_c, im0, im1)
+                re0, im0, re1, im1 = n0_re, n0_im, n1_re, n1_im
+            else:
+                re0, im0 = _cnot_roll(re0, im0, c, tq, is_one, col_qubits,
+                                      tile_rows)
+                re1, im1 = _cnot_roll(re1, im1, c, tq, is_one, col_qubits,
+                                      tile_rows)
+            continue
+        q = spec[1]
         cs = _coeffs(gm_ref, k)
         if q == pair_bit:
             # x0 (bit=0) partner is x1 and vice versa; masks are constants
@@ -170,40 +232,56 @@ def apply_fused_1q_layer(re: jnp.ndarray, im: jnp.ndarray,
                          pair_bit: int = None,
                          real_flags: Sequence[bool] = None,
                          interpret: bool = False):
-    """Apply 1q gates (gate k on ``qubits[k]``) to the float-pair state in
-    one pass.
+    """Apply 1q gates (gate k on ``qubits[k]``) in one pass — convenience
+    wrapper over :func:`apply_fused_layer`."""
+    specs = tuple(("U", int(q)) for q in qubits)
+    return apply_fused_layer(re, im, specs, gate_mats, pair_bit=pair_bit,
+                             real_flags=real_flags, interpret=interpret)
 
-    gate_mats: float32 (K, 2, 2, 2) — [k, row, col, re/im].
-    All qubits must satisfy q <= max_kernel_qubit(n), except that one extra
-    high qubit equal to ``pair_bit`` (any index bit above the tile region)
-    is reachable via block pairing (_kernel_paired).
+
+def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
+                      specs: Sequence[Tuple],
+                      gate_mats: jnp.ndarray,
+                      pair_bit: int = None,
+                      real_flags: Sequence[bool] = None,
+                      interpret: bool = False):
+    """Apply a mixed gate list to the float-pair state in one HBM pass.
+
+    specs: per-gate ("U", q) — dense 1q matrix ``gate_mats[k]`` on qubit q —
+    or ("CNOT", control, target). gate_mats: float32 (K, 2, 2, 2) —
+    [k, row, col, re/im] (rows for CNOT entries are ignored).
+    All referenced qubits must satisfy q <= max_kernel_qubit(n), except that
+    one extra high qubit equal to ``pair_bit`` (any index bit above the tile
+    region) is reachable via block pairing (_kernel_paired).
     """
     n = (re.size).bit_length() - 1
     col = min(COL_QUBITS, n)
     tile_log2 = min(TILE_ROWS_LOG2, n - col)
     tile_rows = 1 << tile_log2
     limit = col + tile_log2
-    qubits = tuple(int(q) for q in qubits)
+    specs = tuple((spec[0],) + tuple(int(q) for q in spec[1:])
+                  for spec in specs)
+    all_qubits = [q for spec in specs for q in spec[1:]]
     real_flags = tuple(bool(f) for f in real_flags) if real_flags is not None \
-        else (False,) * len(qubits)
-    if len(real_flags) != len(qubits):
-        raise ValueError("real_flags length must match qubits")
-    in_tile = [q for q in qubits if q != pair_bit]
+        else (False,) * len(specs)
+    if len(real_flags) != len(specs):
+        raise ValueError("real_flags length must match specs")
+    in_tile = [q for q in all_qubits if q != pair_bit]
     if any(q >= limit for q in in_tile):
         raise ValueError(f"kernel handles qubits < {limit} (or == pair_bit "
-                         f"{pair_bit}), got {qubits}")
+                         f"{pair_bit}), got {specs}")
     C = 1 << col
     R = 1 << (n - col)
     tile_rows = min(tile_rows, R)
 
-    gspec = pl.BlockSpec((len(qubits), 2, 2, 2),
+    gspec = pl.BlockSpec((len(specs), 2, 2, 2),
                          lambda *idx: (0,) * 4, memory_space=pltpu.VMEM)
 
-    if pair_bit is None or all(q != pair_bit for q in qubits):
+    if pair_bit is None or all(q != pair_bit for q in all_qubits):
         re2 = re.reshape(R, C)
         im2 = im.reshape(R, C)
         grid = (max(R // tile_rows, 1),)
-        kernel = functools.partial(_kernel, qubits=qubits,
+        kernel = functools.partial(_kernel, specs=specs,
                                    real_flags=real_flags, col_qubits=col,
                                    tile_rows=tile_rows)
         block = pl.BlockSpec((tile_rows, C), lambda i: (i, 0),
@@ -234,7 +312,7 @@ def apply_fused_1q_layer(re: jnp.ndarray, im: jnp.ndarray,
     re5 = re.reshape(shape5)
     im5 = im.reshape(shape5)
     grid = (A, B)
-    kernel = functools.partial(_kernel_paired, qubits=qubits,
+    kernel = functools.partial(_kernel_paired, specs=specs,
                                real_flags=real_flags,
                                pair_bit=pair_bit, col_qubits=col,
                                tile_rows=tile_rows)

@@ -55,11 +55,17 @@ class TestPallasRunCollection:
         assert all(isinstance(o, GateOp) for o in short)
 
     def test_controlled_and_high_gates_excluded(self):
+        # CNOTs now JOIN the fused run (in-kernel CNOT path); genuinely
+        # controlled gates (CRZ etc.) and out-of-range gates stay out
         ops = [g("H", [q]) for q in range(6)] + \
               [g("CNOT", [1], [0])] + [g("H", [q]) for q in range(6)]
         out = fuse_pallas_runs(ops, max_qubit=17, min_gates=6)
-        assert isinstance(out[0], PallasBlock)
-        assert any(isinstance(o, GateOp) and o.name == "CNOT" for o in out)
+        assert len(out) == 1 and isinstance(out[0], PallasBlock)
+        assert len(out[0].ops) == 13
+        ops_c = [g("H", [q]) for q in range(6)] + \
+                [g("CRZ", [1], [0], [0.3])] + [g("H", [q]) for q in range(6)]
+        out_c = fuse_pallas_runs(ops_c, max_qubit=17, min_gates=6)
+        assert any(isinstance(o, GateOp) and o.name == "CRZ" for o in out_c)
         # gate above the kernel range never joins
         out2 = fuse_pallas_runs([g("H", [20])] * 7, max_qubit=17)
         assert all(isinstance(o, GateOp) for o in out2)

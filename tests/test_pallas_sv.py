@@ -175,3 +175,113 @@ def test_full_range_plan_matches_einsum(n, qubits):
                           interpret=True)
     got = np.asarray(re) + 1j * np.asarray(im)
     np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused CNOT support (1q + CNOT in one kernel pass)
+# ---------------------------------------------------------------------------
+
+from rocquantum_tpu.ops.pallas_sv import apply_fused_layer  # noqa: E402
+from rocquantum_tpu.ops.relabel import plan_full_layer  # noqa: E402
+
+
+def reference_apply_specs(state, specs, mats):
+    out = jnp.asarray(state)
+    for spec, m in zip(specs, mats):
+        if spec[0] == "CNOT":
+            out = sv.apply_controlled_matrix(
+                out, jnp.asarray(g.X, jnp.complex64), [spec[1]], [spec[2]])
+        else:
+            out = sv.apply_matrix(out, jnp.asarray(m, jnp.complex64),
+                                  [spec[1]])
+    return np.asarray(out)
+
+
+def _ry(th):
+    return np.array([[np.cos(th / 2), -np.sin(th / 2)],
+                     [np.sin(th / 2), np.cos(th / 2)]], np.complex64)
+
+
+def test_fused_cnot_in_window():
+    n = 14
+    state = rand_state(n, 21)
+    eye = np.eye(2, dtype=np.complex64)
+    specs = [("U", 0), ("CNOT", 0, 1), ("CNOT", 5, 13), ("CNOT", 13, 2),
+             ("U", 13)]
+    mats = [_ry(0.3), eye, eye, eye, np.asarray(g.H)]
+    expected = reference_apply_specs(state, specs, mats)
+    re = jnp.real(jnp.asarray(state))
+    im = jnp.imag(jnp.asarray(state))
+    re, im = apply_fused_layer(re, im, specs,
+                               jnp.asarray(pack_gate_mats(mats)),
+                               interpret=True)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+@pytest.mark.parametrize("pair_role", ["control", "target"])
+def test_fused_cnot_pair_bit(pair_role):
+    n = 18
+    limit = max_kernel_qubit(n) + 1
+    state = rand_state(n, 22)
+    eye = np.eye(2, dtype=np.complex64)
+    if pair_role == "control":
+        specs = [("U", 3), ("CNOT", limit, 4)]
+    else:
+        specs = [("U", 3), ("CNOT", 4, limit)]
+    mats = [np.asarray(g.H), eye]
+    expected = reference_apply_specs(state, specs, mats)
+    re = jnp.real(jnp.asarray(state))
+    im = jnp.imag(jnp.asarray(state))
+    re, im = apply_fused_layer(re, im, specs,
+                               jnp.asarray(pack_gate_mats(mats)),
+                               pair_bit=limit, interpret=True)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_plan_respects_cnot_dependencies():
+    # RY(q20); CNOT(20 -> 3); RY(3): strictly ordered chain — the plan must
+    # not let the later RY(3) overtake the CNOT into an earlier pass
+    n = 21
+    reach = 17
+    supports = [(20,), (20, 3), (3,)]
+    plan = plan_full_layer(n, supports, reach)
+    order = []
+    for item in plan:
+        if isinstance(item, KernelPass):
+            order.extend(item.gate_idx)
+    assert order == [0, 1, 2]
+    # and within each pass, gate indices are in original order
+    for item in plan:
+        if isinstance(item, KernelPass):
+            assert list(item.gate_idx) == sorted(item.gate_idx)
+
+
+def test_full_ansatz_layer_with_relabel_matches_reference():
+    # hardware-efficient ansatz layer: RY column + CNOT ring, n=20 (spans
+    # the window boundary) — via plan_full_layer + execute_plan
+    n = 20
+    state = rand_state(n, 33)
+    rng = np.random.default_rng(4)
+    specs, mats = [], []
+    for q in range(n):
+        specs.append(("U", q))
+        mats.append(_ry(rng.normal()))
+    eye = np.eye(2, dtype=np.complex64)
+    for q in range(n):
+        specs.append(("CNOT", q, (q + 1) % n))
+        mats.append(eye)
+    expected = reference_apply_specs(state, specs, mats)
+    from rocquantum_tpu.ops.pallas_sv import COL_QUBITS, TILE_ROWS_LOG2
+    reach = min(COL_QUBITS, n) + min(TILE_ROWS_LOG2, n - min(COL_QUBITS, n))
+    supports = [s[1:] for s in specs]
+    plan = plan_full_layer(n, supports, reach, pair_ok=True)
+    kinds = [s[0] for s in specs]
+    from rocquantum_tpu.ops.relabel import execute_plan as run_plan
+    re = jnp.real(jnp.asarray(state))
+    im = jnp.imag(jnp.asarray(state))
+    re, im = run_plan(re, im, plan, jnp.asarray(pack_gate_mats(mats)), n,
+                      kinds=kinds, interpret=True)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, expected, atol=2e-5)
