@@ -31,6 +31,7 @@ EXAMPLES = [
     "run_bell_state.py",
     "compiler_qir_example.py",
     "vqe_h2_reference_style.py",
+    "teleportation_qasm.py",
 ]
 
 
