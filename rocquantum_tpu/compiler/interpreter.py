@@ -408,7 +408,10 @@ def execute(state: jnp.ndarray, ops: Sequence, params: Optional[jnp.ndarray] = N
     """
     items = fuse_diagonals(list(ops)) if fuse else list(ops)
     if use_pallas is None:
-        use_pallas = fuse and _pallas_enabled()
+        # the fused kernel computes in float32 — never route double-precision
+        # states through it (chemistry-accuracy fp64 must stay fp64)
+        use_pallas = (fuse and _pallas_enabled()
+                      and state.dtype == jnp.complex64)
     if use_pallas:
         from ..ops.pallas_sv import COL_QUBITS, max_kernel_qubit
         n = sv.num_qubits_of(state)

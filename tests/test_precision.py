@@ -61,3 +61,31 @@ def test_double_precision_subprocess():
     assert result.returncode == 0, (
         f"STDOUT:\n{result.stdout}\nSTDERR:\n{result.stderr[-2000:]}")
     assert "OK" in result.stdout
+
+
+def test_double_precision_never_routes_through_pallas(monkeypatch):
+    """The fused Pallas kernel computes in float32 — fp64 states must take
+    the full-precision XLA paths (regression: the f32 cast used to apply
+    unconditionally)."""
+    monkeypatch.setenv("ROCQ_PALLAS_INTERPRET", "1")  # pallas enabled on CPU
+    import jax.numpy as jnp
+    from rocquantum_tpu import config as cfg
+    from rocquantum_tpu.compiler.interpreter import execute
+    from rocquantum_tpu.compiler.ir import CircuitIR, ParamRef
+    from rocquantum_tpu.ops import statevec as svo
+
+    cfg.set_precision("double")
+    try:
+        n = 15  # >= COL_QUBITS + 3: pallas WOULD engage for complex64
+        ir = CircuitIR(n)
+        for q in range(n):
+            ir.add("RY", [q], params=[ParamRef(q)])
+        params = jnp.linspace(0.1, 1.4, n).astype(jnp.float64)
+        out = execute(svo.init_state(n), ir.ops, params)
+        assert out.dtype == jnp.complex128
+        # fp64 accuracy: amplitude of |0...0> = prod(cos(theta/2)) to 1e-12
+        import numpy as np
+        expected = np.prod(np.cos(np.asarray(params) / 2))
+        assert abs(complex(out[0]).real - expected) < 1e-12
+    finally:
+        cfg.set_precision("single")
