@@ -43,12 +43,32 @@ def _apply(state, op, params, adjoint=False):
     return sv.apply_controlled_matrix(state, mat, controls, targets)
 
 
+def _is_parameterized(op: GateOp) -> bool:
+    from .compiler.ir import ParamRef as _PR
+    return any(isinstance(p, _PR) for p in op.params)
+
+
+def _adjoint_group(group):
+    import dataclasses as _dc
+    return [_dc.replace(o, is_adjoint=not o.is_adjoint)
+            for o in reversed(group)]
+
+
 def make_reversible_execute(ops: Sequence[GateOp]):
     """Build ``f(state, params) -> state`` with the O(1)-memory VJP.
 
     ``ops`` must be purely unitary GateOps (no measurement); parameters are
     ParamRef slots into the ``params`` vector.
+
+    The forward pass runs through the full fused interpreter (diagonal
+    fusion, Pallas layers, consolidation); the backward sweep fuses runs of
+    NON-parameterized gates the same way — a CNOT ring between RY columns
+    costs one fused pass each direction instead of one pass per gate. Only
+    the parameterized gates step one-by-one (each needs its own
+    ⟨bra|dU|ket⟩).
     """
+    from .compiler.interpreter import execute as _exec
+
     ops = list(ops)
     for op in ops:
         if op.name == "SWAP_BITS":
@@ -57,9 +77,7 @@ def make_reversible_execute(ops: Sequence[GateOp]):
             raise ValueError("UNITARY op requires a matrix")
 
     def _forward(state, params):
-        for op in ops:
-            state = _apply(state, op, params)
-        return state
+        return _exec(state, ops, params)
 
     @jax.custom_vjp
     def run(state, params):
@@ -74,17 +92,32 @@ def make_reversible_execute(ops: Sequence[GateOp]):
         ket = out            # reconstructed state, walked backward
         bra = ct             # cotangent, walked backward
         grads = jnp.zeros_like(params)
-        for op in reversed(ops):
+        idx = len(ops) - 1
+        while idx >= 0:
+            if not _is_parameterized(ops[idx]):
+                # maximal run of parameter-free gates: invert in ONE fused
+                # program. ket <- G^dagger ket (plain adjoint); the
+                # cotangent needs the TRANSPOSE (JAX complex cotangents
+                # transpose without conjugation): U^T x = conj(U^dagger
+                # conj(x)), so conjugate around the same fused adjoint.
+                j = idx
+                while j >= 0 and not _is_parameterized(ops[j]):
+                    j -= 1
+                adj = _adjoint_group(ops[j + 1:idx + 1])
+                ket = _exec(ket, adj, params)
+                bra = jnp.conj(_exec(jnp.conj(bra), adj, params))
+                idx = j
+                continue
+            op = ops[idx]
             # reconstruct the state BEFORE this gate (exactly: U is unitary)
             ket = _apply(ket, op, params, adjoint=True)
             # one-gate vjp: gets JAX's complex-cotangent conventions right
-            # (the naive bra <- U^dagger bra is wrong for complex matrices:
-            # JAX cotangents transpose WITHOUT conjugation) while touching
-            # only this gate — memory stays O(1) in circuit depth
+            # while touching only this gate — memory stays O(1) in depth
             _, vjp_fn = jax.vjp(
                 lambda s, p, _op=op: _apply(s, _op, p), ket, params)
             bra, dparams = vjp_fn(bra)
             grads = grads + dparams
+            idx -= 1
         return bra, grads
 
     run.defvjp(fwd, bwd)

@@ -23,6 +23,47 @@ from .utils.cache import BoundedCache
 
 _DM_RUN_CACHE = BoundedCache()
 
+# conjugation rules for named gates (U rho U†: the COLUMN side applies
+# conj(U); with the op's is_adjoint flag kept, (conj U)† == conj(U†))
+_CONJ_SELF = {"H", "X", "Z", "RY", "CRY", "CNOT", "CX", "CZ", "SWAP",
+              "MCX", "CCX", "TOFFOLI", "CSWAP", "I", "ID"}
+_CONJ_NAME = {"S": "SDG", "SDG": "S", "T": "TDG", "TDG": "T"}
+_CONJ_NEGATE = {"RX", "RZ", "P", "PHASE", "CRX", "CRZ"}
+
+
+def _gate_items_2n(n, name, tgt, ctrl, vals, mat_key, adj):
+    """(row_op, col_op) GateOps on the flattened 2n-qubit view of rho, or
+    (None, None) when the gate has no named conjugation rule (caller falls
+    back to the per-gate dense path). Row (ket) bits are the HIGH n bits."""
+    from .compiler.ir import GateOp
+
+    row_t = tuple(q + n for q in tgt)
+    row_c = tuple(q + n for q in ctrl)
+    if mat_key is not None:
+        m = np.frombuffer(mat_key[0], np.complex128).reshape(mat_key[1])
+        row = GateOp("UNITARY", row_t, row_c, (), m, adj)
+        col = GateOp("UNITARY", tuple(tgt), tuple(ctrl), (),
+                     np.conj(m), adj)
+        return row, col
+    key = name.upper()
+    row = GateOp(key, row_t, row_c, tuple(vals), None, adj)
+    if key in _CONJ_SELF:
+        return row, GateOp(key, tuple(tgt), tuple(ctrl), tuple(vals), None,
+                           adj)
+    if key in _CONJ_NAME:
+        return row, GateOp(_CONJ_NAME[key], tuple(tgt), tuple(ctrl), (),
+                           None, adj)
+    if key in _CONJ_NEGATE:
+        return row, GateOp(key, tuple(tgt), tuple(ctrl),
+                           tuple(-v for v in vals), None, adj)
+    if key == "Y":
+        return row, GateOp("UNITARY", tuple(tgt), tuple(ctrl), (),
+                           np.conj(np.array([[0, -1j], [1j, 0]])), adj)
+    if key == "U3" and len(vals) == 3:
+        return row, GateOp(key, tuple(tgt), tuple(ctrl),
+                           (vals[0], -vals[1], -vals[2]), None, adj)
+    return None, None
+
 
 class DensityCircuit(_GateMethods):
     """Gate+channel queue over a density matrix; flush compiles the queued
@@ -98,37 +139,46 @@ class DensityCircuit(_GateMethods):
             n = self.num_qubits
 
             def run(rho, params):
+                from .compiler.interpreter import execute as _exec
+                pending2n: List = []  # GateOps on the 2n-qubit flat view
+
+                def drain(rho):
+                    if pending2n:
+                        rho = _exec(rho, list(pending2n), None)
+                        pending2n.clear()
+                    return rho
+
                 for item in key_items:
                     kind = item[0]
                     if kind == "gate":
                         _, name, tgt, ctrl, vals, mat_key, adj = item
                         if vals and vals[0] == "slots":
                             vals = [params[i] for i in vals[1:]]
-                        if mat_key is not None:
-                            m = np.frombuffer(mat_key[0], np.complex128
-                                              ).reshape(mat_key[1])
-                            mj = jnp.asarray(m, config.complex_dtype())
-                            if adj:
-                                mj = jnp.conj(mj).T
-                            if ctrl:
-                                rho = dmops.apply_controlled_matrix_dm(
-                                    rho, mj, list(ctrl), list(tgt))
-                            else:
-                                rho = dmops.apply_matrix_dm(rho, mj, list(tgt))
-                        else:
-                            rho = dmops.apply_gate_dm(rho, name, list(tgt),
-                                                      list(ctrl), list(vals),
-                                                      adjoint=adj)
+                        row, col = _gate_items_2n(n, name, tgt, ctrl, vals,
+                                                  mat_key, adj)
+                        if row is not None:
+                            # consecutive unitaries run through the fused
+                            # interpreter (diagonal fusion / Pallas layers /
+                            # consolidation) on the 2n-qubit view — the
+                            # reference applied one kernel per gate side
+                            pending2n.extend((row, col))
+                            continue
+                        rho = drain(rho)
+                        rho = dmops.apply_gate_dm(rho, name, list(tgt),
+                                                  list(ctrl), list(vals),
+                                                  adjoint=adj)
                     elif kind == "channel":
+                        rho = drain(rho)
                         _, channel, prob, tgt = item
                         rho = dmops.apply_channel(rho, channel, prob, list(tgt))
                     else:  # kraus
+                        rho = drain(rho)
                         _, mats, tgt = item
                         ks = [jnp.asarray(
                             np.frombuffer(b, np.complex128).reshape(shape),
                             config.complex_dtype()) for b, shape in mats]
                         rho = dmops.apply_kraus(rho, ks, list(tgt))
-                return rho
+                return drain(rho)
 
             fn = jax.jit(run, donate_argnums=(0,))
             _DM_RUN_CACHE[cache_key] = fn

@@ -240,3 +240,41 @@ class TestAdjCacheKeying:
         assert abs(g_ry + np.sin(0.5)) < 1e-5
         assert abs(g_rx + np.sin(0.5)) < 1e-5
         assert abs(g_rz) < 1e-6
+
+
+class TestFusedBackwardGroups:
+    def test_complex_fixed_gate_groups_match_plain_ad(self):
+        # the fused backward sweep handles runs of parameter-free gates via
+        # conj(U^dagger conj(x)); S/T/SDG make those unitaries genuinely
+        # complex, so a transpose/adjoint mix-up would show here
+        n = 4
+        ops = [GateOp("RY", (0,), (), (ParamRef(0),)),
+               GateOp("S", (1,), ()),
+               GateOp("T", (2,), ()),
+               GateOp("CNOT", (1,), (0,)),
+               GateOp("SDG", (0,), ()),
+               GateOp("RX", (2,), (), (ParamRef(1),)),
+               GateOp("T", (1,), ()),
+               GateOp("CNOT", (3,), (2,)),
+               GateOp("RZ", (3,), (), (ParamRef(2),)),
+               GateOp("S", (3,), ())]
+        run = make_reversible_execute(ops)
+        params = jnp.asarray([0.45, -0.8, 1.2], jnp.float32)
+
+        def loss_rev(p):
+            s = run(sv.init_state(n), p)
+            return (sv.expval_z(s, 0)
+                    + 0.3 * sv.expval_pauli_string(s, [("Y", 2)])
+                    + 0.2 * sv.expval_pauli_string(s, [("X", 3)]))
+
+        def loss_plain(p):
+            s = sv.init_state(n)
+            s = execute(s, ops, p, fuse=False, use_pallas=False)
+            return (sv.expval_z(s, 0)
+                    + 0.3 * sv.expval_pauli_string(s, [("Y", 2)])
+                    + 0.2 * sv.expval_pauli_string(s, [("X", 3)]))
+
+        v1, g1 = jax.value_and_grad(loss_rev)(params)
+        v2, g2 = jax.value_and_grad(loss_plain)(params)
+        assert abs(float(v1) - float(v2)) < 1e-6
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-5)

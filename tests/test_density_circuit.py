@@ -76,3 +76,41 @@ class TestDensityCircuit:
         c.apply_unitary([0], np.array([[0, 1], [1, 0]]))
         np.testing.assert_allclose(c.get_density_matrix(),
                                    np.diag([0, 1]), atol=1e-6)
+
+
+class TestFusedGateRuns:
+    def test_gate_runs_match_dense_path_with_pallas(self, monkeypatch):
+        """Unitary runs route through the fused interpreter on the 2n-qubit
+        view (incl. the Pallas kernel in interpret mode): rho must equal the
+        per-gate dense path, mid-run channels included."""
+        monkeypatch.setenv("ROCQ_PALLAS_INTERPRET", "1")
+        import rocquantum_tpu as rocq
+        from rocquantum_tpu.density_circuit import DensityCircuit
+
+        def build(env_on):
+            sim = rocq.Simulator()
+            c = DensityCircuit(8, sim)   # 2n = 16-qubit view
+            for q in range(8):
+                c.ry(0.1 * (q + 1), q)
+            c.s(1)
+            c.t(2)
+            c.y(3)
+            for q in range(7):
+                c.cx(q, q + 1)
+            c.apply_channel("depolarizing", 0.02, [0])
+            c.rz(0.7, 4)
+            c.rx(-0.3, 5)
+            c.crz(0.4, 0, 6)
+            c.flush()
+            return c.get_density_matrix()
+
+        with_pallas = build(True)
+        monkeypatch.setenv("ROCQ_DISABLE_PALLAS", "1")
+        from rocquantum_tpu.density_circuit import _DM_RUN_CACHE
+        _DM_RUN_CACHE.clear()
+        without = build(False)
+        np.testing.assert_allclose(with_pallas, without, atol=1e-5)
+        # physicality: trace 1, hermitian
+        assert abs(np.trace(with_pallas) - 1.0) < 1e-5
+        np.testing.assert_allclose(with_pallas,
+                                   with_pallas.conj().T, atol=1e-5)
