@@ -106,6 +106,75 @@ def run_single(n):
     return 0
 
 
+def bench_ansatz(n):
+    """RY-column + CNOT-ring layers — the VQE hot path, riding the fused
+    1q+CNOT kernel."""
+    import jax
+    import jax.numpy as jnp
+    _enable_compile_cache()
+    from rocquantum_tpu.compiler.ir import CircuitIR, ParamRef
+    from rocquantum_tpu.compiler.interpreter import (default_widths,
+                                                     execute_pair, init_pair)
+
+    layers = 8
+    ir = CircuitIR(n, name="bench_ansatz")
+    for _ in range(2):
+        for q in range(n):
+            ir.add("RY", [q], params=[ParamRef(q)])
+        for q in range(n):
+            ir.add("CNOT", [(q + 1) % n], controls=[q])
+    ops = list(ir.ops)
+    low_w, high_w = default_widths(n)
+
+    @jax.jit
+    def program(params):
+        re, im = init_pair(n)
+
+        def body(_, c):
+            return execute_pair(c[0], c[1], ops, params, low_width=low_w,
+                                high_width=high_w)
+
+        re, im = jax.lax.fori_loop(0, layers // 2, body, (re, im))
+        return jnp.sum(re * re + im * im)
+
+    params = jnp.asarray(np.linspace(0.1, 1.0, n), jnp.float32)
+    norm = float(program(params))
+    assert abs(norm - 1.0) < 1e-2, norm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(program(params))
+        times.append(time.perf_counter() - t0)
+    dt = max(min(times) - TRANSFER_OVERHEAD_S, 1e-9)
+    return (layers * 2 * n) / dt
+
+
+def run_ansatz(n):
+    gps = bench_ansatz(n)
+    print(json.dumps({"ansatz_n": n, "ansatz_gates_per_sec": round(gps, 2)}))
+    return 0
+
+
+def probe_ansatz(n):
+    script = os.path.abspath(__file__)
+    try:
+        out = subprocess.run([sys.executable, script, "--ansatz", str(n)],
+                             capture_output=True, text=True,
+                             timeout=PER_SIZE_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        return None
+    if out.returncode != 0:
+        return None
+    for line in out.stdout.splitlines():
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "ansatz_gates_per_sec" in rec:
+            return rec
+    return None
+
+
 def bench_qft():
     """QFT wall-clock via the Circuit API (segmented execution) — the
     reference's declared benchmark workload (benchmarks/run_benchmark.py:
@@ -187,9 +256,12 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=None)
     parser.add_argument("--qft", action="store_true")
+    parser.add_argument("--ansatz", type=int, default=None)
     args = parser.parse_args()
     if args.qft:
         return run_qft()
+    if args.ansatz is not None:
+        return run_ansatz(args.ansatz)
     if args.size is not None:
         return run_single(args.size)
 
@@ -210,6 +282,9 @@ def main():
     qft = probe_qft()  # second workload: mixed-gate QFT wall-clock
     if qft is not None:
         record["qft_n20_ms"] = qft["qft_ms"]
+    ansatz = probe_ansatz(min(n_used, 29))  # third: the VQE hot path
+    if ansatz is not None:
+        record["ansatz_gates_per_sec"] = ansatz["ansatz_gates_per_sec"]
     print(json.dumps(record))
     return 0
 

@@ -578,7 +578,8 @@ def compile_ir(ir: CircuitIR, fuse: bool = True, max_fuse: int = 2,
         low_width = dlw if low_width is None else low_width
         high_width = dhw if high_width is None else high_width
     key = (ir.structural_key(), fuse, max_fuse, donate, sharding, low_width,
-           high_width, batched, batch_sharding, config.get_precision())
+           high_width, batched, batch_sharding, config.get_precision(),
+           _pallas_enabled(), _pallas_interpret())
     cached = _EXEC_CACHE.get(key)
     if cached is not None:
         return cached

@@ -1,21 +1,24 @@
-"""Pallas TPU kernel: fused single-qubit gate layers in one HBM pass.
+"""Pallas TPU kernel: fused gate layers (1q + CNOT) in one HBM pass.
 
 The XLA einsum path executes (roughly) one full-state pass per gate — the
 same cost model as the reference's one-HIP-kernel-per-gate design
 (single_qubit_kernels.hip:28-72). This kernel applies a whole LIST of
-single-qubit gates in ONE pass: each grid step streams a row-tile of the
-state through VMEM, applies every gate in registers, and writes it back.
-For an L-gate layer this divides HBM traffic by up to L.
+gates in ONE pass: each grid step streams a block of the state through
+VMEM, applies every gate in registers, and writes it back in place (in/out
+aliased). For an L-gate layer this divides HBM traffic by up to L.
 
 Layout: the state is carried as a (real, imag) float32 pair, each reshaped
 to (R, C) with C = 2^COL_QUBITS columns (the low qubits) and rows covering
 the high qubits. A gate on qubit q applies:
-  * q < COL_QUBITS: within each row, on the column axis;
-  * COL_QUBITS <= q < COL_QUBITS + log2(TILE_R): across rows within the
+  * q < COL_QUBITS: within each row, on the column axis (pltpu.roll — a
+    half-slice reformulation measured SLOWER, 0.67x vs 1.53x on v5e);
+  * COL_QUBITS <= q < COL_QUBITS + TILE_ROWS_LOG2: across rows within the
     tile (tiles are aligned so partner rows share a tile);
-  * higher q: not representable in one tile -> the caller falls back to the
-    XLA einsum path for those gates (or relabels qubits with one
-    swap-index-bits pass first).
+  * q == pair_bit (any single higher bit): a 5-D block view pairs the two
+    partner tiles in one block — the gate is an elementwise cross-half
+    combine;
+  * other high q: the caller relabels with index-bit rotations first
+    (ops/relabel.py) or falls back to the XLA paths.
 
 Complex never crosses the jit boundary on this backend, and the float-pair
 representation also avoids complex-in-Pallas limitations.

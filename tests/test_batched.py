@@ -126,3 +126,34 @@ class TestBatchedMeasurement:
         for b in range(batch):
             idx = int(outcomes[b]) * 3  # |00> or |11>
             assert abs(abs(states[b][idx]) - 1.0) < 1e-6
+
+
+class TestBatchedShardedPallas:
+    def test_batched_sharded_with_pallas_engaged(self, monkeypatch):
+        """vmap(shard_map(pallas_call)) — the full composition: batched +
+        (dp, sv)-sharded circuit with the fused kernel active (interpret
+        mode on the CPU mesh)."""
+        monkeypatch.setenv("ROCQ_PALLAS_INTERPRET", "1")
+        import rocquantum_tpu as rocq
+        from rocquantum_tpu.compiler.interpreter import clear_cache
+        from rocquantum_tpu.parallel.mesh import make_mesh_2d
+
+        clear_cache()  # executables compiled without pallas must not be hit
+        n = 18  # n_loc = 16 >= COL_QUBITS + 3: the sharded kernel engages
+        mesh = make_mesh_2d(2, 4)
+        sim = rocq.Simulator()
+        c = rocq.Circuit(n, sim, batch_size=2, mesh=mesh)
+        for q in range(8):
+            c.ry(0.1 * (q + 1), q)
+        for q in range(7):
+            c.cx(q, q + 1)
+        got = c.get_statevector()
+        ref = rocq.Circuit(n, rocq.Simulator())
+        for q in range(8):
+            ref.ry(0.1 * (q + 1), q)
+        for q in range(7):
+            ref.cx(q, q + 1)
+        exp = ref.get_statevector()
+        for b in range(2):
+            np.testing.assert_allclose(got[b], exp, atol=1e-5)
+        clear_cache()

@@ -149,3 +149,41 @@ def test_sharded_density_matrix():
     zz, tr = run()
     assert abs(float(tr) - 1.0) < 1e-5
     assert 0.5 < float(zz) < 1.0
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_pallas_paths_match_plain_engine_fuzz(seed, monkeypatch):
+    """Random circuits at kernel-relevant sizes: the full Pallas pipeline
+    (fused 1q+CNOT runs, pair-bit blocks, rotation relabeling — interpret
+    mode) must match the plain XLA engine bit-for-tolerance."""
+    monkeypatch.setenv("ROCQ_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(16, 19))  # spans the pair-bit/rotation regimes
+    ir = CircuitIR(n)
+    k = 0
+    for _ in range(40):
+        kind = rng.integers(0, 4)
+        q = int(rng.integers(0, n))
+        q2 = int((q + 1 + rng.integers(0, n - 1)) % n)
+        if kind == 0:
+            ir.add(str(rng.choice(["RY", "RX", "RZ"])), [q],
+                   params=[float(rng.normal())])
+        elif kind == 1:
+            ir.add(str(rng.choice(["H", "X", "S", "T", "Y"])), [q])
+        elif kind == 2:
+            ir.add("CNOT", [q2], controls=[q])
+        else:
+            ir.add("CZ", [q2], controls=[q])
+    pops, values = parametrize(ir.ops)
+    params = jnp.asarray(values, jnp.float32)
+
+    from rocquantum_tpu.compiler.interpreter import clear_cache, execute
+    clear_cache()
+    with_pallas = jax.jit(
+        lambda p: execute(sv.init_state(n), pops, p))(params)
+    plain = jax.jit(
+        lambda p: execute(sv.init_state(n), pops, p, use_pallas=False))(
+            params)
+    np.testing.assert_allclose(np.asarray(with_pallas), np.asarray(plain),
+                               atol=3e-5, err_msg=f"seed={seed} n={n}")
+    clear_cache()
