@@ -1,0 +1,95 @@
+"""ctypes bridge to the native C++ gate-layer scheduler
+(native/fusion_planner.cpp).
+
+Builds the shared library on first use (g++ -O2 -shared) and caches it next
+to this module; callers fall back to the pure-Python planner (identical
+plans — differential-tested) when the toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_LIB = None
+_LIB_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native", "fusion_planner.cpp")
+_SO = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "_libfusionplanner.so")
+
+
+def _load():
+    global _LIB, _LIB_TRIED
+    if _LIB is not None or _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    try:
+        if not os.path.exists(_SO) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
+                 "-o", _SO],
+                check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_SO)
+        lib.rocq_plan_layer.restype = ctypes.c_int
+        lib.rocq_plan_layer.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+        ]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+class Unschedulable(Exception):
+    """Pair-bit-only regime cannot cover a gate (rotations disabled)."""
+
+
+def plan_layer_native(n: int, supports: Sequence[Tuple[int, ...]],
+                      reach: int, pair_ok: bool,
+                      allow_rotations: bool) -> Optional[List[tuple]]:
+    """Run the C++ scheduler; returns a list of ('rot', shift) /
+    ('pass', pair, gate_idx_tuple) records, None when the library is
+    unavailable, or raises Unschedulable (mirrors the Python planner)."""
+    lib = _load()
+    if lib is None:
+        return None
+    num = len(supports)
+    q0 = np.asarray([s[0] for s in supports], np.int32)
+    q1 = np.asarray([s[1] if len(s) > 1 else -1 for s in supports], np.int32)
+    capacity = 4 * num + 8 * (n + 2) + 16
+    out = np.zeros(capacity, np.int32)
+    rc = lib.rocq_plan_layer(n, reach, int(pair_ok), int(allow_rotations),
+                             num, q0, q1, out, capacity)
+    if rc == -2:
+        raise Unschedulable(
+            "gate needs two out-of-window qubits; rotations are disabled "
+            f"at n={n} (pair-bit-only scheduling)")
+    if rc < 0:
+        return None
+    items: List[tuple] = []
+    w = 0
+    while w < rc:
+        kind = int(out[w])
+        if kind == 0:
+            items.append(("rot", int(out[w + 1])))
+            w += 2
+        else:
+            pair = int(out[w + 1])
+            count = int(out[w + 2])
+            idx = tuple(int(v) for v in out[w + 3:w + 3 + count])
+            items.append(("pass", pair, idx))
+            w += 3 + count
+    return items

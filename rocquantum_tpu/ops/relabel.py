@@ -140,6 +140,32 @@ MAX_ROTATION_QUBITS = 29  # above this, rotation temps exceed 16 GiB HBM:
                           # n=30), so plans go pair-bit-only instead
 
 
+def _items_to_plan(n: int, supports, items) -> List[object]:
+    """Rebuild KernelPass/Rotation objects (with positions) from the native
+    scheduler's compact records."""
+    size = n - ROT_LO
+    rot = 0
+
+    def pos(q: int) -> int:
+        if q < ROT_LO:
+            return q
+        return ROT_LO + ((q - ROT_LO - rot) % size)
+
+    plan: List[object] = []
+    for item in items:
+        if item[0] == "rot":
+            plan.append(Rotation(item[1]))
+            rot = (rot + item[1]) % size
+        else:
+            _, pair, idx = item
+            plan.append(KernelPass(
+                gate_idx=idx,
+                positions=tuple(tuple(pos(q) for q in supports[i])
+                                for i in idx),
+                pair_bit=pair))
+    return plan
+
+
 def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
                     pair_ok: bool = True,
                     allow_rotations: bool = None) -> List[object]:
@@ -152,12 +178,26 @@ def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
     dependency-aware: gates with disjoint supports commute (may share or
     swap passes), while a gate never overtakes an earlier gate touching any
     of its qubits. The plan always restores the identity labeling.
+
+    The scheduling loop runs in native C++ (native/fusion_planner.cpp, the
+    analog of the reference's host-side GateFusion.cpp) with this Python
+    implementation as fallback and differential-test oracle.
     """
     supports = [tuple(int(q) for q in s) for s in supports]
     if any(q >= n for s in supports for q in s):
         raise ValueError(f"qubit out of range for n={n}: {supports}")
     if allow_rotations is None:
         allow_rotations = n <= MAX_ROTATION_QUBITS
+
+    from ._native_planner import Unschedulable, plan_layer_native
+    try:
+        native = plan_layer_native(n, supports, reach, pair_ok,
+                                   allow_rotations)
+    except Unschedulable as exc:
+        raise ValueError(str(exc)) from exc
+    if native is not None:
+        return _items_to_plan(n, supports, native)
+
     size = n - ROT_LO
     rot = 0  # accumulated downward rotation
 

@@ -285,3 +285,54 @@ def test_full_ansatz_layer_with_relabel_matches_reference():
                       kinds=kinds, interpret=True)
     got = np.asarray(re) + 1j * np.asarray(im)
     np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Native C++ scheduler parity (native/fusion_planner.cpp)
+# ---------------------------------------------------------------------------
+
+def _python_plan(n, supports, reach, pair_ok=True, allow_rotations=None):
+    """Force the pure-Python scheduling path."""
+    import rocquantum_tpu.ops._native_planner as npl
+    import rocquantum_tpu.ops.relabel as rl
+    orig = npl.plan_layer_native
+    npl.plan_layer_native = lambda *a, **k: None
+    try:
+        return rl.plan_full_layer(n, supports, reach, pair_ok=pair_ok,
+                                  allow_rotations=allow_rotations)
+    finally:
+        npl.plan_layer_native = orig
+
+
+def test_native_planner_matches_python_oracle():
+    import rocquantum_tpu.ops._native_planner as npl
+    if npl._load() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(9)
+    for trial in range(30):
+        n = int(rng.integers(18, 33))
+        reach = 17
+        supports = []
+        for _ in range(int(rng.integers(1, 60))):
+            if rng.random() < 0.6:
+                supports.append((int(rng.integers(0, n)),))
+            else:
+                a = int(rng.integers(0, n))
+                b = int((a + 1 + rng.integers(0, n - 1)) % n)
+                supports.append((a, b))
+        for allow_rot in (True, False):
+            try:
+                py = _python_plan(n, supports, reach,
+                                  allow_rotations=allow_rot)
+                py_err = None
+            except ValueError as e:
+                py, py_err = None, str(e)
+            try:
+                nat = plan_full_layer(n, supports, reach,
+                                      allow_rotations=allow_rot)
+                nat_err = None
+            except ValueError as e:
+                nat, nat_err = None, str(e)
+            assert (py_err is None) == (nat_err is None), (trial, allow_rot)
+            if py_err is None:
+                assert py == nat, (trial, allow_rot, py, nat)
