@@ -33,23 +33,39 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import statevec as sv
-from .mesh import SV_AXIS
+from .mesh import DCN_AXIS, SV_AXIS
+
+
+def _amp_axes(mesh: Mesh, axis_name: str = SV_AXIS):
+    """Mesh axes the amplitude dimension spans: (dcn, sv) on multi-slice
+    meshes, just sv otherwise."""
+    if DCN_AXIS in mesh.axis_names and axis_name == SV_AXIS:
+        return (DCN_AXIS, axis_name)
+    return axis_name
 
 
 def num_global_qubits(mesh: Mesh, axis_name: str = SV_AXIS) -> int:
     """M = log2(P): number of device-selecting (global) qubits
-    (MULTI_GPU_GUIDE.md:21)."""
-    size = mesh.shape[axis_name]
+    (MULTI_GPU_GUIDE.md:21). Spans DCN x ICI on multi-slice meshes."""
+    axes = _amp_axes(mesh, axis_name)
+    axes = (axes,) if isinstance(axes, str) else axes
+    size = 1
+    for a in axes:
+        size *= mesh.shape[a]
     return (size - 1).bit_length()
 
 
 def state_sharding(mesh: Mesh, axis_name: str = SV_AXIS,
                    batch: bool = False) -> NamedSharding:
-    """Sharding for a flat (2^n,) state: leading index bits -> device."""
+    """Sharding for a flat (2^n,) state: leading index bits -> device
+    (slice-selecting bits above chip-selecting bits on multi-slice
+    meshes — cross-slice traffic rides DCN only when a gate touches the
+    very top qubits)."""
+    amp = _amp_axes(mesh, axis_name)
     if batch:
         from .mesh import BATCH_AXIS
-        return NamedSharding(mesh, P(BATCH_AXIS, axis_name))
-    return NamedSharding(mesh, P(axis_name))
+        return NamedSharding(mesh, P(BATCH_AXIS, amp))
+    return NamedSharding(mesh, P(amp))
 
 
 def shard_state(state: jax.Array, mesh: Mesh,

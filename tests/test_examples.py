@@ -32,6 +32,7 @@ EXAMPLES = [
     "compiler_qir_example.py",
     "vqe_h2_reference_style.py",
     "teleportation_qasm.py",
+    "batched_sharded_vqe.py",
 ]
 
 
