@@ -35,12 +35,40 @@ def _apply_conditional(state_b: jnp.ndarray, flags: np.ndarray,
     return jax.jit(jax.vmap(one))(state_b, jnp.asarray(flags))
 
 
+# cap the shot-batch working set: batch * 2^n amplitudes (complex64)
+_MAX_BATCH_ELEMENTS = 1 << 27  # 1 GiB of amplitudes per chunk
+
+
 def run_dynamic(program: DynamicProgram, shots: int, seed: int = 0,
                 measured_qubits: Optional[Sequence[int]] = None
                 ) -> Dict[str, int]:
     """Execute a dynamic program for ``shots`` shots; returns a bitstring
     histogram over ``measured_qubits`` (default: all qubits,
-    qubits[0] = rightmost bit, the cloud-provider format)."""
+    qubits[0] = rightmost bit, the cloud-provider format).
+
+    Shots run batched (one batch element per shot); when shots * 2^n
+    exceeds the working-set cap the ensemble runs in chunks and the
+    histograms merge."""
+    max_batch = max(1, _MAX_BATCH_ELEMENTS >> program.num_qubits)
+    if shots > max_batch:
+        counts: Dict[str, int] = {}
+        done = 0
+        chunk_idx = 0
+        while done < shots:
+            take = min(max_batch, shots - done)
+            sub = _run_dynamic_batch(program, take, seed + chunk_idx,
+                                     measured_qubits)
+            for k, v in sub.items():
+                counts[k] = counts.get(k, 0) + v
+            done += take
+            chunk_idx += 1
+        return dict(sorted(counts.items()))
+    return _run_dynamic_batch(program, shots, seed, measured_qubits)
+
+
+def _run_dynamic_batch(program: DynamicProgram, shots: int, seed: int,
+                       measured_qubits: Optional[Sequence[int]]
+                       ) -> Dict[str, int]:
     from .. import api as _api
 
     sim = _api.Simulator(seed=seed)

@@ -126,3 +126,19 @@ class TestDynamicExecution:
         p0 = sum(v for k, v in counts.items() if k[0] == "0") / total
         ez = 2 * p0 - 1
         assert abs(ez - np.cos(THETA)) < 0.08
+
+
+def test_run_dynamic_chunks_large_shot_counts(monkeypatch):
+    # force tiny chunks: results must still be a complete, correct histogram
+    import rocquantum_tpu.compiler.dynamic as dyn
+    monkeypatch.setattr(dyn, "_MAX_BATCH_ELEMENTS", 1 << 7)  # 64 shots at n=1
+    qasm = """
+    OPENQASM 3.0;
+    qubit[1] q;
+    bit[1] c;
+    h q[0];
+    c[0] = measure q[0];
+    if (c[0] == 1) { x q[0]; }
+    """
+    counts = dyn.run_dynamic(parse_qasm3_program(qasm), shots=500, seed=2)
+    assert counts == {"0": 500}
