@@ -33,6 +33,7 @@ EXAMPLES = [
     "vqe_h2_reference_style.py",
     "teleportation_qasm.py",
     "batched_sharded_vqe.py",
+    "qaoa_maxcut.py",
 ]
 
 
