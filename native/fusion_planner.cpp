@@ -1,21 +1,27 @@
 // Native gate-layer scheduler for the fused Pallas kernel.
 //
 // C++ implementation of rocquantum_tpu.ops.relabel.plan_full_layer — the
-// dependency-aware greedy that packs 1q/CNOT gates into kernel passes plus
-// index-bit rotations. The TPU-native counterpart of the reference's
-// host-side C++ gate scheduler (GateFusion.cpp:89-156): trace-time work
-// stays native; the Python implementation remains as fallback and as the
-// differential-test oracle (plans must match item-for-item).
+// dependency-aware greedy that packs 1q/CNOT gates into multi-pair kernel
+// passes. The TPU-native counterpart of the reference's host-side C++ gate
+// scheduler (GateFusion.cpp:89-156): trace-time work stays native; the
+// Python implementation remains as fallback and as the differential-test
+// oracle (plans must match item-for-item).
+//
+// Scheduling model: a pass covers gates whose qubits are all < reach (the
+// roll window) or members of the pass's pair-bit set (block pairing, up to
+// max_pairs bits >= reach). Each pass seeds its pair set with the head
+// pending gate's out-of-window bits (progress guarantee), then greedily
+// adds the candidate bit that schedules the most extra gates (ascending
+// order, strict improvement only).
 //
 // ABI (ctypes):
-//   rocq_plan_layer(n, reach, pair_ok, allow_rotations, num_gates,
-//                   q0[num_gates], q1[num_gates] /* -1 for 1q */,
-//                   out[capacity]) -> number of int32 written, or
-//                   -1 capacity exceeded, -2 unschedulable w/o rotations,
-//                   -3 bad input
+//   rocq_plan_layer_mp(n, reach, max_pairs, num_gates,
+//                      q0[num_gates], q1[num_gates] /* -1 for 1q */,
+//                      out[capacity]) -> number of int32 written, or
+//                      -1 capacity exceeded, -3 bad input (including a gate
+//                      with more out-of-window qubits than max_pairs)
 // Output encoding, repeated records:
-//   [0, shift]                 — rotation of bits [ROT_LO, n) down by shift
-//   [1, pair, count, idx...]   — kernel pass (pair == -1 when unused)
+//   [1, npairs, pairs..., count, idx...]   — one kernel pass
 
 #include <algorithm>
 #include <cstdint>
@@ -23,33 +29,18 @@
 
 namespace {
 
-constexpr int ROT_LO = 7;
-
 struct Gate {
   int32_t q0;
   int32_t q1;  // -1 for 1q
 };
 
-struct Scheduler {
-  int n;
-  int reach;
-  int size;
-  int rot = 0;
-
-  int pos(int q) const {
-    if (q < ROT_LO) return q;
-    int m = (q - ROT_LO - rot) % size;
-    if (m < 0) m += size;
-    return ROT_LO + m;
-  }
-};
-
 // one list-scheduling sweep: gates whose qubits are unblocked and whose
-// positions fit {pos < reach} ∪ {pair}
-std::vector<int> scan(const Scheduler& s, const std::vector<Gate>& gates,
-                      const std::vector<int>& pending, int pair) {
+// positions fit {q < reach} ∪ pairs
+std::vector<int> scan(int n, int reach, const std::vector<Gate>& gates,
+                      const std::vector<int>& pending,
+                      const std::vector<char>& pair_set) {
   std::vector<int> taken;
-  std::vector<char> blocked(s.n, 0);
+  std::vector<char> blocked(n, 0);
   for (int i : pending) {
     const Gate& g = gates[i];
     bool is_blocked = blocked[g.q0] || (g.q1 >= 0 && blocked[g.q1]);
@@ -58,10 +49,7 @@ std::vector<int> scan(const Scheduler& s, const std::vector<Gate>& gates,
       if (g.q1 >= 0) blocked[g.q1] = 1;
       continue;
     }
-    auto fits = [&](int q) {
-      int p = s.pos(q);
-      return p < s.reach || p == pair;
-    };
+    auto fits = [&](int q) { return q < reach || pair_set[q]; };
     if (fits(g.q0) && (g.q1 < 0 || fits(g.q1))) {
       taken.push_back(i);
     } else {
@@ -74,17 +62,18 @@ std::vector<int> scan(const Scheduler& s, const std::vector<Gate>& gates,
 
 }  // namespace
 
-extern "C" int rocq_plan_layer(int n, int reach, int pair_ok,
-                               int allow_rotations, int num_gates,
-                               const int32_t* q0, const int32_t* q1,
-                               int32_t* out, int capacity) {
-  if (n <= ROT_LO || reach <= 0 || num_gates < 0) return -3;
+extern "C" int rocq_plan_layer_mp(int n, int reach, int max_pairs,
+                                  int num_gates, const int32_t* q0,
+                                  const int32_t* q1, int32_t* out,
+                                  int capacity) {
+  if (n <= 0 || reach <= 0 || num_gates < 0 || max_pairs < 0) return -3;
   std::vector<Gate> gates(num_gates);
   for (int i = 0; i < num_gates; ++i) {
     if (q0[i] < 0 || q0[i] >= n || q1[i] >= n) return -3;
     gates[i] = Gate{q0[i], q1[i]};
+    int high = (q0[i] >= reach) + (q1[i] >= 0 && q1[i] >= reach);
+    if (high > max_pairs) return -3;
   }
-  Scheduler s{n, reach, n - ROT_LO};
 
   std::vector<int> pending(num_gates);
   for (int i = 0; i < num_gates; ++i) pending[i] = i;
@@ -97,35 +86,61 @@ extern "C" int rocq_plan_layer(int n, int reach, int pair_ok,
   };
 
   while (!pending.empty()) {
-    std::vector<int> take = scan(s, gates, pending, -1);
-    int pair = -1;
-    if (pair_ok) {
-      // candidate pair bits: out-of-window positions, ascending; strict
-      // improvement only (bit-identical to the Python oracle)
+    // seed: head gate's out-of-window bits
+    std::vector<char> pair_set(n, 0);
+    int npairs = 0;
+    const Gate& g0 = gates[pending[0]];
+    for (int q : {g0.q0, g0.q1}) {
+      if (q >= reach && !pair_set[q]) {
+        pair_set[q] = 1;
+        ++npairs;
+      }
+    }
+    std::vector<int> take = scan(n, reach, gates, pending, pair_set);
+    while (npairs < max_pairs) {
+      // candidates: out-of-window bits of pending gates, ascending
       std::vector<int> cands;
       for (int i : pending) {
         const Gate& g = gates[i];
         for (int q : {g.q0, g.q1}) {
-          if (q < 0) continue;
-          int p = s.pos(q);
-          if (p >= s.reach) cands.push_back(p);
+          if (q >= reach && !pair_set[q]) cands.push_back(q);
         }
       }
       std::sort(cands.begin(), cands.end());
       cands.erase(std::unique(cands.begin(), cands.end()), cands.end());
+      int best = -1;
+      std::vector<int> best_take = take;
       for (int p : cands) {
-        std::vector<int> t = scan(s, gates, pending, p);
-        if (t.size() > take.size()) {
-          take = std::move(t);
-          pair = p;
+        pair_set[p] = 1;
+        std::vector<int> t = scan(n, reach, gates, pending, pair_set);
+        pair_set[p] = 0;
+        if (t.size() > best_take.size()) {
+          best = p;
+          best_take = std::move(t);
         }
       }
+      if (best < 0) break;
+      pair_set[best] = 1;
+      ++npairs;
+      take = std::move(best_take);
     }
-    if (take.empty()) {
-      if (!allow_rotations) return -2;
-      return -3;  // cannot happen: rotations always make progress
+    if (take.empty()) return -3;  // cannot happen: the seed covers the head
+
+    // pair bits actually used by taken gates, ascending
+    std::vector<char> used(n, 0);
+    for (int i : take) {
+      const Gate& g = gates[i];
+      for (int q : {g.q0, g.q1})
+        if (q >= reach) used[q] = 1;
     }
-    if (!emit(1) || !emit(pair) || !emit((int)take.size())) return -1;
+    std::vector<int> pairs;
+    for (int q = reach; q < n; ++q)
+      if (used[q]) pairs.push_back(q);
+
+    if (!emit(1) || !emit((int)pairs.size())) return -1;
+    for (int p : pairs)
+      if (!emit(p)) return -1;
+    if (!emit((int)take.size())) return -1;
     for (int i : take)
       if (!emit(i)) return -1;
 
@@ -136,37 +151,6 @@ extern "C" int rocq_plan_layer(int n, int reach, int pair_ok,
     for (int i : pending)
       if (!taken_set[i]) next.push_back(i);
     pending = std::move(next);
-
-    if (!pending.empty() && !allow_rotations) continue;
-    if (!pending.empty()) {
-      // rotate so the first pending gate's lowest out-of-window position
-      // lands at ROT_LO
-      const Gate& g0 = gates[pending[0]];
-      int pmin = 1 << 30;
-      for (int q : {g0.q0, g0.q1}) {
-        if (q < 0) continue;
-        int p = s.pos(q);
-        if (p >= s.reach) pmin = std::min(pmin, p);
-      }
-      if (pmin == (1 << 30)) {
-        for (int i : pending) {
-          const Gate& g = gates[i];
-          for (int q : {g.q0, g.q1}) {
-            if (q < 0) continue;
-            int p = s.pos(q);
-            if (p >= s.reach) pmin = std::min(pmin, p);
-          }
-        }
-      }
-      int shift = pmin - ROT_LO;
-      if (shift <= 0) return -3;
-      s.rot = (s.rot + shift) % s.size;
-      if (!emit(0) || !emit(shift)) return -1;
-    }
-  }
-  if (s.rot % s.size) {
-    int shift = (s.size - (s.rot % s.size)) % s.size;
-    if (shift && (!emit(0) || !emit(shift))) return -1;
   }
   return w;
 }

@@ -491,8 +491,12 @@ class Circuit(_GateMethods):
 
 
 class PauliOperator:
-    """Weighted sum of Pauli strings ("X0 Y1" terms); parsing, addition and
-    scalar multiplication match the reference (api.py:291-366)."""
+    """Weighted sum of Pauli strings ("X0 Y1" terms).
+
+    Ported essentially verbatim from the reference (api.py:291-366) for API
+    parity — this class, including its parsing rules and error messages, IS
+    the behavioral contract user code and the solvers program against
+    (SURVEY §7 directs "port as-is" for this pure-Python glue)."""
 
     def __init__(self, terms: Union[Dict[str, float], str, None] = None,
                  coefficient: float = 1.0):
@@ -798,8 +802,10 @@ def adjoint(kern: Union[Kernel, Callable]) -> Union[Kernel, Callable]:
 
 def grad(kernel_func: Callable, num_qubits: int, simulator: Simulator,
          initial_params: Sequence[float], observable: PauliOperator) -> np.ndarray:
-    """Parameter-shift gradient, reference semantics exactly
-    (api.py:694-734): dE/dθᵢ = 0.5·(E(θᵢ+π/2) − E(θᵢ−π/2))."""
+    """Parameter-shift gradient, ported verbatim from the reference for
+    API parity (api.py:694-734): dE/dθᵢ = 0.5·(E(θᵢ+π/2) − E(θᵢ−π/2)).
+    Prefer :func:`adjoint_grad` — one reversible forward+backward sweep
+    instead of 2P circuit executions."""
     if not hasattr(kernel_func, "generate_ir") and not callable(kernel_func):
         raise TypeError(
             "The function provided to grad() must be decorated with "

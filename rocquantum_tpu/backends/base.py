@@ -1,8 +1,10 @@
 """Cloud-QPU backend abstraction.
 
-API-parity rebuild of the reference rocquantum/backends/base.py: typed
-exceptions (:20-30), the RocqBackend ABC, and the shared Type A (REST API)
-job lifecycle — submit_job POST /jobs (:61-91), get_job_status (:93-108),
+Ported essentially verbatim from the reference rocquantum/backends/base.py
+for API parity (the ABC surface, REST flow, and error text are the contract
+provider subclasses and their tests program against): typed exceptions
+(:20-30), the RocqBackend ABC, and the shared Type A (REST API) job
+lifecycle — submit_job POST /jobs (:61-91), get_job_status (:93-108),
 get_job_result histogram (:110-131).
 """
 

@@ -38,10 +38,9 @@ def _load():
                  "-o", _SO],
                 check=True, capture_output=True, timeout=120)
         lib = ctypes.CDLL(_SO)
-        lib.rocq_plan_layer.restype = ctypes.c_int
-        lib.rocq_plan_layer.argtypes = [
+        lib.rocq_plan_layer_mp.restype = ctypes.c_int
+        lib.rocq_plan_layer_mp.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int,
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -54,42 +53,37 @@ def _load():
 
 
 class Unschedulable(Exception):
-    """Pair-bit-only regime cannot cover a gate (rotations disabled)."""
+    """A gate has more out-of-window qubits than max_pairs allows."""
 
 
 def plan_layer_native(n: int, supports: Sequence[Tuple[int, ...]],
-                      reach: int, pair_ok: bool,
-                      allow_rotations: bool) -> Optional[List[tuple]]:
-    """Run the C++ scheduler; returns a list of ('rot', shift) /
-    ('pass', pair, gate_idx_tuple) records, None when the library is
-    unavailable, or raises Unschedulable (mirrors the Python planner)."""
+                      reach: int, max_pairs: int) -> Optional[List[tuple]]:
+    """Run the C++ multi-pair scheduler; returns a list of
+    ('pass', pair_bits_tuple, gate_idx_tuple) records, or None when the
+    library is unavailable (callers fall back to the Python planner)."""
     lib = _load()
     if lib is None:
         return None
     num = len(supports)
     q0 = np.asarray([s[0] for s in supports], np.int32)
     q1 = np.asarray([s[1] if len(s) > 1 else -1 for s in supports], np.int32)
-    capacity = 4 * num + 8 * (n + 2) + 16
+    capacity = 4 * num + (max_pairs + 4) * (2 * num + 2) + 16
     out = np.zeros(capacity, np.int32)
-    rc = lib.rocq_plan_layer(n, reach, int(pair_ok), int(allow_rotations),
-                             num, q0, q1, out, capacity)
-    if rc == -2:
-        raise Unschedulable(
-            "gate needs two out-of-window qubits; rotations are disabled "
-            f"at n={n} (pair-bit-only scheduling)")
+    rc = lib.rocq_plan_layer_mp(n, reach, max_pairs, num, q0, q1, out,
+                                capacity)
     if rc < 0:
         return None
     items: List[tuple] = []
     w = 0
     while w < rc:
-        kind = int(out[w])
-        if kind == 0:
-            items.append(("rot", int(out[w + 1])))
-            w += 2
-        else:
-            pair = int(out[w + 1])
-            count = int(out[w + 2])
-            idx = tuple(int(v) for v in out[w + 3:w + 3 + count])
-            items.append(("pass", pair, idx))
-            w += 3 + count
+        w += 1  # record tag (always 1 = pass)
+        npairs = int(out[w])
+        w += 1
+        pairs = tuple(int(v) for v in out[w:w + npairs])
+        w += npairs
+        count = int(out[w])
+        w += 1
+        idx = tuple(int(v) for v in out[w:w + count])
+        w += count
+        items.append(("pass", pairs, idx))
     return items

@@ -169,64 +169,105 @@ def _kernel(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
     out_im_ref[...] = im
 
 
-def _kernel_paired(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
-                   specs: Tuple[Tuple, ...], real_flags: Tuple[bool, ...],
-                   pair_bit: int, col_qubits: int, tile_rows: int):
-    """Fused 1q layer over a PAIRED block: the refs are (1, 2, 1, T, C)
-    slices of a 5-D state view whose axis 1 is index bit ``pair_bit``. Gates
-    on in-tile qubits roll within each half; the gate on ``pair_bit`` is an
-    elementwise cross-half combine (the two partner amplitudes live in the
-    same block) — extending the kernel's reach by one arbitrary high qubit
-    without extra HBM traffic."""
-    re0, im0 = re_ref[0, 0, 0], im_ref[0, 0, 0]
-    re1, im1 = re_ref[0, 1, 0], im_ref[0, 1, 0]
+def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
+                  specs: Tuple[Tuple, ...], real_flags: Tuple[bool, ...],
+                  pair_bits: Tuple[int, ...], col_qubits: int,
+                  tile_rows: int):
+    """Fused layer over a MULTI-PAIRED block: the refs are
+    (1, 2, 1, 2, ..., 1, T, C) slices of a view exposing each of the k
+    ``pair_bits`` (ascending) as its own size-2 axis, so the block holds all
+    2^k partner tiles. Gates on in-tile qubits roll within every tile; a
+    gate on a pair bit is an elementwise cross-tile combine — extending the
+    kernel's reach by k arbitrary high qubits in the same single HBM pass.
+    A CNOT with BOTH qubits on pair bits is a conditional tile swap (this is
+    what covers 2q gates whose qubits are both out of the roll window)."""
+    k_pairs = len(pair_bits)
+    ncombo = 1 << k_pairs
+    # combo bit j <-> pair_bits[j] (ascending); the view's outermost pair
+    # axis carries the HIGHEST pair bit, i.e. combo bit k_pairs-1
+    bitpos = {pb: j for j, pb in enumerate(pair_bits)}
+
+    def ref_idx(combo):
+        idx = [0]
+        for j in range(k_pairs):
+            idx.append((combo >> (k_pairs - 1 - j)) & 1)
+            idx.append(0)
+        return tuple(idx)
+
+    tiles = [(re_ref[ref_idx(c)], im_ref[ref_idx(c)]) for c in range(ncombo)]
     is_one = _mask_factory(col_qubits, tile_rows)
+
+    def pair_partner(combo, pb):
+        return combo ^ (1 << bitpos[pb])
+
+    def pair_is_one(combo, pb):
+        return (combo >> bitpos[pb]) & 1
+
     for k, spec in enumerate(specs):
         if spec[0] == "CNOT":
             c, tq = spec[1], spec[2]
-            if c == pair_bit:
-                # control selects the half: X on target within half 1 only
-                re1, im1 = _x_roll(re1, im1, tq, is_one, col_qubits,
-                                   tile_rows)
-            elif tq == pair_bit:
-                # target is the pair bit: swap halves where control is 1
+            c_pair, t_pair = c in bitpos, tq in bitpos
+            if c_pair and t_pair:
+                # both qubits on pair bits: swap tiles across the target
+                # axis wherever the control bit is 1
+                new = list(tiles)
+                for combo in range(ncombo):
+                    if pair_is_one(combo, c) and not pair_is_one(combo, tq):
+                        other = pair_partner(combo, tq)
+                        new[combo], new[other] = tiles[other], tiles[combo]
+                tiles = new
+            elif c_pair:
+                # control selects tiles: X on target within bit=1 tiles only
+                tiles = [
+                    _x_roll(re, im, tq, is_one, col_qubits, tile_rows)
+                    if pair_is_one(combo, c) else (re, im)
+                    for combo, (re, im) in enumerate(tiles)]
+            elif t_pair:
+                # target on a pair bit: masked cross-tile swap where the
+                # (in-tile) control bit is 1
                 m_c = is_one(c)
-                n0_re = jnp.where(m_c, re1, re0)
-                n0_im = jnp.where(m_c, im1, im0)
-                n1_re = jnp.where(m_c, re0, re1)
-                n1_im = jnp.where(m_c, im0, im1)
-                re0, im0, re1, im1 = n0_re, n0_im, n1_re, n1_im
+                new = []
+                for combo, (re, im) in enumerate(tiles):
+                    p_re, p_im = tiles[pair_partner(combo, tq)]
+                    new.append((jnp.where(m_c, p_re, re),
+                                jnp.where(m_c, p_im, im)))
+                tiles = new
             else:
-                re0, im0 = _cnot_roll(re0, im0, c, tq, is_one, col_qubits,
-                                      tile_rows)
-                re1, im1 = _cnot_roll(re1, im1, c, tq, is_one, col_qubits,
-                                      tile_rows)
+                tiles = [_cnot_roll(re, im, c, tq, is_one, col_qubits,
+                                    tile_rows) for (re, im) in tiles]
             continue
         q = spec[1]
         cs = _coeffs(gm_ref, k)
-        if q == pair_bit:
-            # x0 (bit=0) partner is x1 and vice versa; masks are constants
+        if q in bitpos:
+            # cross-tile 1q gate: bit=0 tiles get a*x0 + b*x1, bit=1 tiles
+            # c*x0 + d*x1 (masks are compile-time constants per tile)
             (a_re, a_im), (b_re, b_im), (c_re, c_im), (d_re, d_im) = cs
-            if real_flags[k]:
-                n0_re = a_re * re0 + b_re * re1
-                n0_im = a_re * im0 + b_re * im1
-                n1_re = c_re * re0 + d_re * re1
-                n1_im = c_re * im0 + d_re * im1
-            else:
-                n0_re = a_re * re0 - a_im * im0 + b_re * re1 - b_im * im1
-                n0_im = a_re * im0 + a_im * re0 + b_re * im1 + b_im * re1
-                n1_re = c_re * re0 - c_im * im0 + d_re * re1 - d_im * im1
-                n1_im = c_re * im0 + c_im * re0 + d_re * im1 + d_im * re1
-            re0, im0, re1, im1 = n0_re, n0_im, n1_re, n1_im
+            new = []
+            for combo, (re, im) in enumerate(tiles):
+                p_re, p_im = tiles[pair_partner(combo, q)]
+                if pair_is_one(combo, q):
+                    x0_re, x0_im, x1_re, x1_im = p_re, p_im, re, im
+                    u_re, u_im, v_re, v_im = c_re, c_im, d_re, d_im
+                else:
+                    x0_re, x0_im, x1_re, x1_im = re, im, p_re, p_im
+                    u_re, u_im, v_re, v_im = a_re, a_im, b_re, b_im
+                if real_flags[k]:
+                    n_re = u_re * x0_re + v_re * x1_re
+                    n_im = u_re * x0_im + v_re * x1_im
+                else:
+                    n_re = (u_re * x0_re - u_im * x0_im
+                            + v_re * x1_re - v_im * x1_im)
+                    n_im = (u_re * x0_im + u_im * x0_re
+                            + v_re * x1_im + v_im * x1_re)
+                new.append((n_re, n_im))
+            tiles = new
         else:
-            re0, im0 = _roll_gate(re0, im0, q, is_one, cs, col_qubits,
-                                  tile_rows, real_mat=real_flags[k])
-            re1, im1 = _roll_gate(re1, im1, q, is_one, cs, col_qubits,
-                                  tile_rows, real_mat=real_flags[k])
-    out_re_ref[0, 0, 0] = re0
-    out_im_ref[0, 0, 0] = im0
-    out_re_ref[0, 1, 0] = re1
-    out_im_ref[0, 1, 0] = im1
+            tiles = [_roll_gate(re, im, q, is_one, cs, col_qubits,
+                                tile_rows, real_mat=real_flags[k])
+                     for (re, im) in tiles]
+    for combo, (re, im) in enumerate(tiles):
+        out_re_ref[ref_idx(combo)] = re
+        out_im_ref[ref_idx(combo)] = im
 
 
 def apply_fused_1q_layer(re: jnp.ndarray, im: jnp.ndarray,
@@ -242,20 +283,28 @@ def apply_fused_1q_layer(re: jnp.ndarray, im: jnp.ndarray,
                              real_flags=real_flags, interpret=interpret)
 
 
+MAX_PAIR_BITS = 3  # VMEM: 2^k paired tiles x (re+im) x (in+out) x double-
+                   # buffering; k=3 with 32-row tiles needs ~70 MiB of
+                   # v5e's 128 MiB physical VMEM (k=4 would exceed it)
+
+
 def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
                       specs: Sequence[Tuple],
                       gate_mats: jnp.ndarray,
-                      pair_bit: int = None,
+                      pair_bit=None,
                       real_flags: Sequence[bool] = None,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      pair_bits: Sequence[int] = None):
     """Apply a mixed gate list to the float-pair state in one HBM pass.
 
     specs: per-gate ("U", q) — dense 1q matrix ``gate_mats[k]`` on qubit q —
     or ("CNOT", control, target). gate_mats: float32 (K, 2, 2, 2) —
     [k, row, col, re/im] (rows for CNOT entries are ignored).
-    All referenced qubits must satisfy q <= max_kernel_qubit(n), except that
-    one extra high qubit equal to ``pair_bit`` (any index bit above the tile
-    region) is reachable via block pairing (_kernel_paired).
+    All referenced qubits must satisfy q <= max_kernel_qubit(n), except
+    that up to MAX_PAIR_BITS extra high qubits listed in ``pair_bits``
+    (index bits above the tile region) are reachable via block pairing
+    (_kernel_multi). ``pair_bit`` (scalar) is the backward-compatible
+    single-pair form.
     """
     n = (re.size).bit_length() - 1
     col = min(COL_QUBITS, n)
@@ -269,10 +318,18 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
         else (False,) * len(specs)
     if len(real_flags) != len(specs):
         raise ValueError("real_flags length must match specs")
-    in_tile = [q for q in all_qubits if q != pair_bit]
+    if pair_bits is None:
+        pair_bits = () if pair_bit is None else (int(pair_bit),)
+    pair_bits = tuple(sorted(int(p) for p in set(pair_bits)))
+    # only keep pair bits a gate actually touches (each costs 2x block size)
+    pair_bits = tuple(p for p in pair_bits if p in set(all_qubits))
+    in_tile = [q for q in all_qubits if q not in set(pair_bits)]
     if any(q >= limit for q in in_tile):
-        raise ValueError(f"kernel handles qubits < {limit} (or == pair_bit "
-                         f"{pair_bit}), got {specs}")
+        raise ValueError(f"kernel handles qubits < {limit} (or in pair_bits "
+                         f"{pair_bits}), got {specs}")
+    if len(pair_bits) > MAX_PAIR_BITS:
+        raise ValueError(f"at most {MAX_PAIR_BITS} pair bits per pass, got "
+                         f"{pair_bits}")
     C = 1 << col
     R = 1 << (n - col)
     tile_rows = min(tile_rows, R)
@@ -280,7 +337,7 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
     gspec = pl.BlockSpec((len(specs), 2, 2, 2),
                          lambda *idx: (0,) * 4, memory_space=pltpu.VMEM)
 
-    if pair_bit is None or all(q != pair_bit for q in all_qubits):
+    if not pair_bits:
         re2 = re.reshape(R, C)
         im2 = im.reshape(R, C)
         grid = (max(R // tile_rows, 1),)
@@ -302,44 +359,59 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
         )(gate_mats, re2, im2)
         return out_re.reshape(re.shape), out_im.reshape(im.shape)
 
-    pair_bit = int(pair_bit)
-    if not (limit <= pair_bit < n):
-        raise ValueError(f"pair_bit {pair_bit} must be a block bit in "
+    if not all(limit <= p < n for p in pair_bits):
+        raise ValueError(f"pair_bits {pair_bits} must be block bits in "
                          f"[{limit}, {n})")
-    # 5-D view exposing pair_bit as its own axis: (A, 2, B, T, C) where
-    # B covers bits [col+tile, pair_bit) and A bits (pair_bit, n).
+    # View exposing each pair bit as its own size-2 axis (highest pair bit
+    # outermost): (A_k, 2, A_{k-1}, 2, ..., A_0, T, C) where A_j covers the
+    # non-pair bits between adjacent pair bits (A_0: [col+tile, p_min)).
     t_log2 = tile_rows.bit_length() - 1
-    B = 1 << (pair_bit - col - t_log2)
-    A = 1 << (n - 1 - pair_bit)
-    shape5 = (A, 2, B, tile_rows, C)
-    re5 = re.reshape(shape5)
-    im5 = im.reshape(shape5)
-    grid = (A, B)
-    kernel = functools.partial(_kernel_paired, specs=specs,
+    k_pairs = len(pair_bits)
+    bounds = [limit] + [p + 1 for p in pair_bits]  # low edge above each pair
+    gaps = []  # A_j sizes, innermost first
+    for j, p in enumerate(pair_bits):
+        gaps.append(1 << (p - bounds[j]))
+    a_top = 1 << (n - 1 - pair_bits[-1])
+    shape = (a_top,)
+    for g in reversed(gaps):
+        shape = shape + (2, g)
+    shape = shape + (tile_rows, C)
+    # collapse T into A_0's axis? no — keep T, C as the final two axes
+    re_v = re.reshape(shape)
+    im_v = im.reshape(shape)
+    grid = (a_top,) + tuple(reversed(gaps))
+    kernel = functools.partial(_kernel_multi, specs=specs,
                                real_flags=real_flags,
-                               pair_bit=pair_bit, col_qubits=col,
+                               pair_bits=pair_bits, col_qubits=col,
                                tile_rows=tile_rows)
-    block = pl.BlockSpec((1, 2, 1, tile_rows, C),
-                         lambda a, b: (a, 0, b, 0, 0),
-                         memory_space=pltpu.VMEM)
-    # the paired blocks are 2x the unpaired ones; the default scoped-vmem
-    # limit (16 MiB) falls ~1.6 MiB short of the double-buffered in/out set,
-    # so raise it (fine: v5e physical VMEM is 128 MiB)
+    block_shape = (1,) + (2, 1) * k_pairs + (tile_rows, C)
+
+    def index_map(*idx):
+        # idx = (a_top_idx, gap_{k-1}, ..., gap_0)
+        out = [idx[0]]
+        for j in range(k_pairs):
+            out.extend((0, idx[1 + j]))
+        return tuple(out) + (0, 0)
+
+    block = pl.BlockSpec(block_shape, index_map, memory_space=pltpu.VMEM)
+    # paired blocks are 2^k x the unpaired ones; scoped-vmem must hold the
+    # double-buffered in/out set (v5e physical VMEM is 128 MiB)
     params = {}
     if not interpret:
+        mib = 32 * (1 << max(0, k_pairs - 1))
         params["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024)
+            vmem_limit_bytes=min(mib, 100) * 1024 * 1024)
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[gspec, block, block],
         out_specs=(block, block),
-        out_shape=(jax.ShapeDtypeStruct(shape5, jnp.float32),
-                   jax.ShapeDtypeStruct(shape5, jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct(shape, jnp.float32),
+                   jax.ShapeDtypeStruct(shape, jnp.float32)),
         input_output_aliases={1: 0, 2: 1},
         interpret=interpret,
         **params,
-    )(gate_mats, re5, im5)
+    )(gate_mats, re_v, im_v)
     return out_re.reshape(re.shape), out_im.reshape(im.shape)
 
 

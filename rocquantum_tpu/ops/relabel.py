@@ -1,21 +1,25 @@
-"""Full-qubit-range fused 1q layers: kernel passes + index-bit rotations.
+"""Full-qubit-range fused gate layers: multi-pair kernel-pass scheduling.
 
 The fused Pallas kernel (ops/pallas_sv.py) reaches qubits inside one VMEM
-block — columns + tile rows (17 at the default geometry) plus one arbitrary
-"pair bit" above. Gates on higher qubits are reached by RELABELING: rotating
-the index-bit region [ROT_LO, n) so pending qubits land inside the kernel's
-window, then rotating back at the end. Rotations are one HBM pass each: a
-Pallas copy kernel whose block index maps encode the bit rotation (large n;
-default-layout output, no relayout copies) or a rank-3 XLA transpose whose
-minor dimension stays >= the 128-float lane register (small n; the padding
-hazard tests/test_fusion_passes.py guards against).
+block — columns + tile rows (17 at the default geometry) plus up to
+MAX_PAIR_BITS arbitrary "pair bits" above (each exposed as its own size-2
+block axis, so partner tiles share the block and the gate is an in-register
+cross-tile combine). The planner here packs a whole gate list (1q + CNOT)
+into the minimum such passes, dependency-aware.
+
+This replaces the round-2 index-bit-ROTATION scheme (rotate the bit region
+[ROT_LO, n) so pending qubits land in the window): a rotation is a full
+extra HBM pass that holds two live states (the n=30 HBM-OOM of record),
+while block pairing reaches the same bits with zero extra passes, fully
+in place (in/out aliased). A 29-qubit 1q layer went from 3 kernel passes +
+3 rotations to 4 kernel passes total; n=30 (where rotations could not run
+at all) from 13 pair-bit-only passes to 5. The rotation kernels are kept
+below for layout utilities and tests.
 
 This is the single-chip analog of the reference's rocsvSwapIndexBits
 index-bit relabeling (hipStateVec.h:135-137, MULTI_GPU_GUIDE.md:44-51): the
-reference localizes non-local qubits with an explicit alltoallv; here a
-layout rotation localizes out-of-window qubits for the fused kernel, and
-1q gates on distinct qubits commute, so a whole multi-layer run schedules
-into ~one kernel pass + one rotation per 11 covered qubits.
+reference localizes non-local qubits with an explicit alltoallv; here the
+block index maps of the pallas pass localize them for free.
 """
 
 from __future__ import annotations
@@ -35,10 +39,17 @@ ROT_LO = 7  # rotations never touch bits [0, 7): 2^7 = 128-float lane register
 class KernelPass:
     """One fused-kernel HBM pass: ``gate_idx[k]`` (index into the caller's
     gate list) applies at the physical bit(s) ``positions[k]`` (a 1-tuple
-    for 1q gates, (control, target) for CNOT)."""
+    for 1q gates, (control, target) for CNOT). ``pair_bits`` are the
+    out-of-window bits this pass reaches via block pairing (up to
+    pallas_sv.MAX_PAIR_BITS; each doubles the kernel's VMEM block)."""
     gate_idx: Tuple[int, ...]
     positions: Tuple[Tuple[int, ...], ...]
-    pair_bit: int  # -1 when unused
+    pair_bits: Tuple[int, ...] = ()
+
+    @property
+    def pair_bit(self) -> int:
+        """Single-pair back-compat view (-1 when unused)."""
+        return self.pair_bits[0] if self.pair_bits else -1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,85 +151,77 @@ MAX_ROTATION_QUBITS = 29  # above this, rotation temps exceed 16 GiB HBM:
                           # n=30), so plans go pair-bit-only instead
 
 
-def _items_to_plan(n: int, supports, items) -> List[object]:
-    """Rebuild KernelPass/Rotation objects (with positions) from the native
+def _items_to_plan(supports, items) -> List[object]:
+    """Rebuild KernelPass objects (with positions) from the native
     scheduler's compact records."""
-    size = n - ROT_LO
-    rot = 0
-
-    def pos(q: int) -> int:
-        if q < ROT_LO:
-            return q
-        return ROT_LO + ((q - ROT_LO - rot) % size)
-
     plan: List[object] = []
     for item in items:
-        if item[0] == "rot":
-            plan.append(Rotation(item[1]))
-            rot = (rot + item[1]) % size
-        else:
-            _, pair, idx = item
-            plan.append(KernelPass(
-                gate_idx=idx,
-                positions=tuple(tuple(pos(q) for q in supports[i])
-                                for i in idx),
-                pair_bit=pair))
+        _, pairs, idx = item
+        plan.append(KernelPass(
+            gate_idx=idx,
+            positions=tuple(supports[i] for i in idx),
+            pair_bits=tuple(pairs)))
     return plan
 
 
 def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
                     pair_ok: bool = True,
-                    allow_rotations: bool = None) -> List[object]:
+                    allow_rotations: bool = None,
+                    max_pairs: int = None) -> List[object]:
     """Schedule gates (1q or 2q, given by their qubit ``supports``) into
-    KernelPass / Rotation items covering ALL n qubits.
+    KernelPass items covering ALL n qubits.
 
-    ``reach`` is the highest in-tile qubit + 1 (col + tile bits). Gates whose
-    current positions are all < reach go through rolls; one extra position
-    >= reach per pass rides the pair-bit path. Scheduling is
-    dependency-aware: gates with disjoint supports commute (may share or
-    swap passes), while a gate never overtakes an earlier gate touching any
-    of its qubits. The plan always restores the identity labeling.
+    ``reach`` is the highest in-tile qubit + 1 (col + tile bits). Gates
+    whose qubits are all < reach go through rolls; up to ``max_pairs``
+    (default pallas_sv.MAX_PAIR_BITS) extra bits >= reach per pass ride the
+    block-pairing path — including 2q gates with BOTH qubits out of the
+    window (two pair bits). Scheduling is dependency-aware: gates with
+    disjoint supports commute (may share or swap passes), while a gate
+    never overtakes an earlier gate touching any of its qubits.
+
+    Multi-pair block pairing made index-bit rotations obsolete (a rotation
+    is a full extra HBM pass and holds 2 live states; pairing reaches the
+    same bits in-place inside the gate pass) — ``allow_rotations`` is
+    accepted for back-compat and ignored. With ``max_pairs >= 2`` every
+    layer schedules without relabeling.
 
     The scheduling loop runs in native C++ (native/fusion_planner.cpp, the
     analog of the reference's host-side GateFusion.cpp) with this Python
     implementation as fallback and differential-test oracle.
     """
+    del allow_rotations  # rotations superseded by multi-pair block pairing
     supports = [tuple(int(q) for q in s) for s in supports]
     if any(q >= n for s in supports for q in s):
         raise ValueError(f"qubit out of range for n={n}: {supports}")
-    if allow_rotations is None:
-        allow_rotations = n <= MAX_ROTATION_QUBITS
+    if max_pairs is None:
+        from .pallas_sv import MAX_PAIR_BITS
+        max_pairs = MAX_PAIR_BITS
+    if not pair_ok:
+        max_pairs = 0
+    if any(len([q for q in s if q >= reach]) > max(max_pairs, 0)
+           for s in supports):
+        raise ValueError(
+            f"a gate has more out-of-window qubits than max_pairs="
+            f"{max_pairs} at reach={reach}: {supports}")
 
-    from ._native_planner import Unschedulable, plan_layer_native
-    try:
-        native = plan_layer_native(n, supports, reach, pair_ok,
-                                   allow_rotations)
-    except Unschedulable as exc:
-        raise ValueError(str(exc)) from exc
+    from ._native_planner import plan_layer_native
+    native = plan_layer_native(n, supports, reach, max_pairs)
     if native is not None:
-        return _items_to_plan(n, supports, native)
-
-    size = n - ROT_LO
-    rot = 0  # accumulated downward rotation
-
-    def pos(q: int) -> int:
-        if q < ROT_LO:
-            return q
-        return ROT_LO + ((q - ROT_LO - rot) % size)
+        return _items_to_plan(supports, native)
 
     pending = list(range(len(supports)))  # gate indices, original order
 
-    def scan(pair: int):
+    def scan(pairs):
         """List-schedule one pass: take gates in order whose qubits are not
         blocked by an earlier unscheduled gate and whose positions fit the
-        window (+ pair)."""
+        window or the pair set."""
         taken, blocked = [], set()
         for i in pending:
             s = supports[i]
             if any(q in blocked for q in s):
                 blocked |= set(s)
                 continue
-            if all(pos(q) < reach or pos(q) == pair for q in s):
+            if all(q < reach or q in pairs for q in s):
                 taken.append(i)
             else:
                 blocked |= set(s)
@@ -226,51 +229,33 @@ def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
 
     plan: List[object] = []
     while pending:
-        take = scan(-1)
-        pair = -1
-        if pair_ok:
-            # candidate pair bits: out-of-window positions used by pending
-            # gates; pick the one scheduling the most gates
-            cands = sorted({pos(q) for i in pending for q in supports[i]
-                            if pos(q) >= reach})
+        # seed with the head gate's out-of-window bits (guarantees
+        # progress), then greedily add the pair bit that schedules the most
+        # extra gates (ascending candidate order; strict improvement only —
+        # bit-identical to the native scheduler)
+        pairs = {q for q in supports[pending[0]] if q >= reach}
+        take = scan(pairs)
+        while len(pairs) < max_pairs:
+            cands = sorted({q for i in pending for q in supports[i]
+                            if q >= reach} - pairs)
+            best, best_take = None, take
             for p in cands:
-                t = scan(p)
-                if len(t) > len(take):
-                    take, pair = t, p
+                t = scan(pairs | {p})
+                if len(t) > len(best_take):
+                    best, best_take = p, t
+            if best is None:
+                break
+            pairs.add(best)
+            take = best_take
         if not take:
-            if not allow_rotations:
-                raise ValueError(
-                    "gate needs two out-of-window qubits; rotations are "
-                    f"disabled at n={n} (pair-bit-only scheduling)")
             raise AssertionError("scheduler made no progress")
+        used = {q for i in take for q in supports[i] if q >= reach}
         plan.append(KernelPass(
             gate_idx=tuple(take),
-            positions=tuple(tuple(pos(q) for q in supports[i])
-                            for i in take),
-            pair_bit=pair))
+            positions=tuple(supports[i] for i in take),
+            pair_bits=tuple(sorted(used))))
         taken_set = set(take)
         pending = [i for i in pending if i not in taken_set]
-        if pending and not allow_rotations:
-            continue  # next round: another pair-bit pass
-        if pending:
-            # rotate so the first pending gate's lowest out-of-window
-            # position lands at ROT_LO (its other position, if any, is then
-            # coverable by the pair bit -> progress is guaranteed)
-            g0 = pending[0]
-            outpos = [pos(q) for q in supports[g0] if pos(q) >= reach]
-            if not outpos:
-                # first pending gate already fits: it must have been blocked
-                # only by reachability of later... cannot happen (no deps
-                # before it); defend anyway by rotating the global minimum
-                outpos = [pos(q) for i in pending for q in supports[i]
-                          if pos(q) >= reach]
-            shift = min(outpos) - ROT_LO
-            if shift == 0:
-                raise AssertionError("pending qubit already in window")
-            rot = (rot + shift) % size
-            plan.append(Rotation(shift))
-    if rot % size:
-        plan.append(Rotation((-rot) % size))
     return plan
 
 
@@ -296,7 +281,9 @@ def execute_plan(re: jnp.ndarray, im: jnp.ndarray, plan: List[object],
 
     for item in plan:
         if isinstance(item, Rotation):
-            # serialize the two transposes: scheduled concurrently they hold
+            # legacy item kind (plan_full_layer no longer emits rotations;
+            # multi-pair block pairing reaches every bit in place).
+            # Serialize the two transposes: scheduled concurrently they hold
             # 2 full states (in+out each) = 16 GiB at n=30. A true data
             # dependency caps peak at 1.5 states — injected as an in-place
             # one-element update (a full-array multiply MATERIALIZED a 4 GiB
@@ -308,13 +295,13 @@ def execute_plan(re: jnp.ndarray, im: jnp.ndarray, plan: List[object],
             im = rotate_region(im_dep, n, item.shift, interpret=interpret)
         else:
             gm = gate_mats[np.asarray(item.gate_idx)]
-            pair = item.pair_bit if item.pair_bit >= 0 else None
             flags = tuple(real_flags[i] for i in item.gate_idx) \
                 if real_flags is not None else None
             specs = tuple(
                 ((kinds[i] if kinds is not None else "U"),) + tuple(p)
                 for i, p in zip(item.gate_idx, item.positions))
             re, im = apply_fused_layer(re, im, specs, gm,
-                                       pair_bit=pair, real_flags=flags,
+                                       pair_bits=item.pair_bits,
+                                       real_flags=flags,
                                        interpret=interpret)
     return re, im

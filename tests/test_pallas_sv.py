@@ -127,25 +127,37 @@ def test_rotate_bits_down_roundtrip():
     assert float(r[1 << 7]) == 1.0
 
 
-def test_plan_full_layer_covers_everything_and_restores():
+def test_plan_full_layer_covers_everything():
     n = 29
     reach = 17
     qubits = list(range(n))
     plan = plan_full_1q_layer(n, qubits, reach)
     covered = []
-    rot = 0
-    size = n - 7
     for item in plan:
-        if isinstance(item, Rotation):
-            rot = (rot + item.shift) % size
-        else:
-            covered.extend(item.gate_idx)
+        assert isinstance(item, KernelPass)  # rotations are never emitted
+        covered.extend(item.gate_idx)
+        assert len(item.pair_bits) <= 3
+        assert all(p >= reach for p in item.pair_bits)
     assert sorted(covered) == list(range(n))
-    assert rot == 0  # identity restored
-    k_passes = [p for p in plan if isinstance(p, KernelPass)]
-    rots = [p for p in plan if isinstance(p, Rotation)]
-    # full 29-qubit layer: 2 kernel passes + 2 rotations
-    assert len(k_passes) == 2 and len(rots) == 2
+    # full 29-qubit layer: window pass + 3 pair bits, then 3 pair bits per
+    # pass for the remaining 9 high qubits = 4 passes total (the rotation
+    # scheme needed 3 passes + 3 full-state rotation copies)
+    assert len(plan) == 4
+
+
+def test_plan_handles_2q_both_out_of_window():
+    # CNOT with control AND target above the window: two pair bits in one
+    # pass (previously unschedulable without rotations)
+    n = 30
+    reach = 17
+    supports = [(28, 22), (5,), (22,)]
+    plan = plan_full_layer(n, supports, reach)
+    assert all(isinstance(p, KernelPass) for p in plan)
+    first = plan[0]
+    assert 0 in first.gate_idx
+    assert set(first.pair_bits) >= {22, 28}
+    order = [i for p in plan for i in p.gate_idx]
+    assert order.index(0) < order.index(2)  # dependency kept (qubit 22)
 
 
 @pytest.mark.parametrize("n,qubits", [
@@ -258,6 +270,32 @@ def test_plan_respects_cnot_dependencies():
             assert list(item.gate_idx) == sorted(item.gate_idx)
 
 
+def test_multi_pair_cnot_both_high_matches_reference():
+    # CNOTs whose control AND target are both above the roll window ride
+    # two pair bits in one pass (no dense fallback, no relabeling)
+    n = 20
+    limit = max_kernel_qubit(n) + 1
+    assert limit == 17
+    state = rand_state(n, 55)
+    eye = np.eye(2, dtype=np.complex64)
+    specs = [("U", 19), ("CNOT", 19, 17), ("CNOT", 18, 3), ("U", 17),
+             ("CNOT", 2, 18), ("U", 5)]
+    mats = [_ry(0.7), eye, eye, np.asarray(g.H), eye, _ry(1.3)]
+    expected = reference_apply_specs(state, specs, mats)
+    supports = [s[1:] for s in specs]
+    plan = plan_full_layer(n, supports, limit)
+    kinds = [s[0] for s in specs]
+    from rocquantum_tpu.ops.relabel import execute_plan as run_plan
+    re = jnp.real(jnp.asarray(state))
+    im = jnp.imag(jnp.asarray(state))
+    re, im = run_plan(re, im, plan, jnp.asarray(pack_gate_mats(mats)), n,
+                      kinds=kinds, interpret=True)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, expected, atol=2e-5)
+    # all in ONE pass: every gate fits window ∪ {17, 18, 19}
+    assert len(plan) == 1 and set(plan[0].pair_bits) == {17, 18, 19}
+
+
 def test_full_ansatz_layer_with_relabel_matches_reference():
     # hardware-efficient ansatz layer: RY column + CNOT ring, n=20 (spans
     # the window boundary) — via plan_full_layer + execute_plan
@@ -291,7 +329,7 @@ def test_full_ansatz_layer_with_relabel_matches_reference():
 # Native C++ scheduler parity (native/fusion_planner.cpp)
 # ---------------------------------------------------------------------------
 
-def _python_plan(n, supports, reach, pair_ok=True, allow_rotations=None):
+def _python_plan(n, supports, reach, pair_ok=True, max_pairs=None):
     """Force the pure-Python scheduling path."""
     import rocquantum_tpu.ops._native_planner as npl
     import rocquantum_tpu.ops.relabel as rl
@@ -299,7 +337,7 @@ def _python_plan(n, supports, reach, pair_ok=True, allow_rotations=None):
     npl.plan_layer_native = lambda *a, **k: None
     try:
         return rl.plan_full_layer(n, supports, reach, pair_ok=pair_ok,
-                                  allow_rotations=allow_rotations)
+                                  max_pairs=max_pairs)
     finally:
         npl.plan_layer_native = orig
 
@@ -320,19 +358,7 @@ def test_native_planner_matches_python_oracle():
                 a = int(rng.integers(0, n))
                 b = int((a + 1 + rng.integers(0, n - 1)) % n)
                 supports.append((a, b))
-        for allow_rot in (True, False):
-            try:
-                py = _python_plan(n, supports, reach,
-                                  allow_rotations=allow_rot)
-                py_err = None
-            except ValueError as e:
-                py, py_err = None, str(e)
-            try:
-                nat = plan_full_layer(n, supports, reach,
-                                      allow_rotations=allow_rot)
-                nat_err = None
-            except ValueError as e:
-                nat, nat_err = None, str(e)
-            assert (py_err is None) == (nat_err is None), (trial, allow_rot)
-            if py_err is None:
-                assert py == nat, (trial, allow_rot, py, nat)
+        for max_pairs in (2, 3):
+            py = _python_plan(n, supports, reach, max_pairs=max_pairs)
+            nat = plan_full_layer(n, supports, reach, max_pairs=max_pairs)
+            assert py == nat, (trial, max_pairs, py, nat)
