@@ -122,11 +122,18 @@ class TensorNetwork:
 
     # -- execution -----------------------------------------------------------
 
-    def contract(self, optimizer_config: Union[OptimizerConfig, dict, None] = None
-                 ) -> Tensor:
+    def contract(self, optimizer_config: Union[OptimizerConfig, dict, None] = None,
+                 mesh=None, axis_name: Optional[str] = None) -> Tensor:
         """Find a path and execute it, slicing any step whose output exceeds
         the memory limit (rocTensorNetworkContract, hipTensorNet.cpp:618-625
-        + slicing path :450-569)."""
+        + slicing path :450-569).
+
+        With ``mesh`` (a jax.sharding.Mesh) and ``axis_name``, the slice
+        loop of each sliced step DISTRIBUTES over that mesh axis: every
+        device contracts its subset of slices and the partials combine with
+        one psum — TN slicing as the cross-device scaling axis (SURVEY §2
+        parallelism row 5; the reference looped slices serially on one GPU,
+        hipTensorNet.cpp:503-530)."""
         if not self.tensors:
             raise ValueError("network has no tensors")
         if isinstance(optimizer_config, dict):
@@ -135,8 +142,11 @@ class TensorNetwork:
             cfg = optimizer_config or OptimizerConfig()
         if cfg.memory_limit_bytes is None:
             cfg.memory_limit_bytes = self.memory_limit_bytes
+        if (mesh is None) != (axis_name is None):
+            raise ValueError("pass mesh and axis_name together")
 
-        jit_body, datas, out_labels_box, plan = self._build_runner(cfg)
+        jit_body, datas, out_labels_box, plan = self._build_runner(
+            cfg, mesh=mesh, axis_name=axis_name)
         result_data = jax.jit(jit_body)(*datas)
         return Tensor(result_data, out_labels_box[0] if out_labels_box
                       else self._traced_labels(plan))
@@ -156,13 +166,17 @@ class TensorNetwork:
         jit_body, datas, _, _ = self._build_runner(cfg)
         return jax.jit(jit_body).lower(*datas).compile().memory_analysis()
 
-    def _build_runner(self, cfg: OptimizerConfig):
+    def _build_runner(self, cfg: OptimizerConfig, mesh=None,
+                      axis_name: Optional[str] = None):
         plan = self._plan(cfg)
         self.last_plan = plan
         itemsize = np.dtype(config.complex_dtype()).itemsize
         limit_elems = (cfg.memory_limit_bytes // itemsize
                        if cfg.memory_limit_bytes else None)
         min_slices = int(getattr(cfg, "num_slices", 0) or 0)
+        if mesh is not None:
+            # every device must own at least one slice
+            min_slices = max(min_slices, int(mesh.shape[axis_name]))
 
         tensors = list(self.tensors)
         datas = [t.data for t in tensors]
@@ -185,7 +199,9 @@ class TensorNetwork:
                 if (limit_elems is not None and out_elems > limit_elems) \
                         or force > 1:
                     result = self._sliced_pair(a, b, step.out_labels, keep,
-                                               limit_elems, force)
+                                               limit_elems, force,
+                                               mesh=mesh,
+                                               axis_name=axis_name)
                 else:
                     result = contract_pair(a, b, keep=keep)
                     # enforce planned output label set
@@ -219,7 +235,8 @@ class TensorNetwork:
 
     def _sliced_pair(self, a: Tensor, b: Tensor, out_labels, keep,
                      limit_elems: Optional[int],
-                     min_slices: int = 1) -> Tensor:
+                     min_slices: int = 1, mesh=None,
+                     axis_name: Optional[str] = None) -> Tensor:
         """Slice the largest free (output) indices of a violating contraction
         and stitch partial results (selectSliceIndex hipTensorNet.cpp:398-448
         + executeSlicedContraction :450-569).
@@ -265,11 +282,19 @@ class TensorNetwork:
                 raise MemoryError(
                     f"contraction output of {out_elems} elements cannot be "
                     f"sliced under the memory limit ({limit_elems} elements)")
-        # honor a user-requested minimum slice count (hipTensorNet_api.h:35)
+        # honor a user-requested minimum slice count (hipTensorNet_api.h:35):
+        # free (output) labels first — their slabs write disjoint regions —
+        # then CONTRACTED labels, whose partial products accumulate into the
+        # output (sum over slices). Contracted-index slicing is what makes
+        # scalar/small-output contractions (amplitude and expectation
+        # workloads, where there may be no free label at all) sliceable.
         total = int(np.prod([c for _, c in chunks_of.items()] or [1],
                             dtype=np.int64))
+        contracted_sorted = sorted(
+            (l for l in dims if l not in set(out_labels)),
+            key=lambda l: -dims[l])
         if min_slices > 1:
-            for l in free_sorted:
+            for l in free_sorted + contracted_sorted:
                 if total >= min_slices:
                     break
                 cur = chunks_of.get(l, 1)
@@ -278,7 +303,9 @@ class TensorNetwork:
                 if c > cur:
                     total = total // cur * c
                     chunks_of[l] = c
-            specs = [(l, chunks_of[l]) for l in free_sorted if l in chunks_of]
+            specs = [(l, chunks_of[l])
+                     for l in free_sorted + contracted_sorted
+                     if l in chunks_of]
         if not specs:
             return contract_pair(a, b, keep=keep)
 
@@ -289,15 +316,17 @@ class TensorNetwork:
         a_labels, b_labels = list(a.labels), list(b.labels)
         out_shape = tuple(dims[l] for l in out_labels)
         dtype = jnp.result_type(a.data.dtype, b.data.dtype)
+        accumulate = any(l not in set(out_labels) for l, _ in specs)
+        slab_shape = tuple(csize.get(l, dims[l]) for l in out_labels)
 
-        def body(k, out):
-            # decode k -> chunk start per sliced label (row-major over specs)
+        def slab_at(k, ad_full, bd_full):
+            """(partial slab, output offsets) for slice index k."""
             rem = k
             starts: Dict[str, jnp.ndarray] = {}
             for l, c in reversed(specs):
                 starts[l] = (rem % c) * csize[l]
                 rem = rem // c
-            ad, bd = a.data, b.data
+            ad, bd = ad_full, bd_full
             for l, _ in specs:
                 if l in a_labels:
                     ad = jax.lax.dynamic_slice_in_dim(
@@ -305,14 +334,59 @@ class TensorNetwork:
                 if l in b_labels:
                     bd = jax.lax.dynamic_slice_in_dim(
                         bd, starts[l], csize[l], axis=b_labels.index(l))
-            # sliced labels stay as (chunk-sized) output axes, so the slab
-            # has exactly the out_labels axis order
+            # sliced free labels stay as (chunk-sized) output axes, so the
+            # slab has exactly the out_labels axis order; sliced contracted
+            # labels are summed inside the einsum (partial products)
             part = _einsum_pair(ad, a_labels, bd, b_labels, out_labels)
             offs = tuple(starts.get(l, 0) for l in out_labels)
-            return jax.lax.dynamic_update_slice(out, part.astype(dtype), offs)
+            return part.astype(dtype), offs
 
-        out = jax.lax.fori_loop(0, total, body,
-                                jnp.zeros(out_shape, dtype))
+        def body(k, out):
+            part, offs = slab_at(k, a.data, b.data)
+            if accumulate:
+                # the same output region receives one partial per contracted
+                # slice: read-modify-write (the reference's accumulate-at-
+                # offset kernel, AccumulationKernels.hip.cpp:8-33)
+                cur = jax.lax.dynamic_slice(out, offs, slab_shape)
+                part = cur + part
+            return jax.lax.dynamic_update_slice(out, part, offs)
+
+        if mesh is None:
+            out = jax.lax.fori_loop(0, total, body,
+                                    jnp.zeros(out_shape, dtype))
+            return Tensor(out, tuple(out_labels))
+
+        # distributed: each device runs ceil(total/ndev) slices and the
+        # per-device partial outputs combine with ONE psum — free-sliced
+        # slabs land in disjoint zero regions, contracted-sliced slabs
+        # accumulate, so a plain sum merges both
+        from jax.sharding import PartitionSpec as P
+
+        ndev = int(mesh.shape[axis_name])
+        per_dev = -(-total // ndev)
+
+        def local_fn(ad_full, bd_full):
+            base = jax.lax.axis_index(axis_name) * per_dev
+
+            def dev_body(j, out):
+                k = base + j
+                valid = (k < total).astype(dtype)
+                part, offs = slab_at(jnp.minimum(k, total - 1),
+                                     ad_full, bd_full)
+                cur = jax.lax.dynamic_slice(out, offs, slab_shape)
+                return jax.lax.dynamic_update_slice(out, cur + part * valid,
+                                                    offs)
+
+            # the carry starts unvarying (zeros) but the body output varies
+            # over the mesh axis (axis_index): mark it varying up front
+            init = jax.lax.pcast(jnp.zeros(out_shape, dtype), (axis_name,),
+                                 to="varying")
+            local = jax.lax.fori_loop(0, per_dev, dev_body, init)
+            return jax.lax.psum(local, axis_name)
+
+        out = jax.shard_map(local_fn, mesh=mesh,
+                            in_specs=(P(), P()), out_specs=P())(
+                                a.data, b.data)
         return Tensor(out, tuple(out_labels))
 
 
