@@ -65,12 +65,50 @@ def _gate_items_2n(n, name, tgt, ctrl, vals, mat_key, adj):
     return None, None
 
 
+def _gate_items_2n_sched(n, name, tgt, ctrl, vals, mat_key, adj):
+    """(row_op, col_op) like :func:`_gate_items_2n`, but ``vals`` may be the
+    flush's ("slots", i...) marker: parameter slots are re-encoded as
+    ("sslots", (slot, sign), ...) so the col side's sign flips survive until
+    the traced resolution inside ``run`` (the sharded path schedules ops
+    BEFORE tracing, so it cannot embed traced values)."""
+    from .compiler.ir import GateOp
+
+    if not (vals and vals[0] == "slots"):
+        return _gate_items_2n(n, name, tgt, ctrl, vals, mat_key, adj)
+    slots = vals[1:]
+    key = name.upper()
+    row_params = ("sslots",) + tuple((i, 1.0) for i in slots)
+    row = GateOp(key, tuple(q + n for q in tgt), tuple(q + n for q in ctrl),
+                 row_params, None, adj)
+    if key in _CONJ_SELF:
+        col_params = row_params
+    elif key in _CONJ_NEGATE:
+        col_params = ("sslots",) + tuple((i, -1.0) for i in slots)
+    elif key == "U3" and len(slots) == 3:
+        col_params = ("sslots", (slots[0], 1.0), (slots[1], -1.0),
+                      (slots[2], -1.0))
+    else:
+        return None, None
+    col = GateOp(key, tuple(tgt), tuple(ctrl), col_params, None, adj)
+    return row, col
+
+
 class DensityCircuit(_GateMethods):
     """Gate+channel queue over a density matrix; flush compiles the queued
-    segment into one jitted program (structure-cached, angles dynamic)."""
+    segment into one jitted program (structure-cached, angles dynamic).
+
+    With ``mesh`` (a jax.sharding.Mesh with an 'sv' axis), rho — the
+    flattened 2n-qubit view — is SHARDED over the mesh: the top index bits
+    (high ROW qubits) select the device, and the flush routes the whole
+    segment through the qubit-locality scheduler
+    (compiler/sharded_schedule.py), relabeling index bits via all-to-all so
+    gates and Kraus channels always touch local bits — never the
+    all-gather fallback of the bare XLA partitioner. This extends the
+    reference's multi-GPU design (MULTI_GPU_GUIDE.md:19-59, statevector
+    only) to the density engine."""
 
     def __init__(self, num_qubits: int, simulator: Simulator,
-                 noise_model=None):
+                 noise_model=None, mesh=None):
         if not isinstance(simulator, Simulator):
             raise TypeError("A valid Simulator instance is required.")
         if num_qubits < 0:
@@ -79,8 +117,23 @@ class DensityCircuit(_GateMethods):
         self.simulator = simulator
         self.noise_model = noise_model
         self.batch_size = 1
+        self.mesh = mesh
+        self._layout2n: List[int] = list(range(2 * num_qubits))
         self._queue: List[tuple] = []
         self._rho: Optional[jax.Array] = None
+        if mesh is not None:
+            from .parallel.sharded import num_global_qubits
+            n_global = num_global_qubits(mesh)
+            if n_global >= 2 * num_qubits:
+                raise ValueError(
+                    f"mesh has {n_global} device-selecting bits but rho has "
+                    f"only {2 * num_qubits} index bits")
+
+    def _sharding(self):
+        if self.mesh is None:
+            return None
+        from .parallel.sharded import state_sharding
+        return state_sharding(self.mesh)
 
     # -- queueing -------------------------------------------------------------
 
@@ -117,11 +170,17 @@ class DensityCircuit(_GateMethods):
 
     # -- execution --------------------------------------------------------------
 
+    def _init_rho(self):
+        n = self.num_qubits
+        sh = self._sharding()
+        if sh is None:
+            return jax.jit(lambda: dmops.init_density(n))()
+        return jax.jit(lambda: dmops.init_density(n), out_shardings=sh)()
+
     def flush(self):
         if not self._queue:
             if self._rho is None:
-                n = self.num_qubits
-                self._rho = jax.jit(lambda: dmops.init_density(n))()
+                self._rho = self._init_rho()
             return
         # split angles into a runtime vector for structure-keyed caching
         key_items, values = [], []
@@ -133,6 +192,8 @@ class DensityCircuit(_GateMethods):
             else:
                 key_items.append(item)
         key_items = tuple(key_items)
+        if self.mesh is not None:
+            return self._flush_sharded(key_items, values)
         cache_key = (self.num_qubits, key_items, config.get_precision())
         fn = _DM_RUN_CACHE.get(cache_key)
         if fn is None:
@@ -183,26 +244,138 @@ class DensityCircuit(_GateMethods):
             fn = jax.jit(run, donate_argnums=(0,))
             _DM_RUN_CACHE[cache_key] = fn
         if self._rho is None:
-            n = self.num_qubits
-            self._rho = jax.jit(lambda: dmops.init_density(n))()
+            self._rho = self._init_rho()
         params = jnp.asarray(values, dtype=config.real_dtype())
         self._rho = fn(self._rho, params)
         self._queue.clear()
 
+    def _flush_sharded(self, key_items, values):
+        """Sharded flush: schedule the segment's 2n-qubit ops through the
+        qubit-locality scheduler (SWAP_BITS relabels -> all-to-all, never
+        all-gather) and execute under the rho sharding. Kraus channels ride
+        placeholder ops so their row/col bits get localized like any gate's,
+        then apply positionally (dmops.apply_kraus_at)."""
+        import dataclasses as _dc
+
+        from .compiler.ir import GateOp
+        from .compiler.sharded_schedule import SWAP_BITS, schedule_for_sharding
+        from .parallel.sharded import num_global_qubits
+
+        n = self.num_qubits
+        n2 = 2 * n
+        sharding = self._sharding()
+        pseudo: List[GateOp] = []
+        kraus_table: List[tuple] = []  # ("channel", name, p, m)|("mats", mats, None, m)
+        for item in key_items:
+            kind = item[0]
+            if kind == "gate":
+                _, name, tgt, ctrl, vals, mat_key, adj = item
+                row, col = _gate_items_2n_sched(n, name, tgt, ctrl, vals,
+                                                mat_key, adj)
+                if row is None:
+                    raise NotImplementedError(
+                        f"gate {name!r} has no named conjugation rule; the "
+                        "sharded density path supports named and matrix "
+                        "gates")
+                pseudo.extend((row, col))
+            elif kind == "channel":
+                _, channel, prob, tgt = item
+                for q in tgt:
+                    idx = len(kraus_table)
+                    kraus_table.append(("channel", channel, prob, 1))
+                    pseudo.append(GateOp(f"__KRAUS_{idx}__", (q + n, q)))
+            else:  # kraus
+                _, mats, tgt = item
+                idx = len(kraus_table)
+                kraus_table.append(("mats", mats, None, len(tgt)))
+                pseudo.append(GateOp(
+                    f"__KRAUS_{idx}__",
+                    tuple(q + n for q in tgt) + tuple(tgt)))
+        sched, new_layout = schedule_for_sharding(
+            pseudo, n2, num_global_qubits(self.mesh), self._layout2n)
+        cache_key = ("sharded", n, key_items, tuple(self._layout2n),
+                     self.mesh, config.get_precision())
+        fn = _DM_RUN_CACHE.get(cache_key)
+        if fn is None:
+            def run(rho, params):
+                from .compiler.interpreter import execute as _exec
+                pending: List[GateOp] = []
+
+                def drain(rho):
+                    if pending:
+                        rho = _exec(rho, list(pending), None,
+                                    sharding=sharding)
+                        pending.clear()
+                    return rho
+
+                for op in sched:
+                    if op.name.startswith("__KRAUS_"):
+                        rho = drain(rho)
+                        idx = int(op.name[len("__KRAUS_"):-2])
+                        rec = kraus_table[idx]
+                        if rec[0] == "channel":
+                            ks = [jnp.asarray(m, rho.dtype)
+                                  for m in dmops.CHANNELS[rec[1]](rec[2])]
+                        else:
+                            ks = [jnp.asarray(
+                                np.frombuffer(b, np.complex128).reshape(sh),
+                                rho.dtype) for b, sh in rec[1]]
+                        m = rec[3]
+                        rho = dmops.apply_kraus_at(rho, ks,
+                                                   list(op.targets[:m]),
+                                                   list(op.targets[m:]))
+                        rho = jax.lax.with_sharding_constraint(rho, sharding)
+                        continue
+                    if op.params and op.params[0] == "sslots":
+                        vals = tuple(s * params[i] for i, s in op.params[1:])
+                        op = _dc.replace(op, params=vals)
+                    pending.append(op)
+                return drain(rho)
+
+            fn = jax.jit(run, donate_argnums=(0,), out_shardings=sharding)
+            _DM_RUN_CACHE[cache_key] = fn
+        if self._rho is None:
+            self._rho = self._init_rho()
+        params = jnp.asarray(values, dtype=config.real_dtype())
+        self._rho = fn(self._rho, params)
+        self._layout2n = list(new_layout)
+        self._queue.clear()
+
+    def _restore_layout(self):
+        """Undo the locality relabeling so readbacks address logical bits."""
+        if self.mesh is None or \
+                self._layout2n == list(range(2 * self.num_qubits)):
+            return
+        from .compiler.interpreter import execute as _exec
+        from .compiler.sharded_schedule import unpermute_ops
+
+        ops = unpermute_ops(self._layout2n)
+        sharding = self._sharding()
+
+        def run(rho):
+            rho = _exec(rho, ops, None, sharding=sharding)
+            return rho
+
+        self._rho = jax.jit(run, donate_argnums=(0,),
+                            out_shardings=sharding)(self._rho)
+        self._layout2n = list(range(2 * self.num_qubits))
+
     @property
     def state(self) -> jax.Array:
         self.flush()
+        self._restore_layout()
         return self._rho
 
     def reset(self):
         self._queue.clear()
-        n = self.num_qubits
-        self._rho = jax.jit(lambda: dmops.init_density(n))()
+        self._layout2n = list(range(2 * self.num_qubits))
+        self._rho = self._init_rho()
 
     # -- measurement / readback ----------------------------------------------
 
     def measure(self, qubit: int) -> Tuple[int, float]:
         self.flush()
+        self._restore_layout()
         self._validate_qubit_index(qubit)
         p1 = float(dmops.prob_one_dm_jit(self._rho, qubit))
         outcome = 1 if self.simulator.host_random() < p1 else 0
@@ -212,6 +385,7 @@ class DensityCircuit(_GateMethods):
 
     def sample(self, measured_qubits: List[int], num_shots: int) -> np.ndarray:
         self.flush()
+        self._restore_layout()
         out = dmops.sample_dm_jit(self._rho, qubits=tuple(measured_qubits),
                                   shots=num_shots,
                                   key=self.simulator.next_key())
@@ -219,18 +393,21 @@ class DensityCircuit(_GateMethods):
 
     def get_density_matrix(self) -> np.ndarray:
         self.flush()
+        self._restore_layout()
         mat = dmops.to_matrix(self._rho)
         re, im = jax.jit(lambda r: (jnp.real(r), jnp.imag(r)))(mat)
         return np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
 
     def purity(self) -> float:
         self.flush()
+        # purity is basis-independent: no layout restore needed
         return float(jax.jit(dmops.purity)(self._rho))
 
     def expval(self, pauli_operator: PauliOperator) -> float:
         if not isinstance(pauli_operator, PauliOperator):
             raise TypeError("Input must be a PauliOperator object.")
         self.flush()
+        self._restore_layout()
         total = 0.0
         for ops, coeff in pauli_operator.terms:
             if not ops:

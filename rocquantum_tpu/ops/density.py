@@ -125,6 +125,22 @@ def apply_kraus(rho: jnp.ndarray, kraus_ops: List[jnp.ndarray],
     return acc
 
 
+def apply_kraus_at(rho2n: jnp.ndarray, kraus_ops: List[jnp.ndarray],
+                   row_pos: Sequence[int],
+                   col_pos: Sequence[int]) -> jnp.ndarray:
+    """rho' = sum_i K_i rho K_i† with the row/column qubit axes at ARBITRARY
+    index-bit positions of the flattened 2n-qubit view — the primitive the
+    sharded density path needs after locality relabeling has moved row bit
+    q+n / col bit q to other physical positions."""
+    acc = None
+    for k in kraus_ops:
+        k = jnp.asarray(k, dtype=rho2n.dtype)
+        term = sv.apply_matrix(rho2n, k, list(row_pos))
+        term = sv.apply_matrix(term, jnp.conj(k), list(col_pos))
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def _chan(mats):
     return [np.asarray(m, dtype=np.complex128) for m in mats]
 

@@ -1,0 +1,114 @@
+"""Sharded density-matrix tests (virtual 8-device CPU mesh): rho — the
+flattened 2n-qubit view — sharded over the mesh, with the qubit-locality
+scheduler relabeling row/column bits so gates AND Kraus channels stay local
+(the reference's multi-GPU design, MULTI_GPU_GUIDE.md:19-59, covered the
+statevector engine only)."""
+
+import numpy as np
+import pytest
+import jax
+
+import rocquantum_tpu as rocq
+from rocquantum_tpu.density_circuit import DensityCircuit
+from rocquantum_tpu.parallel import make_mesh
+
+requires_multi = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def _build(n, mesh=None):
+    sim = rocq.Simulator(seed=5)
+    return DensityCircuit(n, sim, mesh=mesh)
+
+
+def _drive(c, n):
+    """Gates spanning local and device-selecting bits + noise channels."""
+    c.h(0)
+    for q in range(n - 1):
+        c.cnot(q, q + 1)
+    c.ry(0.37, n - 1)              # high row bit is device-selecting
+    c.apply_channel("depolarizing", 0.05, [n - 1])
+    c.rz(0.21, n - 2)
+    c.apply_channel("amplitude_damping", 0.1, [0])
+    c.apply_kraus([np.sqrt(0.9) * np.eye(2),
+                   np.sqrt(0.1) * np.array([[0, 1], [1, 0]])], [n - 1])
+    c.crx(0.5, 0, n - 1)
+
+
+@requires_multi
+class TestShardedDensity:
+    def test_sharded_matches_single_device(self):
+        n = 6
+        ref = _build(n)
+        _drive(ref, n)
+        rho_ref = ref.get_density_matrix()
+
+        mesh = make_mesh(8)
+        c = _build(n, mesh=mesh)
+        _drive(c, n)
+        assert len(c.state.sharding.device_set) == 8
+        rho = c.get_density_matrix()
+        np.testing.assert_allclose(rho, rho_ref, atol=1e-5)
+
+    def test_sharded_expectations_and_purity(self):
+        n = 6
+        ref = _build(n)
+        _drive(ref, n)
+        mesh = make_mesh(8)
+        c = _build(n, mesh=mesh)
+        _drive(c, n)
+        op = rocq.PauliOperator({f"Z0 Z{n-1}": 1.0, f"X1": 0.5})
+        assert abs(c.expval(op) - ref.expval(op)) < 1e-5
+        assert abs(c.purity() - ref.purity()) < 1e-5
+
+    def test_sharded_measure_collapse(self):
+        n = 6
+        mesh = make_mesh(8)
+        c = _build(n, mesh=mesh)
+        c.x(n - 1)  # deterministic |1> on the top qubit
+        outcome, prob = c.measure(n - 1)
+        assert outcome == 1 and abs(prob - 1.0) < 1e-6
+
+    def test_parameterized_segments_share_executable(self):
+        # two flushes with different angles but the same structure must not
+        # grow the run cache twice (slot-keyed caching through the sharded
+        # scheduler)
+        from rocquantum_tpu.density_circuit import _DM_RUN_CACHE
+        n = 6
+        mesh = make_mesh(8)
+        c = _build(n, mesh=mesh)
+        c.ry(0.3, n - 1); c.flush()
+        size1 = len(_DM_RUN_CACHE)
+        c2 = _build(n, mesh=mesh)
+        c2.ry(0.9, n - 1); c2.flush()
+        assert len(_DM_RUN_CACHE) == size1
+
+    def test_no_all_gather_for_global_row_gate(self):
+        # the scheduled sharded program must move data with all-to-all
+        # relabels, never the partitioner's all-gather fallback
+        import re as _re
+        from rocquantum_tpu.compiler.ir import GateOp
+        from rocquantum_tpu.compiler.sharded_schedule import (
+            schedule_for_sharding)
+        from rocquantum_tpu.compiler.interpreter import execute
+        from rocquantum_tpu.parallel import num_global_qubits, state_sharding
+        from rocquantum_tpu.ops import density as dmops
+        import jax.numpy as jnp
+
+        n = 6
+        mesh = make_mesh(8)
+        sharding = state_sharding(mesh)
+        ops = [GateOp("RY", (2 * n - 1,), (), (0.3,)),
+               GateOp("RY", (n - 1,), (), (0.3,))]
+        sched, _ = schedule_for_sharding(ops, 2 * n,
+                                         num_global_qubits(mesh))
+
+        def run(rho):
+            out = execute(rho, sched, None, sharding=sharding)
+            return jax.lax.with_sharding_constraint(out, sharding)
+
+        rho0 = jax.jit(lambda: dmops.init_density(n),
+                       out_shardings=sharding)()
+        txt = jax.jit(run).lower(rho0).compile().as_text()
+        assert "all-gather" not in txt
+        assert len(_re.findall("all-to-all", txt)) > 0
