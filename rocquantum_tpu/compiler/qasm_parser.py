@@ -8,7 +8,10 @@ Covers the subset emitted by compiler/qasm.py plus, beyond the reference
 * mid-circuit measurement — ``c[k] = measure q[i];`` / 2.0
   ``measure q[i] -> c[k];``;
 * classical control — ``if (c[k] == 1) { ... }`` / single-statement and
-  2.0 ``if (c == 1) x q[0];`` forms.
+  2.0 ``if (c == 1) x q[0];`` forms;
+* classical ``for`` loops — ``for int i in [0:n-1] { ... }`` (also
+  ``[start:step:stop]``), unrolled at parse time with the loop variable
+  usable in parameter expressions AND qubit indices (``q[i+1]``).
 
 ``parse_qasm3`` returns a plain :class:`CircuitIR` for static circuits
 (raising on dynamic constructs), matching its original contract;
@@ -32,15 +35,20 @@ _GATE_RE = re.compile(
     r"(?P<args>\S.*?)\s*;$")
 _CTRL_RE = re.compile(
     r"^ctrl\((?P<n>\d+)\)\s*@\s*(?P<name>[a-z]+)\s*"
-    r"(?P<args>q\[\d+\](?:\s*,\s*q\[\d+\])*)\s*;$")
+    r"(?P<args>q\[[^\]]+\](?:\s*,\s*q\[[^\]]+\])*)\s*;$")
 _QREG_RE = re.compile(r"^qubit\[(\d+)\]\s+q\s*;$")
 _QREG2_RE = re.compile(r"^qreg\s+q\[(\d+)\]\s*;$")  # OpenQASM 2.0
 _CREG_RE = re.compile(r"^(?:bit\[(\d+)\]\s+c|creg\s+c\[(\d+)\])\s*;$")
-_MEAS3_RE = re.compile(r"^c\[(?P<c>\d+)\]\s*=\s*measure\s+q\[(?P<q>\d+)\]\s*;$")
-_MEAS2_RE = re.compile(r"^measure\s+q\[(?P<q>\d+)\]\s*->\s*c\[(?P<c>\d+)\]\s*;$")
+_MEAS3_RE = re.compile(
+    r"^c\[(?P<c>[^\]]+)\]\s*=\s*measure\s+q\[(?P<q>[^\]]+)\]\s*;$")
+_MEAS2_RE = re.compile(
+    r"^measure\s+q\[(?P<q>[^\]]+)\]\s*->\s*c\[(?P<c>[^\]]+)\]\s*;$")
 _IF_RE = re.compile(
     r"^if\s*\(\s*c(?:\[(?P<bit>\d+)\])?\s*==\s*(?P<val>\d+)\s*\)\s*"
     r"(?P<rest>.*)$")
+_FOR_RE = re.compile(
+    r"^for\s+(?:u?int(?:\[\d+\])?\s+)?(?P<var>[a-zA-Z_]\w*)\s+in\s+"
+    r"\[(?P<range>[^\]]+)\]\s*\{$")
 _GATEDEF_RE = re.compile(
     r"^gate\s+(?P<name>[a-zA-Z_][a-zA-Z0-9_]*)\s*"
     r"(?:\((?P<params>[^)]*)\))?\s*(?P<args>[a-zA-Z_][\w\s,]*)\s*\{")
@@ -117,13 +125,25 @@ class DynamicProgram:
         return ir
 
 
+def _qubits_in(arg_text: str, env: Dict[str, float]) -> List[int]:
+    """Qubit indices referenced as q[expr] — expressions may use loop
+    variables and arithmetic (evaluated against ``env``)."""
+    out = []
+    for expr in re.findall(r"q\[([^\]]+)\]", arg_text):
+        val = _eval_param(expr, env)
+        if abs(val - round(val)) > 1e-9:
+            raise ValueError(f"qubit index {expr!r} is not an integer")
+        out.append(int(round(val)))
+    return out
+
+
 def _parse_gate_use(line: str, macros: Dict[str, GateDef],
                     env: Dict[str, float]) -> Optional[List[GateOp]]:
     """Parse one gate-application statement into GateOps (macro uses are
     expanded recursively)."""
     m = _CTRL_RE.match(line)
     if m:
-        qubits = [int(x) for x in re.findall(r"q\[(\d+)\]", m.group("args"))]
+        qubits = _qubits_in(m.group("args"), env)
         if m.group("name") != "x":
             raise ValueError(f"unsupported controlled gate: {line!r}")
         return [GateOp("MCX", tuple(qubits[-1:]), tuple(qubits[:-1]), ())]
@@ -132,7 +152,7 @@ def _parse_gate_use(line: str, macros: Dict[str, GateDef],
         return None
     name = m.group("name").lower()
     arg_text = m.group("args")
-    qubits = [int(x) for x in re.findall(r"q\[(\d+)\]", arg_text)]
+    qubits = _qubits_in(arg_text, env)
     param_exprs = ([p for p in m.group("params").split(",")]
                    if m.group("params") else [])
     if name in macros:
@@ -203,13 +223,48 @@ def _parse_gatedef_body(lines: List[str], start: int):
     raise ValueError("unterminated gate definition")
 
 
-def parse_qasm3_program(text: str) -> DynamicProgram:
-    num_qubits = None
-    num_clbits = 0
-    measure_all = False
-    macros: Dict[str, GateDef] = {}
-    items: List[object] = []
-    lines = _split_statements(text)
+def _collect_block(lines: List[str], start: int) -> Tuple[List[str], int]:
+    """Collect statements until the matching '}' (nested blocks kept
+    verbatim for recursive parsing)."""
+    body: List[str] = []
+    depth = 1
+    i = start
+    while i < len(lines):
+        ln = lines[i]
+        i += 1
+        depth += ln.count("{") - ln.count("}")
+        if depth == 0:
+            return body, i
+        body.append(ln)
+    raise ValueError("unterminated block")
+
+
+def _eval_range(expr: str, env: Dict[str, float]) -> List[int]:
+    """OpenQASM 3 range [start:stop] / [start:step:stop], stop INCLUSIVE."""
+    parts = [(_eval_param(p, env)) for p in expr.split(":")]
+    if len(parts) == 2:
+        start, step, stop = parts[0], 1.0, parts[1]
+    elif len(parts) == 3:
+        start, step, stop = parts
+    else:
+        raise ValueError(f"bad range expression: {expr!r}")
+    start, step, stop = int(start), int(step), int(stop)
+    if step == 0:
+        raise ValueError("range step cannot be 0")
+    return list(range(start, stop + (1 if step > 0 else -1), step))
+
+
+class _ProgState:
+    def __init__(self):
+        self.num_qubits: Optional[int] = None
+        self.num_clbits = 0
+        self.measure_all = False
+        self.macros: Dict[str, GateDef] = {}
+        self.items: List[object] = []
+
+
+def _parse_stmts(lines: List[str], st: _ProgState,
+                 env: Dict[str, float]) -> None:
     i = 0
     while i < len(lines):
         line = lines[i]
@@ -218,15 +273,15 @@ def parse_qasm3_program(text: str) -> DynamicProgram:
             continue
         m = _CREG_RE.match(line)
         if m:
-            num_clbits = int(m.group(1) or m.group(2))
+            st.num_clbits = int(m.group(1) or m.group(2))
             continue
         if line.startswith(("c = measure", "c=measure")) or \
                 re.match(r"^measure\s+q\s*->\s*c\s*;$", line):
-            measure_all = True
+            st.measure_all = True
             continue
         m = _QREG_RE.match(line) or _QREG2_RE.match(line)
         if m:
-            num_qubits = int(m.group(1))
+            st.num_qubits = int(m.group(1))
             continue
         m = _GATEDEF_RE.match(line)
         if m:
@@ -237,13 +292,23 @@ def parse_qasm3_program(text: str) -> DynamicProgram:
             if rest:
                 lines.insert(i, rest)
             body, i = _parse_gatedef_body(lines, i)
-            macros[m.group("name").lower()] = GateDef(params, qargs, body)
+            st.macros[m.group("name").lower()] = GateDef(params, qargs, body)
+            continue
+        m = _FOR_RE.match(line)
+        if m:
+            body, i = _collect_block(lines, i)
+            var = m.group("var")
+            for val in _eval_range(m.group("range"), env):
+                sub_env = dict(env)
+                sub_env[var] = float(val)
+                _parse_stmts(list(body), st, sub_env)
             continue
         m = _MEAS3_RE.match(line) or _MEAS2_RE.match(line)
         if m:
-            q, c = int(m.group("q")), int(m.group("c"))
-            num_clbits = max(num_clbits, c + 1)
-            items.append(Measure(q, c))
+            q = int(_eval_param(m.group("q"), env))
+            c = int(_eval_param(m.group("c"), env))
+            st.num_clbits = max(st.num_clbits, c + 1)
+            st.items.append(Measure(q, c))
             continue
         m = _IF_RE.match(line)
         if m:
@@ -253,33 +318,35 @@ def parse_qasm3_program(text: str) -> DynamicProgram:
             cond_ops: List[GateOp] = []
             if rest.startswith("{"):
                 rest = rest[1:].strip()
-                block = [rest] if rest and rest != "}" else []
-                while i < len(lines):
-                    ln = lines[i]
-                    i += 1
-                    if ln.startswith("}"):
-                        break
-                    block.append(ln)
+                if rest and rest != "}":
+                    lines.insert(i, rest)
+                block, i = _collect_block(lines, i)
                 for ln in block:
-                    ops = _parse_gate_use(ln, macros, {})
+                    ops = _parse_gate_use(ln, st.macros, env)
                     if ops is None:
                         raise ValueError(f"cannot parse if-block line {ln!r}")
                     cond_ops.extend(ops)
             else:
-                ops = _parse_gate_use(rest, macros, {})
+                ops = _parse_gate_use(rest, st.macros, env)
                 if ops is None:
                     raise ValueError(f"cannot parse conditional {rest!r}")
                 cond_ops.extend(ops)
-            items.append(Cond(bit, value, cond_ops))
+            st.items.append(Cond(bit, value, cond_ops))
             continue
-        ops = _parse_gate_use(line, macros, {})
+        ops = _parse_gate_use(line, st.macros, env)
         if ops is not None:
-            items.extend(ops)
+            st.items.extend(ops)
             continue
         raise ValueError(f"cannot parse QASM line: {line!r}")
-    if num_qubits is None:
+
+
+def parse_qasm3_program(text: str) -> DynamicProgram:
+    st = _ProgState()
+    _parse_stmts(_split_statements(text), st, {})
+    if st.num_qubits is None:
         raise ValueError("QASM has no qubit register declaration")
-    return DynamicProgram(num_qubits, num_clbits, items, measure_all)
+    return DynamicProgram(st.num_qubits, st.num_clbits, st.items,
+                          st.measure_all)
 
 
 def parse_qasm3(text: str) -> CircuitIR:

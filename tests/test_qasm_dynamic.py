@@ -142,3 +142,75 @@ def test_run_dynamic_chunks_large_shot_counts(monkeypatch):
     """
     counts = dyn.run_dynamic(parse_qasm3_program(qasm), shots=500, seed=2)
     assert counts == {"0": 500}
+
+
+class TestForLoops:
+    """Classical for loops (OpenQASM 3 [start:stop] / [start:step:stop],
+    stop inclusive), unrolled at parse time; the loop variable works in
+    parameter expressions and qubit indices."""
+
+    def test_for_ghz(self):
+        qasm = """
+        OPENQASM 3.0;
+        qubit[4] q;
+        h q[0];
+        for int i in [0:2] {
+            cx q[i], q[i+1];
+        }
+        """
+        from rocquantum_tpu.compiler.qasm_parser import parse_qasm3
+        ir = parse_qasm3(qasm)
+        names = [(op.name, op.targets, op.controls) for op in ir.ops]
+        assert names == [("H", (0,), ()), ("CNOT", (1,), (0,)),
+                         ("CNOT", (2,), (1,)), ("CNOT", (3,), (2,))]
+
+    def test_for_with_step_and_params(self):
+        qasm = """
+        OPENQASM 3.0;
+        qubit[6] q;
+        for int k in [0:2:4] {
+            ry(0.1*k + 0.05) q[k];
+        }
+        """
+        from rocquantum_tpu.compiler.qasm_parser import parse_qasm3
+        ir = parse_qasm3(qasm)
+        assert [op.targets[0] for op in ir.ops] == [0, 2, 4]
+        np.testing.assert_allclose([op.params[0] for op in ir.ops],
+                                   [0.05, 0.25, 0.45])
+
+    def test_nested_for_and_macro(self):
+        qasm = """
+        OPENQASM 3.0;
+        qubit[4] q;
+        gate layer(t) a, b { ry(t) a; cx a, b; }
+        for int i in [0:1] {
+            for int j in [0:1] {
+                layer(0.1*i + 0.01*j) q[2*i], q[2*i+1];
+            }
+        }
+        """
+        from rocquantum_tpu.compiler.qasm_parser import parse_qasm3
+        ir = parse_qasm3(qasm)
+        assert len(ir.ops) == 8  # 4 iterations x (ry + cx)
+        ry_params = [op.params[0] for op in ir.ops if op.name == "RY"]
+        np.testing.assert_allclose(ry_params, [0.0, 0.01, 0.1, 0.11])
+
+    def test_for_with_measurement_runs_dynamic(self):
+        # loop body containing measurement: unrolls into a dynamic program
+        qasm = """
+        OPENQASM 3.0;
+        qubit[3] q;
+        bit[3] c;
+        for int i in [0:2] {
+            h q[i];
+            c[i] = measure q[i];
+        }
+        """
+        from rocquantum_tpu.compiler.qasm_parser import parse_qasm3_program
+        prog = parse_qasm3_program(qasm)
+        assert not prog.is_static
+        assert prog.num_clbits == 3
+        from rocquantum_tpu.compiler.dynamic import run_dynamic
+        counts = run_dynamic(prog, shots=64, seed=3)
+        assert sum(counts.values()) == 64
+        assert all(set(k) <= {"0", "1"} and len(k) == 3 for k in counts)
