@@ -30,9 +30,11 @@ import numpy as np
 
 HBM_BYTES_PER_SEC = 819e9  # v5e
 LAYERS = 32
-REPS = 2        # layers per fori_loop body: lets the relabel scheduler
-                # amortize bit-rotations across layers (rotation toggles
-                # back to identity every 2 layers)
+REPS = int(os.environ.get("ROCQ_BENCH_REPS", "2"))
+                # layers per fori_loop body: the multi-pair planner packs
+                # all REPS layers' gates into shared kernel passes (the
+                # window pass carries every layer's in-window gates), so
+                # HBM passes per layer shrink as REPS grows
 SIZES = (30, 29, 28, 26, 24)
 PER_SIZE_TIMEOUT_S = 480
 QFT_TIMEOUT_S = 480

@@ -151,13 +151,169 @@ def _coeffs(gm_ref, k):
             ((gm_ref[k, 1, 1, 0]), (gm_ref[k, 1, 1, 1])))
 
 
+# ---------------------------------------------------------------------------
+# MXU offload: compose 1q gates on the lane bits (q < LANE_QUBITS) into one
+# 128x128 matrix — built in-kernel with the same roll machinery, which is
+# trivial on a 128x128 array — and apply them all as ONE dot_general per
+# tile (the systolic array does the work the VPU roll path was doing).
+# Likewise gates on the tile-row bits compose into a TxT left-matrix.
+# ---------------------------------------------------------------------------
+
+LANE_QUBITS = 7  # 2^7 = 128 = one lane register
+
+# minimum composed-gate counts for a dot to beat the roll path (measured
+# cost model: a 128-wide fp32 HIGHEST dot ~ 2 real roll gates; the 32-wide
+# row dot is nearly free)
+_MIN_LANE_DOT = 2
+_MIN_ROW_DOT = 1
+
+
+def _mxu_enabled() -> bool:
+    import os
+    return not os.environ.get("ROCQ_DISABLE_MXU")
+
+
+def _compose_lane_matrix(gm_ref, idxs, qubits, real_flags):
+    """(R_re, R_im, is_real): R = G_1^T @ ... @ G_L^T so that applying all
+    gates is x' = x @ R on the lane axis. Each gate updates R's COLUMN
+    index via the roll formula ((M @ G^T)[r,c] = sum_c' M[r,c'] G[c,c'])."""
+    L = 1 << LANE_QUBITS
+    m_re = jnp.eye(L, dtype=jnp.float32)
+    m_im = jnp.zeros((L, L), jnp.float32)
+    is_one = _mask_factory(LANE_QUBITS, L)
+    is_real = all(real_flags[k] for k in idxs)
+    for k, q in zip(idxs, qubits):
+        m_re, m_im = _roll_gate(m_re, m_im, q, is_one, _coeffs(gm_ref, k),
+                                LANE_QUBITS, L,
+                                real_mat=is_real and real_flags[k])
+    return m_re, m_im, is_real
+
+
+def _compose_row_matrix(gm_ref, idxs, local_bits, real_flags, tile_rows):
+    """(A_re, A_im, is_real): A = G_L @ ... @ G_1 so that applying all gates
+    is x' = A @ x on the row axis. Each gate updates A's ROW index."""
+    t_log2 = tile_rows.bit_length() - 1
+    a_re = jnp.eye(tile_rows, dtype=jnp.float32)
+    a_im = jnp.zeros((tile_rows, tile_rows), jnp.float32)
+    is_one = _mask_factory(t_log2, tile_rows)
+    is_real = all(real_flags[k] for k in idxs)
+    for k, j in zip(idxs, local_bits):
+        a_re, a_im = _roll_gate(a_re, a_im, t_log2 + j, is_one,
+                                _coeffs(gm_ref, k), t_log2, tile_rows,
+                                real_mat=is_real and real_flags[k])
+    return a_re, a_im, is_real
+
+
+def _apply_lane_dot(re, im, m_re, m_im, is_real):
+    """x' = x @ R over the lane axis: (T, C) viewed as (T, C/128, 128)."""
+    T, C = re.shape
+    L = 1 << LANE_QUBITS
+    x_re = re.reshape(T, C // L, L)
+    x_im = im.reshape(T, C // L, L)
+    dn = (((2,), (0,)), ((), ()))
+    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    if is_real:
+        o_re = dot(x_re, m_re)
+        o_im = dot(x_im, m_re)
+    else:
+        o_re = dot(x_re, m_re) - dot(x_im, m_im)
+        o_im = dot(x_re, m_im) + dot(x_im, m_re)
+    return o_re.reshape(T, C), o_im.reshape(T, C)
+
+
+def _apply_row_dot(re, im, a_re, a_im, is_real):
+    """x' = A @ x over the row axis of a (T, C) tile."""
+    dn = (((1,), (0,)), ((), ()))
+    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    if is_real:
+        return dot(a_re, re), dot(a_re, im)
+    return (dot(a_re, re) - dot(a_im, im),
+            dot(a_re, im) + dot(a_im, re))
+
+
+def _plan_mxu_items(specs, pair_bits, col_qubits, tile_rows):
+    """Static partition of a pass's specs into execution items:
+    ("spec", k) — roll/CNOT/pair path for gate k — or ("lanedot", idxs) /
+    ("rowdot", idxs) batching 1q lane/row gates into one MXU dot each.
+    Deferred dot gates commute with everything between their original slot
+    and the flush point (disjoint qubits); a CNOT touching the lane/row
+    region flushes the pending group first."""
+    t_log2 = tile_rows.bit_length() - 1
+    row_lo, row_hi = col_qubits, col_qubits + t_log2
+    pair_set = set(pair_bits)
+
+    def is_lane(q):
+        return q < LANE_QUBITS and q not in pair_set
+
+    def is_row(q):
+        return row_lo <= q < row_hi and q not in pair_set
+
+    items, lane_pend, row_pend = [], [], []
+
+    def flush_lane():
+        if lane_pend:
+            if len(lane_pend) >= _MIN_LANE_DOT:
+                items.append(("lanedot", tuple(lane_pend)))
+            else:
+                items.extend(("spec", k) for k in lane_pend)
+            lane_pend.clear()
+
+    def flush_row():
+        if row_pend:
+            if len(row_pend) >= _MIN_ROW_DOT:
+                items.append(("rowdot", tuple(row_pend)))
+            else:
+                items.extend(("spec", k) for k in row_pend)
+            row_pend.clear()
+
+    for k, spec in enumerate(specs):
+        if spec[0] == "U":
+            q = spec[1]
+            if is_lane(q):
+                lane_pend.append(k)
+                continue
+            if is_row(q):
+                row_pend.append(k)
+                continue
+            items.append(("spec", k))
+        else:  # CNOT
+            qs = spec[1:]
+            if any(is_lane(q) for q in qs):
+                flush_lane()
+            if any(is_row(q) for q in qs):
+                flush_row()
+            items.append(("spec", k))
+    flush_lane()
+    flush_row()
+    return items
+
+
 def _kernel(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
             specs: Tuple[Tuple, ...], real_flags: Tuple[bool, ...],
-            col_qubits: int, tile_rows: int):
+            col_qubits: int, tile_rows: int, use_mxu: bool = False):
     re = re_ref[...]
     im = im_ref[...]
     is_one = _mask_factory(col_qubits, tile_rows)
-    for k, spec in enumerate(specs):
+    items = _plan_mxu_items(specs, (), col_qubits, tile_rows) if use_mxu \
+        else [("spec", k) for k in range(len(specs))]
+    for kind, payload in items:
+        if kind == "lanedot":
+            m_re, m_im, m_real = _compose_lane_matrix(
+                gm_ref, payload, [specs[k][1] for k in payload], real_flags)
+            re, im = _apply_lane_dot(re, im, m_re, m_im, m_real)
+            continue
+        if kind == "rowdot":
+            a_re, a_im, a_real = _compose_row_matrix(
+                gm_ref, payload, [specs[k][1] - col_qubits for k in payload],
+                real_flags, tile_rows)
+            re, im = _apply_row_dot(re, im, a_re, a_im, a_real)
+            continue
+        k = payload
+        spec = specs[k]
         if spec[0] == "CNOT":
             re, im = _cnot_roll(re, im, spec[1], spec[2], is_one,
                                 col_qubits, tile_rows)
@@ -172,7 +328,7 @@ def _kernel(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
 def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
                   specs: Tuple[Tuple, ...], real_flags: Tuple[bool, ...],
                   pair_bits: Tuple[int, ...], col_qubits: int,
-                  tile_rows: int):
+                  tile_rows: int, use_mxu: bool = False):
     """Fused layer over a MULTI-PAIRED block: the refs are
     (1, 2, 1, 2, ..., 1, T, C) slices of a view exposing each of the k
     ``pair_bits`` (ascending) as its own size-2 axis, so the block holds all
@@ -203,7 +359,24 @@ def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
     def pair_is_one(combo, pb):
         return (combo >> bitpos[pb]) & 1
 
-    for k, spec in enumerate(specs):
+    items = _plan_mxu_items(specs, pair_bits, col_qubits, tile_rows) \
+        if use_mxu else [("spec", k) for k in range(len(specs))]
+    for kind, payload in items:
+        if kind == "lanedot":
+            m_re, m_im, m_real = _compose_lane_matrix(
+                gm_ref, payload, [specs[k][1] for k in payload], real_flags)
+            tiles = [_apply_lane_dot(re, im, m_re, m_im, m_real)
+                     for (re, im) in tiles]
+            continue
+        if kind == "rowdot":
+            a_re, a_im, a_real = _compose_row_matrix(
+                gm_ref, payload, [specs[k][1] - col_qubits for k in payload],
+                real_flags, tile_rows)
+            tiles = [_apply_row_dot(re, im, a_re, a_im, a_real)
+                     for (re, im) in tiles]
+            continue
+        k = payload
+        spec = specs[k]
         if spec[0] == "CNOT":
             c, tq = spec[1], spec[2]
             c_pair, t_pair = c in bitpos, tq in bitpos
@@ -343,7 +516,8 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
         grid = (max(R // tile_rows, 1),)
         kernel = functools.partial(_kernel, specs=specs,
                                    real_flags=real_flags, col_qubits=col,
-                                   tile_rows=tile_rows)
+                                   tile_rows=tile_rows,
+                                   use_mxu=_mxu_enabled())
         block = pl.BlockSpec((tile_rows, C), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
         out_re, out_im = pl.pallas_call(
@@ -383,7 +557,8 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
     kernel = functools.partial(_kernel_multi, specs=specs,
                                real_flags=real_flags,
                                pair_bits=pair_bits, col_qubits=col,
-                               tile_rows=tile_rows)
+                               tile_rows=tile_rows,
+                               use_mxu=_mxu_enabled())
     block_shape = (1,) + (2, 1) * k_pairs + (tile_rows, C)
 
     def index_map(*idx):

@@ -362,3 +362,63 @@ def test_native_planner_matches_python_oracle():
             py = _python_plan(n, supports, reach, max_pairs=max_pairs)
             nat = plan_full_layer(n, supports, reach, max_pairs=max_pairs)
             assert py == nat, (trial, max_pairs, py, nat)
+
+
+def test_mxu_dot_groups_match_reference():
+    # >= 2 lane-bit gates (dot threshold) + row-bit gates + a CNOT barrier
+    # through the lane region, complex and real mixed — exercises the
+    # in-kernel MXU offload (lanedot/rowdot composition)
+    n = 18
+    state = rand_state(n, 77)
+    rng = np.random.default_rng(6)
+
+    def rx(th):
+        return np.array([[np.cos(th / 2), -1j * np.sin(th / 2)],
+                         [-1j * np.sin(th / 2), np.cos(th / 2)]],
+                        np.complex64)
+
+    eye = np.eye(2, dtype=np.complex64)
+    specs = [("U", 0), ("U", 3), ("U", 6), ("U", 12), ("U", 14),
+             ("CNOT", 2, 13), ("U", 1), ("U", 5), ("U", 13)]
+    mats = [rx(0.3), _ry(0.7), rx(1.1), _ry(0.5), rx(0.9),
+            eye, _ry(0.2), rx(0.4), _ry(1.3)]
+    flags = [False, True, False, True, False, True, True, False, True]
+    expected = reference_apply_specs(state, specs, mats)
+    from rocquantum_tpu.ops.pallas_sv import _plan_mxu_items
+    items = _plan_mxu_items(specs, (), 12, 32)
+    kinds = [it[0] for it in items]
+    assert "lanedot" in kinds and "rowdot" in kinds
+    re = jnp.real(jnp.asarray(state))
+    im = jnp.imag(jnp.asarray(state))
+    re, im = apply_fused_layer(re, im, specs,
+                               jnp.asarray(pack_gate_mats(mats)),
+                               real_flags=flags, interpret=True)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+def test_mxu_cnot_barrier_ordering():
+    # CNOT(0 -> 13) does not commute with pending lane gates on qubit 0 or
+    # row gates on 13: the planner must flush both groups first
+    from rocquantum_tpu.ops.pallas_sv import _plan_mxu_items
+    specs = [("U", 0), ("U", 2), ("U", 13), ("CNOT", 0, 13), ("U", 0)]
+    items = _plan_mxu_items(specs, (), 12, 32)
+    flat = []
+    for kind, payload in items:
+        flat.extend(payload if kind != "spec" else [payload])
+    # gates 0,1 (lane) and 2 (row) before the CNOT (3); gate 4 after
+    assert flat.index(3) > max(flat.index(0), flat.index(1), flat.index(2))
+    assert flat.index(4) > flat.index(3)
+    # correctness of the ordering on a real state
+    n = 15
+    state = rand_state(n, 88)
+    eye = np.eye(2, dtype=np.complex64)
+    mats = [_ry(0.3), _ry(0.8), _ry(0.4), eye, _ry(1.1)]
+    expected = reference_apply_specs(state, specs, mats)
+    re = jnp.real(jnp.asarray(state))
+    im = jnp.imag(jnp.asarray(state))
+    re, im = apply_fused_layer(re, im, specs,
+                               jnp.asarray(pack_gate_mats(mats)),
+                               real_flags=[True] * 5, interpret=True)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, expected, atol=2e-5)
