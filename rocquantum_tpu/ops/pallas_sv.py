@@ -173,34 +173,51 @@ def _mxu_enabled() -> bool:
     return not os.environ.get("ROCQ_DISABLE_MXU")
 
 
-def _compose_lane_matrix(gm_ref, idxs, qubits, real_flags):
+def _compose_lane_matrix(gm_ref, idxs, specs, real_flags):
     """(R_re, R_im, is_real): R = G_1^T @ ... @ G_L^T so that applying all
-    gates is x' = x @ R on the lane axis. Each gate updates R's COLUMN
-    index via the roll formula ((M @ G^T)[r,c] = sum_c' M[r,c'] G[c,c'])."""
+    gates is x' = x @ R on the lane axis. Each 1q gate updates R's COLUMN
+    index via the roll formula ((M @ G^T)[r,c] = sum_c' M[r,c'] G[c,c']);
+    a CNOT (a permutation, so G^T application = a column shuffle) composes
+    via the same masked-roll move."""
     L = 1 << LANE_QUBITS
     m_re = jnp.eye(L, dtype=jnp.float32)
     m_im = jnp.zeros((L, L), jnp.float32)
     is_one = _mask_factory(LANE_QUBITS, L)
     is_real = all(real_flags[k] for k in idxs)
-    for k, q in zip(idxs, qubits):
-        m_re, m_im = _roll_gate(m_re, m_im, q, is_one, _coeffs(gm_ref, k),
-                                LANE_QUBITS, L,
-                                real_mat=is_real and real_flags[k])
+    for k in idxs:
+        spec = specs[k]
+        if spec[0] == "CNOT":
+            m_re, m_im = _cnot_roll(m_re, m_im, spec[1], spec[2], is_one,
+                                    LANE_QUBITS, L)
+        else:
+            m_re, m_im = _roll_gate(m_re, m_im, spec[1], is_one,
+                                    _coeffs(gm_ref, k), LANE_QUBITS, L,
+                                    real_mat=is_real and real_flags[k])
     return m_re, m_im, is_real
 
 
-def _compose_row_matrix(gm_ref, idxs, local_bits, real_flags, tile_rows):
+def _compose_row_matrix(gm_ref, idxs, specs, real_flags, col_qubits,
+                        tile_rows):
     """(A_re, A_im, is_real): A = G_L @ ... @ G_1 so that applying all gates
-    is x' = A @ x on the row axis. Each gate updates A's ROW index."""
+    is x' = A @ x on the row axis. Each gate updates A's ROW index (CNOTs
+    compose as row shuffles)."""
     t_log2 = tile_rows.bit_length() - 1
     a_re = jnp.eye(tile_rows, dtype=jnp.float32)
     a_im = jnp.zeros((tile_rows, tile_rows), jnp.float32)
     is_one = _mask_factory(t_log2, tile_rows)
     is_real = all(real_flags[k] for k in idxs)
-    for k, j in zip(idxs, local_bits):
-        a_re, a_im = _roll_gate(a_re, a_im, t_log2 + j, is_one,
-                                _coeffs(gm_ref, k), t_log2, tile_rows,
-                                real_mat=is_real and real_flags[k])
+    for k in idxs:
+        spec = specs[k]
+        if spec[0] == "CNOT":
+            a_re, a_im = _cnot_roll(a_re, a_im,
+                                    t_log2 + spec[1] - col_qubits,
+                                    t_log2 + spec[2] - col_qubits, is_one,
+                                    t_log2, tile_rows)
+        else:
+            a_re, a_im = _roll_gate(a_re, a_im,
+                                    t_log2 + spec[1] - col_qubits, is_one,
+                                    _coeffs(gm_ref, k), t_log2, tile_rows,
+                                    real_mat=is_real and real_flags[k])
     return a_re, a_im, is_real
 
 
@@ -280,8 +297,15 @@ def _plan_mxu_items(specs, pair_bits, col_qubits, tile_rows):
                 row_pend.append(k)
                 continue
             items.append(("spec", k))
-        else:  # CNOT
+        else:  # CNOT — a permutation: composable when both qubits are in
+            # one dot region; otherwise it's a barrier for regions it touches
             qs = spec[1:]
+            if all(is_lane(q) for q in qs):
+                lane_pend.append(k)
+                continue
+            if all(is_row(q) for q in qs):
+                row_pend.append(k)
+                continue
             if any(is_lane(q) for q in qs):
                 flush_lane()
             if any(is_row(q) for q in qs):
@@ -303,13 +327,12 @@ def _kernel(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
     for kind, payload in items:
         if kind == "lanedot":
             m_re, m_im, m_real = _compose_lane_matrix(
-                gm_ref, payload, [specs[k][1] for k in payload], real_flags)
+                gm_ref, payload, specs, real_flags)
             re, im = _apply_lane_dot(re, im, m_re, m_im, m_real)
             continue
         if kind == "rowdot":
             a_re, a_im, a_real = _compose_row_matrix(
-                gm_ref, payload, [specs[k][1] - col_qubits for k in payload],
-                real_flags, tile_rows)
+                gm_ref, payload, specs, real_flags, col_qubits, tile_rows)
             re, im = _apply_row_dot(re, im, a_re, a_im, a_real)
             continue
         k = payload
@@ -364,14 +387,13 @@ def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
     for kind, payload in items:
         if kind == "lanedot":
             m_re, m_im, m_real = _compose_lane_matrix(
-                gm_ref, payload, [specs[k][1] for k in payload], real_flags)
+                gm_ref, payload, specs, real_flags)
             tiles = [_apply_lane_dot(re, im, m_re, m_im, m_real)
                      for (re, im) in tiles]
             continue
         if kind == "rowdot":
             a_re, a_im, a_real = _compose_row_matrix(
-                gm_ref, payload, [specs[k][1] - col_qubits for k in payload],
-                real_flags, tile_rows)
+                gm_ref, payload, specs, real_flags, col_qubits, tile_rows)
             tiles = [_apply_row_dot(re, im, a_re, a_im, a_real)
                      for (re, im) in tiles]
             continue

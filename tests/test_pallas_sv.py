@@ -422,3 +422,32 @@ def test_mxu_cnot_barrier_ordering():
                                real_flags=[True] * 5, interpret=True)
     got = np.asarray(re) + 1j * np.asarray(im)
     np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+def test_mxu_composes_lane_and_row_cnots():
+    # CNOTs with both qubits inside one dot region compose into the dot
+    # matrix (permutation columns) instead of acting as barriers
+    from rocquantum_tpu.ops.pallas_sv import _plan_mxu_items
+    n = 18
+    specs = [("U", 0), ("CNOT", 1, 4), ("U", 3), ("CNOT", 13, 14),
+             ("U", 12), ("CNOT", 5, 14)]
+    items = _plan_mxu_items(specs, (), 12, 32)
+    lane_groups = [p for kk, p in items if kk == "lanedot"]
+    row_groups = [p for kk, p in items if kk == "rowdot"]
+    assert lane_groups and 1 in lane_groups[0]   # lane CNOT composed
+    assert row_groups and 3 in row_groups[0]     # row CNOT composed
+    # the cross-region CNOT (5, 14) stays a spec and barriers both
+    assert ("spec", 5) in items
+
+    state = rand_state(n, 99)
+    eye = np.eye(2, dtype=np.complex64)
+    mats = [_ry(0.3), eye, _ry(0.8), eye, _ry(0.4), eye]
+    flags = [True] * 6
+    expected = reference_apply_specs(state, specs, mats)
+    re = jnp.real(jnp.asarray(state))
+    im = jnp.imag(jnp.asarray(state))
+    re, im = apply_fused_layer(re, im, specs,
+                               jnp.asarray(pack_gate_mats(mats)),
+                               real_flags=flags, interpret=True)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, expected, atol=2e-5)
