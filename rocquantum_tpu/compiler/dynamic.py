@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .qasm_parser import Cond, DynamicProgram, Measure
+from .qasm_parser import Cond, DynamicProgram, Measure, While
 from .interpreter import apply_op
 
 
@@ -33,6 +33,80 @@ def _apply_conditional(state_b: jnp.ndarray, flags: np.ndarray,
         return jnp.where(f, s2, s)
 
     return jax.jit(jax.vmap(one))(state_b, jnp.asarray(flags))
+
+
+def _flags_for(clbit, value, clbits: np.ndarray) -> np.ndarray:
+    """Per-shot condition mask: bit compare, or whole-register compare when
+    ``clbit`` is None (OpenQASM 2.0 'if (c == v)' semantics)."""
+    if clbit is None:
+        reg = np.zeros(clbits.shape[1], dtype=np.int64)
+        for b in range(clbits.shape[0]):
+            reg |= clbits[b] << b
+        return reg == value
+    return clbits[clbit] == value
+
+
+def _masked_measure(circ, clbits: np.ndarray, item: Measure,
+                    mask: Optional[np.ndarray]) -> None:
+    """Measure ``item.qubit``; with a mask, only the active shots collapse
+    and record their outcome (inactive shots keep state AND classical bit
+    unchanged — required for measurements inside ``while`` bodies)."""
+    if mask is None:
+        outcomes, _ = circ.measure(item.qubit)
+        clbits[item.clbit] = np.asarray(outcomes)
+        return
+    circ.flush()
+    saved = circ.state
+    outcomes, _ = circ.measure(item.qubit)
+    flags = jnp.asarray(mask)
+    circ._state = jnp.where(flags[:, None], circ.state, saved)
+    clbits[item.clbit] = np.where(mask, np.asarray(outcomes),
+                                  clbits[item.clbit])
+
+
+def _exec_items(items, circ, clbits: np.ndarray,
+                mask: Optional[np.ndarray]) -> None:
+    """Run program items on a shot-batched Circuit. ``mask`` (None = all
+    shots active) gates every state change per element — the while-loop
+    bodies run through here with the still-active mask."""
+    pend = []  # consecutive masked GateOps batched into one vmapped select
+
+    def flush_pend():
+        if pend:
+            circ.flush()
+            circ._state = _apply_conditional(circ.state, mask, list(pend))
+            pend.clear()
+
+    for item in items:
+        if isinstance(item, Measure):
+            flush_pend()
+            _masked_measure(circ, clbits, item, mask)
+        elif isinstance(item, Cond):
+            flush_pend()
+            circ.flush()
+            flags = _flags_for(item.clbit, item.value, clbits)
+            if mask is not None:
+                flags = flags & mask
+            if item.ops and flags.any():
+                circ._state = _apply_conditional(circ.state, flags, item.ops)
+        elif isinstance(item, While):
+            flush_pend()
+            circ.flush()
+            for _ in range(item.max_iter):
+                flags = _flags_for(item.clbit, item.value, clbits)
+                if mask is not None:
+                    flags = flags & mask
+                if not flags.any():
+                    break
+                _exec_items(item.items, circ, clbits, flags)
+                circ.flush()
+        elif mask is None:
+            circ._enqueue(item.name, item.targets, item.controls,
+                          item.params, item.matrix,
+                          is_adjoint=item.is_adjoint)
+        else:
+            pend.append(item)
+    flush_pend()
 
 
 # cap the shot-batch working set: batch * 2^n amplitudes (complex64)
@@ -74,28 +148,7 @@ def _run_dynamic_batch(program: DynamicProgram, shots: int, seed: int,
     sim = _api.Simulator(seed=seed)
     circ = _api.Circuit(program.num_qubits, sim, batch_size=max(shots, 1))
     clbits = np.zeros((program.num_clbits, shots), dtype=np.int64)
-
-    for item in program.items:
-        if isinstance(item, Measure):
-            outcomes, _ = circ.measure(item.qubit)
-            clbits[item.clbit] = np.asarray(outcomes)
-        elif isinstance(item, Cond):
-            circ.flush()
-            if item.clbit is None:
-                # whole-register compare (OpenQASM 2.0 'if (c == v)')
-                reg = np.zeros(shots, dtype=np.int64)
-                for b in range(program.num_clbits):
-                    reg |= clbits[b] << b
-                flags = reg == item.value
-            else:
-                flags = clbits[item.clbit] == item.value
-            if not item.ops:
-                continue
-            circ._state = _apply_conditional(circ.state, flags, item.ops)
-        else:
-            circ._enqueue(item.name, item.targets, item.controls,
-                          item.params, item.matrix,
-                          is_adjoint=item.is_adjoint)
+    _exec_items(program.items, circ, clbits, None)
     circ.flush()
 
     qubits = list(measured_qubits) if measured_qubits is not None \

@@ -11,7 +11,14 @@ Covers the subset emitted by compiler/qasm.py plus, beyond the reference
   2.0 ``if (c == 1) x q[0];`` forms;
 * classical ``for`` loops — ``for int i in [0:n-1] { ... }`` (also
   ``[start:step:stop]``), unrolled at parse time with the loop variable
-  usable in parameter expressions AND qubit indices (``q[i+1]``).
+  usable in parameter expressions AND qubit indices (``q[i+1]``);
+* classical ``while`` loops — ``while (c[k] == 1) { ... }`` — whose
+  bodies may re-measure (repeat-until-success); executed shot-batched
+  with per-shot active masks, bounded by :data:`WHILE_MAX_ITERATIONS`;
+* ``def`` subroutines — ``def name(qubit a, float x) { ... }`` — bodies
+  may contain gates, measurements, ``if``/``for``/``while``; expanded at
+  call sites (``name(q[0], 0.5);``) with qubit and classical argument
+  substitution.
 
 ``parse_qasm3`` returns a plain :class:`CircuitIR` for static circuits
 (raising on dynamic constructs), matching its original contract;
@@ -52,6 +59,17 @@ _FOR_RE = re.compile(
 _GATEDEF_RE = re.compile(
     r"^gate\s+(?P<name>[a-zA-Z_][a-zA-Z0-9_]*)\s*"
     r"(?:\((?P<params>[^)]*)\))?\s*(?P<args>[a-zA-Z_][\w\s,]*)\s*\{")
+_WHILE_RE = re.compile(
+    r"^while\s*\(\s*c(?:\[(?P<bit>\d+)\])?\s*==\s*(?P<val>\d+)\s*\)\s*\{")
+_DEF_RE = re.compile(
+    r"^def\s+(?P<name>[a-zA-Z_]\w*)\s*\((?P<args>[^)]*)\)\s*"
+    r"(?:->\s*[\w\[\]]+\s*)?\{")
+_DEFCALL_RE = re.compile(r"^(?P<name>[a-zA-Z_]\w*)\s*\((?P<args>[^)]*)\)\s*;$")
+
+# Bounded unrolling for shot-batched ``while`` execution: each iteration
+# re-evaluates the per-shot condition mask; shots whose condition went
+# false stop evolving. The bound caps pathological never-terminating loops.
+WHILE_MAX_ITERATIONS = 100
 
 _NAME_MAP = {
     "h": ("H", 1, 0), "x": ("X", 1, 0), "y": ("Y", 1, 0), "z": ("Z", 1, 0),
@@ -98,10 +116,29 @@ class Cond:
 
 
 @dataclasses.dataclass
+class While:
+    """Repeat ``items`` while classical bit (or whole register when clbit
+    is None) equals ``value``; executed shot-batched with per-shot masks,
+    at most ``max_iter`` iterations."""
+    clbit: Optional[int]
+    value: int
+    items: List[object]  # GateOp | Measure | Cond | While
+    max_iter: int = WHILE_MAX_ITERATIONS
+
+
+@dataclasses.dataclass
 class GateDef:
     params: List[str]
     qargs: List[str]
     body: List[Tuple[str, List[str], List[str]]]  # (name, param_exprs, args)
+
+
+@dataclasses.dataclass
+class SubDef:
+    """An OpenQASM 3 ``def`` subroutine: typed args (kind "q" for qubit,
+    "c" for classical) + raw body statements, expanded at call sites."""
+    args: List[Tuple[str, str]]  # (kind, name)
+    body: List[str]
 
 
 @dataclasses.dataclass
@@ -260,7 +297,25 @@ class _ProgState:
         self.num_clbits = 0
         self.measure_all = False
         self.macros: Dict[str, GateDef] = {}
+        self.defs: Dict[str, SubDef] = {}
         self.items: List[object] = []
+
+
+def _parse_def_args(text: str) -> List[Tuple[str, str]]:
+    """Typed subroutine arg list -> [(kind, name)]: "qubit a" -> ("q", "a"),
+    classical decls (int/uint/float/angle/bit, optional width) -> ("c", name).
+    """
+    out: List[Tuple[str, str]] = []
+    for decl in text.split(","):
+        decl = decl.strip()
+        if not decl:
+            continue
+        toks = decl.replace("const ", "").split()
+        if len(toks) < 2:
+            raise ValueError(f"cannot parse subroutine arg: {decl!r}")
+        kind = "q" if toks[0].startswith("qubit") else "c"
+        out.append((kind, toks[-1]))
+    return out
 
 
 def _parse_stmts(lines: List[str], st: _ProgState,
@@ -303,6 +358,28 @@ def _parse_stmts(lines: List[str], st: _ProgState,
                 sub_env[var] = float(val)
                 _parse_stmts(list(body), st, sub_env)
             continue
+        m = _DEF_RE.match(line)
+        if m:
+            rest = line[line.index("{") + 1:].strip()
+            if rest:
+                lines.insert(i, rest)
+            body, i = _collect_block(lines, i)
+            st.defs[m.group("name").lower()] = SubDef(
+                _parse_def_args(m.group("args")), body)
+            continue
+        m = _WHILE_RE.match(line)
+        if m:
+            rest = line[line.index("{") + 1:].strip()
+            if rest:
+                lines.insert(i, rest)
+            body, i = _collect_block(lines, i)
+            bit = int(m.group("bit")) if m.group("bit") is not None else None
+            saved = st.items
+            st.items = []
+            _parse_stmts(list(body), st, env)
+            body_items, st.items = st.items, saved
+            st.items.append(While(bit, int(m.group("val")), body_items))
+            continue
         m = _MEAS3_RE.match(line) or _MEAS2_RE.match(line)
         if m:
             q = int(_eval_param(m.group("q"), env))
@@ -332,6 +409,35 @@ def _parse_stmts(lines: List[str], st: _ProgState,
                     raise ValueError(f"cannot parse conditional {rest!r}")
                 cond_ops.extend(ops)
             st.items.append(Cond(bit, value, cond_ops))
+            continue
+        m = _DEFCALL_RE.match(line)
+        if m and m.group("name").lower() in st.defs:
+            sub = st.defs[m.group("name").lower()]
+            call_args = [a.strip() for a in m.group("args").split(",")
+                         if a.strip()]
+            if len(call_args) != len(sub.args):
+                raise ValueError(
+                    f"{m.group('name')} expects {len(sub.args)} args, got "
+                    f"{len(call_args)}")
+            sub_env = dict(env)
+            qmap: Dict[str, int] = {}
+            for (kind, name), actual in zip(sub.args, call_args):
+                if kind == "q":
+                    qs = _qubits_in(actual, env)
+                    if len(qs) != 1:
+                        raise ValueError(
+                            f"subroutine qubit arg must be one q[i]: "
+                            f"{actual!r}")
+                    qmap[name] = qs[0]
+                else:
+                    sub_env[name] = _eval_param(actual, env)
+            # substitute qubit formal names with q[idx] tokens in the body
+            body = []
+            for ln in sub.body:
+                for formal, idx in qmap.items():
+                    ln = re.sub(rf"\b{re.escape(formal)}\b", f"q[{idx}]", ln)
+                body.append(ln)
+            _parse_stmts(body, st, sub_env)
             continue
         ops = _parse_gate_use(line, st.macros, env)
         if ops is not None:

@@ -214,3 +214,140 @@ class TestForLoops:
         counts = run_dynamic(prog, shots=64, seed=3)
         assert sum(counts.values()) == 64
         assert all(set(k) <= {"0", "1"} and len(k) == 3 for k in counts)
+
+
+class TestWhileLoops:
+    """Classical while loops execute shot-batched with per-shot active
+    masks (bounded by WHILE_MAX_ITERATIONS); bodies may re-measure —
+    repeat-until-success programs work."""
+
+    def test_while_parses_nested(self):
+        qasm = """
+        OPENQASM 3.0;
+        qubit[1] q;
+        bit[1] c;
+        while (c[0] == 0) {
+            h q[0];
+            c[0] = measure q[0];
+        }
+        """
+        from rocquantum_tpu.compiler.qasm_parser import While
+        prog = parse_qasm3_program(qasm)
+        assert len(prog.items) == 1
+        wh = prog.items[0]
+        assert isinstance(wh, While)
+        assert wh.clbit == 0 and wh.value == 0
+        assert [type(it).__name__ for it in wh.items] == ["GateOp", "Measure"]
+
+    def test_repeat_until_success(self):
+        # H then measure, repeating until the outcome is 1: every shot must
+        # terminate in |1> (P(still active after 100 iters) ~ 2^-100)
+        qasm = """
+        OPENQASM 3.0;
+        qubit[1] q;
+        bit[1] c;
+        while (c[0] == 0) {
+            h q[0];
+            c[0] = measure q[0];
+        }
+        """
+        counts = run_dynamic(parse_qasm3_program(qasm), shots=128, seed=11)
+        assert counts == {"1": 128}
+
+    def test_while_masks_inactive_shots(self):
+        # first measurement splits the ensemble: only c[0]==0 shots enter
+        # the loop (which flips q[1] and q[0] exactly once and exits with
+        # both set); the q[0]=1 shots must keep q[1]=0 untouched ->
+        # outcomes "01" (never looped) or "11" (looped once), with q[0]
+        # the rightmost bit
+        qasm = """
+        OPENQASM 3.0;
+        qubit[2] q;
+        bit[2] c;
+        h q[0];
+        c[0] = measure q[0];
+        while (c[0] == 0) {
+            x q[1];
+            x q[0];
+            c[0] = measure q[0];
+        }
+        """
+        counts = run_dynamic(parse_qasm3_program(qasm), shots=200, seed=4)
+        assert set(counts) == {"01", "11"}
+        assert sum(counts.values()) == 200
+
+    def test_while_register_compare_form(self):
+        qasm = """
+        OPENQASM 2.0;
+        qreg q[1];
+        creg c[1];
+        while (c == 0) {
+            h q[0];
+            measure q[0] -> c[0];
+        }
+        """
+        counts = run_dynamic(parse_qasm3_program(qasm), shots=64, seed=9)
+        assert counts == {"1": 64}
+
+
+class TestDefSubroutines:
+    """OpenQASM 3 ``def`` subroutines: qubit + classical args, bodies with
+    gates / measurement / control flow, expanded at call sites."""
+
+    def test_def_expands_static(self):
+        qasm = """
+        OPENQASM 3.0;
+        qubit[2] q;
+        def entangle(qubit a, qubit b, float t) {
+            ry(t) a;
+            cx a, b;
+        }
+        entangle(q[0], q[1], pi/2);
+        """
+        from rocquantum_tpu.compiler.qasm_parser import parse_qasm3
+        ir = parse_qasm3(qasm)
+        assert [op.name for op in ir.ops] == ["RY", "CNOT"]
+        assert abs(ir.ops[0].params[0] - np.pi / 2) < 1e-12
+        assert ir.ops[1].controls == (0,) and ir.ops[1].targets == (1,)
+
+    def test_def_with_for_and_macro_body(self):
+        qasm = """
+        OPENQASM 3.0;
+        qubit[4] q;
+        def ghz_tail(qubit a) {
+            for int i in [1:3] {
+                cx q[i-1], q[i];
+            }
+        }
+        h q[0];
+        ghz_tail(q[0]);
+        """
+        from rocquantum_tpu.compiler.qasm_parser import parse_qasm3
+        ir = parse_qasm3(qasm)
+        assert [op.name for op in ir.ops] == ["H", "CNOT", "CNOT", "CNOT"]
+
+    def test_def_with_measurement_executes(self):
+        # subroutine performing a measured parity check on the creg
+        qasm = """
+        OPENQASM 3.0;
+        qubit[2] q;
+        bit[1] c;
+        def check(qubit a) {
+            c[0] = measure a;
+        }
+        x q[0];
+        check(q[0]);
+        if (c[0] == 1) { x q[1]; }
+        """
+        counts = run_dynamic(parse_qasm3_program(qasm), shots=32, seed=1)
+        assert counts == {"11": 32}
+
+    def test_def_arg_count_mismatch_raises(self):
+        qasm = """
+        OPENQASM 3.0;
+        qubit[1] q;
+        def f(qubit a, float t) { ry(t) a; }
+        f(q[0]);
+        """
+        with pytest.raises(ValueError):
+            parse_qasm3_program(qasm)
