@@ -193,10 +193,18 @@ class TensorNetwork:
                 a, b = cur[step.i], cur[step.j]
                 rest = [t for k, t in enumerate(cur) if k not in (step.i, step.j)]
                 keep = {l for t in rest for l in t.labels}
-                out_elems = step.out_size
+                # memory trigger accounts for the INPUT operands as well as
+                # the output: the step's working set includes permuted input
+                # copies (the reference staged both inputs through workspace
+                # before the GEMM, hipTensorNet.cpp:74-196, but its
+                # findSlicingPoint checked only the output size) — a
+                # huge-inputs/small-output contraction must slice too
+                step_elems = max(step.out_size,
+                                 int(np.prod(a.shape, dtype=np.int64)),
+                                 int(np.prod(b.shape, dtype=np.int64)))
                 force = min_slices if (step is biggest
                                        and min_slices > 1) else 1
-                if (limit_elems is not None and out_elems > limit_elems) \
+                if (limit_elems is not None and step_elems > limit_elems) \
                         or force > 1:
                     result = self._sliced_pair(a, b, step.out_labels, keep,
                                                limit_elems, force,
@@ -260,28 +268,59 @@ class TensorNetwork:
                     return c
             return dim
 
-        # choose (label, chunks) specs, largest free index first, until the
-        # slab fits the memory limit
+        # choose (label, chunks) specs, largest index first, until EVERY
+        # per-iteration slab — output AND both input copies — fits the
+        # memory limit (input-slab accounting; the reference checked only
+        # the output, hipTensorNet.cpp:318-396)
         free_sorted = sorted(out_labels, key=lambda l: -dims[l])
+        contracted_sorted = sorted(
+            (l for l in dims if l not in set(out_labels)),
+            key=lambda l: -dims[l])
         specs: List[Tuple[str, int]] = []
         chunks_of: Dict[str, int] = {}
-        slab = out_elems
+
+        def next_divisor(dim: int, cur: int) -> Optional[int]:
+            for c in range(cur + 1, dim + 1):
+                if dim % c == 0:
+                    return c
+            return None
+
+        def slab_of(ls) -> int:
+            return int(np.prod([dims[l] // chunks_of.get(l, 1) for l in ls]
+                               or [1], dtype=np.int64))
+
         if limit_elems is not None:
             if limit_elems < 1:
                 raise MemoryError(
                     f"memory limit below one element ({out_elems}-element "
                     "output cannot fit)")
-            for l in free_sorted:
-                if slab <= limit_elems:
+            while True:
+                buffers = [bl for bl in (list(out_labels), a.labels, b.labels)
+                           if slab_of(bl) > limit_elems]
+                if not buffers:
                     break
-                c = divisor_at_least(dims[l], -(-slab // limit_elems))
-                specs.append((l, c))
-                chunks_of[l] = c
-                slab //= c
-            if slab > limit_elems:
-                raise MemoryError(
-                    f"contraction output of {out_elems} elements cannot be "
-                    f"sliced under the memory limit ({limit_elems} elements)")
+                # grow the chunk count of the largest still-divisible label
+                # present in an over-limit buffer (free labels preferred:
+                # their slabs write disjoint regions, no accumulation)
+                cands = [l for l in free_sorted + contracted_sorted
+                         if any(l in bl for bl in buffers)
+                         and dims[l] // chunks_of.get(l, 1) > 1]
+                grown = False
+                for l in cands:
+                    c = next_divisor(dims[l], chunks_of.get(l, 1))
+                    if c is not None:
+                        chunks_of[l] = c
+                        grown = True
+                        break
+                if not grown:
+                    raise MemoryError(
+                        f"contraction (inputs {slab_of(a.labels)}/"
+                        f"{slab_of(b.labels)}, output {out_elems} elements) "
+                        f"cannot be sliced under the memory limit "
+                        f"({limit_elems} elements)")
+            specs = [(l, chunks_of[l])
+                     for l in free_sorted + contracted_sorted
+                     if l in chunks_of]
         # honor a user-requested minimum slice count (hipTensorNet_api.h:35):
         # free (output) labels first — their slabs write disjoint regions —
         # then CONTRACTED labels, whose partial products accumulate into the
@@ -290,9 +329,6 @@ class TensorNetwork:
         # workloads, where there may be no free label at all) sliceable.
         total = int(np.prod([c for _, c in chunks_of.items()] or [1],
                             dtype=np.int64))
-        contracted_sorted = sorted(
-            (l for l in dims if l not in set(out_labels)),
-            key=lambda l: -dims[l])
         if min_slices > 1:
             for l in free_sorted + contracted_sorted:
                 if total >= min_slices:
@@ -338,7 +374,10 @@ class TensorNetwork:
             # slab has exactly the out_labels axis order; sliced contracted
             # labels are summed inside the einsum (partial products)
             part = _einsum_pair(ad, a_labels, bd, b_labels, out_labels)
-            offs = tuple(starts.get(l, 0) for l in out_labels)
+            # uniform offset dtype: the loop counter is int32 or int64
+            # depending on the x64 mode, and dynamic_slice rejects mixes
+            offs = tuple(jnp.asarray(starts.get(l, 0), jnp.int32)
+                         for l in out_labels)
             return part.astype(dtype), offs
 
         def body(k, out):

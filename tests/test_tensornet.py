@@ -276,6 +276,47 @@ class TestSlicingMemoryAndNumSlices:
         np.testing.assert_allclose(out.to_numpy(), a @ b, rtol=2e-3)
 
 
+class TestInputSlabAccounting:
+    """The automatic memory-limit trigger accounts for INPUT operand sizes,
+    not just the output (beyond the reference, whose findSlicingPoint
+    checked only the output size, hipTensorNet.cpp:318-396): a
+    huge-inputs/scalar-output contraction must slice under a limit."""
+
+    def test_big_inputs_small_output_slices(self):
+        rng = np.random.default_rng(5)
+        dim = 64
+        x = rng.normal(size=(dim, dim)).astype(np.complex64)
+        y = rng.normal(size=(dim, dim)).astype(np.complex64)
+        tn = TensorNetwork()
+        tn.add_tensor(x, ["i", "j"])
+        tn.add_tensor(y, ["j", "i"])
+        ref = tn.contract()
+        assert tn.last_num_slices == 1
+        tn2 = TensorNetwork()
+        tn2.add_tensor(x, ["i", "j"])
+        tn2.add_tensor(y, ["j", "i"])
+        # output is 1 element; inputs are 4096 elements each -> the limit
+        # (1024 elements of complex64) must force contracted-index slicing
+        out = tn2.contract({"memory_limit": 1024 * 8})
+        assert tn2.last_num_slices > 1
+        np.testing.assert_allclose(np.asarray(out.data),
+                                   np.asarray(ref.data), rtol=1e-5)
+
+    def test_input_slabs_bounded_under_limit(self):
+        # every chosen slab (inputs and output) must fit the limit
+        rng = np.random.default_rng(6)
+        x = rng.normal(size=(32, 32, 8)).astype(np.complex64)
+        y = rng.normal(size=(32, 32, 8)).astype(np.complex64)
+        tn = TensorNetwork()
+        tn.add_tensor(x, ["i", "j", "k"])
+        tn.add_tensor(y, ["j", "i", "m"])
+        limit_elems = 512
+        out = tn.contract({"memory_limit": limit_elems * 8})
+        assert tn.last_num_slices > 1
+        ref = np.einsum("ijk,jim->km", x, y)
+        np.testing.assert_allclose(np.asarray(out.data), ref, rtol=1e-4)
+
+
 class TestContractedIndexSlicing:
     """Contracted-index slicing (partial-sum accumulation): num_slices works
     even when the output has no (or not enough) free labels — the
