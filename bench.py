@@ -30,11 +30,19 @@ import numpy as np
 
 HBM_BYTES_PER_SEC = 819e9  # v5e
 LAYERS = 32
-REPS = int(os.environ.get("ROCQ_BENCH_REPS", "2"))
-                # layers per fori_loop body: the multi-pair planner packs
-                # all REPS layers' gates into shared kernel passes (the
-                # window pass carries every layer's in-window gates), so
-                # HBM passes per layer shrink as REPS grows
+
+
+def reps_for(n: int) -> int:
+    """Layers per fori_loop body: the multi-pair planner packs all REPS
+    layers' gates into shared kernel passes (the window pass carries every
+    layer's in-window gates), so HBM passes per layer shrink as REPS grows.
+    Measured n=29: REPS 2/4/8/16/32 -> 544/678/795/870/934 gates/s
+    (n=30: 8 -> 426, 16 -> 446); compile time also grows, so default to
+    the knee (16)."""
+    env = os.environ.get("ROCQ_BENCH_REPS")
+    if env:
+        return int(env)
+    return 16
 SIZES = (30, 29, 28, 26, 24)
 PER_SIZE_TIMEOUT_S = 480
 QFT_TIMEOUT_S = 480
@@ -59,8 +67,9 @@ def bench_at(n):
     from rocquantum_tpu.compiler.interpreter import (default_widths,
                                                      execute_pair, init_pair)
 
+    reps = reps_for(n)
     ir = CircuitIR(n, name="bench_layer")
-    for _ in range(REPS):
+    for _ in range(reps):
         for q in range(n):
             ir.add("RY", [q], params=[ParamRef(q)])
     ops = list(ir.ops)
@@ -81,11 +90,11 @@ def bench_at(n):
             # (2 x 8 GiB = the observed 258 MiB-over OOM); straight-line
             # code lets buffer assignment chain the passes in place
             c = (re, im)
-            for i in range(LAYERS // REPS):
+            for i in range(LAYERS // reps):
                 c = body(i, c)
             re, im = c
         else:
-            re, im = jax.lax.fori_loop(0, LAYERS // REPS, body, (re, im))
+            re, im = jax.lax.fori_loop(0, LAYERS // reps, body, (re, im))
         # scalar output forces real synchronization on transfer
         return jnp.sum(re * re + im * im)
 

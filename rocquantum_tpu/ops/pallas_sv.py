@@ -163,9 +163,13 @@ LANE_QUBITS = 7  # 2^7 = 128 = one lane register
 
 # minimum composed-gate counts for a dot to beat the roll path (measured
 # cost model: a 128-wide fp32 HIGHEST dot ~ 2 real roll gates; the 32-wide
-# row dot is nearly free)
+# row dot is nearly free; the batched mid dot measured ~2 roll gates at
+# n=25: 5-gate mid layers 2529 vs 2363 gates/s, and it moves VPU work to
+# the otherwise-idle MXU in mixed passes)
 _MIN_LANE_DOT = 2
 _MIN_ROW_DOT = 1
+_MIN_MID_DOT = 2
+_MIN_PAIR_DOT = 2
 
 
 def _mxu_enabled() -> bool:
@@ -221,6 +225,84 @@ def _compose_row_matrix(gm_ref, idxs, specs, real_flags, col_qubits,
     return a_re, a_im, is_real
 
 
+def _compose_mid_matrix(gm_ref, idxs, specs, real_flags, col_qubits):
+    """(A_re, A_im, is_real) for gates on the MIDDLE column bits
+    (LANE_QUBITS <= q < col_qubits): A = G_L @ ... @ G_1 acting on the
+    middle axis of the (T, M, 128) tile view. The composition is the row
+    composition with the bit window shifted to start at LANE_QUBITS."""
+    mid = 1 << (col_qubits - LANE_QUBITS)
+    return _compose_row_matrix(gm_ref, idxs, specs, real_flags,
+                               LANE_QUBITS, mid)
+
+
+def _apply_mid_dot(re, im, a_re, a_im, is_real):
+    """x' = A @ x over the middle axis: (T, C) viewed as (T, M, 128) with
+    M covering column bits [LANE_QUBITS, col_qubits). A is broadcast to a
+    batched (T, M, M) dot_general — no transposes, one MXU op (measured
+    fastest of the batched/transposed/leading-dot variants on v5e)."""
+    T, C = re.shape
+    M = a_re.shape[0]
+    L = C // M
+    x_re = re.reshape(T, M, L)
+    x_im = im.reshape(T, M, L)
+    dn = (((2,), (1,)), ((0,), (0,)))
+    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    ab_re = jnp.broadcast_to(a_re, (T, M, M))
+    if is_real:
+        o_re = dot(ab_re, x_re)
+        o_im = dot(ab_re, x_im)
+    else:
+        ab_im = jnp.broadcast_to(a_im, (T, M, M))
+        o_re = dot(ab_re, x_re) - dot(ab_im, x_im)
+        o_im = dot(ab_re, x_im) + dot(ab_im, x_re)
+    return o_re.reshape(T, C), o_im.reshape(T, C)
+
+
+def _compose_pair_matrix(gm_ref, idxs, specs, real_flags, bitpos):
+    """(A_re, A_im, is_real): the cross-tile mixing matrix over the 2^k
+    pair-bit combos — A = G_L @ ... @ G_1 with gate qubits translated
+    through ``bitpos`` (pair bits are arbitrary, non-contiguous high index
+    bits; combo bit j <-> pair_bits[j]). Applying ALL pair-bit gates is one
+    (2^k, 2^k) @ (2^k, T*C) dot instead of k elementwise tile combines."""
+    k = len(bitpos)
+    size = 1 << k
+    a_re = jnp.eye(size, dtype=jnp.float32)
+    a_im = jnp.zeros((size, size), jnp.float32)
+    is_one = _mask_factory(k, size)
+    is_real = all(real_flags[i] for i in idxs)
+    for i in idxs:
+        spec = specs[i]
+        if spec[0] == "CNOT":
+            a_re, a_im = _cnot_roll(a_re, a_im, k + bitpos[spec[1]],
+                                    k + bitpos[spec[2]], is_one, k, size)
+        else:
+            a_re, a_im = _roll_gate(a_re, a_im, k + bitpos[spec[1]], is_one,
+                                    _coeffs(gm_ref, i), k, size,
+                                    real_mat=is_real and real_flags[i])
+    return a_re, a_im, is_real
+
+
+def _apply_pair_dot(tiles, a_re, a_im, is_real):
+    """Mix the 2^k paired tiles through A on the MXU: stack to
+    (2^k, T, C), one left dot over the combo axis, unstack."""
+    ncombo = len(tiles)
+    x_re = jnp.stack([t[0] for t in tiles])
+    x_im = jnp.stack([t[1] for t in tiles])
+    dn = (((1,), (0,)), ((), ()))
+    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    if is_real:
+        o_re = dot(a_re, x_re)
+        o_im = dot(a_re, x_im)
+    else:
+        o_re = dot(a_re, x_re) - dot(a_im, x_im)
+        o_im = dot(a_re, x_im) + dot(a_im, x_re)
+    return [(o_re[c], o_im[c]) for c in range(ncombo)]
+
+
 def _apply_lane_dot(re, im, m_re, m_im, is_real):
     """x' = x @ R over the lane axis: (T, C) viewed as (T, C/128, 128)."""
     T, C = re.shape
@@ -255,21 +337,30 @@ def _apply_row_dot(re, im, a_re, a_im, is_real):
 def _plan_mxu_items(specs, pair_bits, col_qubits, tile_rows):
     """Static partition of a pass's specs into execution items:
     ("spec", k) — roll/CNOT/pair path for gate k — or ("lanedot", idxs) /
-    ("rowdot", idxs) batching 1q lane/row gates into one MXU dot each.
-    Deferred dot gates commute with everything between their original slot
-    and the flush point (disjoint qubits); a CNOT touching the lane/row
-    region flushes the pending group first."""
+    ("middot", idxs) / ("rowdot", idxs) batching 1q lane/middle/row gates
+    into one MXU dot each. Deferred dot gates commute with everything
+    between their original slot and the flush point (disjoint qubits); a
+    CNOT touching a dot region flushes that pending group first."""
     t_log2 = tile_rows.bit_length() - 1
     row_lo, row_hi = col_qubits, col_qubits + t_log2
     pair_set = set(pair_bits)
+    # middle column bits [LANE_QUBITS, col_qubits): only dot them at the
+    # full 32-wide region (smaller M underfills the fp32 sublane tile)
+    mid_on = col_qubits - LANE_QUBITS == COL_QUBITS - LANE_QUBITS
 
     def is_lane(q):
         return q < LANE_QUBITS and q not in pair_set
 
+    def is_mid(q):
+        return mid_on and LANE_QUBITS <= q < col_qubits and q not in pair_set
+
     def is_row(q):
         return row_lo <= q < row_hi and q not in pair_set
 
-    items, lane_pend, row_pend = [], [], []
+    def is_pair(q):
+        return q in pair_set
+
+    items, lane_pend, mid_pend, row_pend, pair_pend = [], [], [], [], []
 
     def flush_lane():
         if lane_pend:
@@ -279,6 +370,14 @@ def _plan_mxu_items(specs, pair_bits, col_qubits, tile_rows):
                 items.extend(("spec", k) for k in lane_pend)
             lane_pend.clear()
 
+    def flush_mid():
+        if mid_pend:
+            if len(mid_pend) >= _MIN_MID_DOT:
+                items.append(("middot", tuple(mid_pend)))
+            else:
+                items.extend(("spec", k) for k in mid_pend)
+            mid_pend.clear()
+
     def flush_row():
         if row_pend:
             if len(row_pend) >= _MIN_ROW_DOT:
@@ -287,14 +386,28 @@ def _plan_mxu_items(specs, pair_bits, col_qubits, tile_rows):
                 items.extend(("spec", k) for k in row_pend)
             row_pend.clear()
 
+    def flush_pair():
+        if pair_pend:
+            if len(pair_pend) >= _MIN_PAIR_DOT:
+                items.append(("pairdot", tuple(pair_pend)))
+            else:
+                items.extend(("spec", k) for k in pair_pend)
+            pair_pend.clear()
+
     for k, spec in enumerate(specs):
         if spec[0] == "U":
             q = spec[1]
             if is_lane(q):
                 lane_pend.append(k)
                 continue
+            if is_mid(q):
+                mid_pend.append(k)
+                continue
             if is_row(q):
                 row_pend.append(k)
+                continue
+            if is_pair(q):
+                pair_pend.append(k)
                 continue
             items.append(("spec", k))
         else:  # CNOT — a permutation: composable when both qubits are in
@@ -303,16 +416,30 @@ def _plan_mxu_items(specs, pair_bits, col_qubits, tile_rows):
             if all(is_lane(q) for q in qs):
                 lane_pend.append(k)
                 continue
+            if all(is_mid(q) for q in qs):
+                mid_pend.append(k)
+                continue
             if all(is_row(q) for q in qs):
                 row_pend.append(k)
                 continue
+            if all(is_pair(q) for q in qs):
+                pair_pend.append(k)
+                continue
             if any(is_lane(q) for q in qs):
                 flush_lane()
+            if any(is_mid(q) for q in qs):
+                flush_mid()
             if any(is_row(q) for q in qs):
                 flush_row()
+            if any(is_pair(q) for q in qs):
+                # a CNOT straddling the pair/in-tile boundary conditions
+                # cross-tile motion on in-tile masks: order matters
+                flush_pair()
             items.append(("spec", k))
     flush_lane()
+    flush_mid()
     flush_row()
+    flush_pair()
     return items
 
 
@@ -329,6 +456,11 @@ def _kernel(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
             m_re, m_im, m_real = _compose_lane_matrix(
                 gm_ref, payload, specs, real_flags)
             re, im = _apply_lane_dot(re, im, m_re, m_im, m_real)
+            continue
+        if kind == "middot":
+            a_re, a_im, a_real = _compose_mid_matrix(
+                gm_ref, payload, specs, real_flags, col_qubits)
+            re, im = _apply_mid_dot(re, im, a_re, a_im, a_real)
             continue
         if kind == "rowdot":
             a_re, a_im, a_real = _compose_row_matrix(
@@ -390,6 +522,17 @@ def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
                 gm_ref, payload, specs, real_flags)
             tiles = [_apply_lane_dot(re, im, m_re, m_im, m_real)
                      for (re, im) in tiles]
+            continue
+        if kind == "middot":
+            a_re, a_im, a_real = _compose_mid_matrix(
+                gm_ref, payload, specs, real_flags, col_qubits)
+            tiles = [_apply_mid_dot(re, im, a_re, a_im, a_real)
+                     for (re, im) in tiles]
+            continue
+        if kind == "pairdot":
+            a_re, a_im, a_real = _compose_pair_matrix(
+                gm_ref, payload, specs, real_flags, bitpos)
+            tiles = _apply_pair_dot(tiles, a_re, a_im, a_real)
             continue
         if kind == "rowdot":
             a_re, a_im, a_real = _compose_row_matrix(
