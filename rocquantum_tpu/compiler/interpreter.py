@@ -172,12 +172,19 @@ def _has_real_matrix(op: GateOp) -> bool:
     return op.name.upper() in _REAL_1Q
 
 
+_D2_BASES = set(_DIAG_VECS) | {"RZ", "P", "PHASE"}
+
+
 def pallas_block_specs(block: PallasBlock, params):
     """(kinds, supports, gate_mats, real_flags) for a PallasBlock's ops:
-    kind "U" (dense 1q matrix) or "CNOT" (control, target) per gate."""
+    kind "U" (dense 1q matrix), "CNOT" (control, target), or "D2" — a
+    controlled-phase-family gate packed as the 2x2 of diagonal entries
+    d[control_bit, target_bit] (row 0 = identity, row 1 = the base
+    diagonal)."""
     mats, kinds, supports, real_flags = [], [], [], []
     eye = jnp.stack([jnp.eye(2, dtype=jnp.float32),
                      jnp.zeros((2, 2), jnp.float32)], axis=-1)
+    ones = jnp.ones((2,), config.complex_dtype())
     for op in block.ops:
         base, controls, targets = _split_op(op)
         if base == "X" and len(controls) == 1 and op.matrix is None:
@@ -185,6 +192,15 @@ def pallas_block_specs(block: PallasBlock, params):
             supports.append((controls[0], targets[0]))
             mats.append(eye)  # placeholder, unused by the CNOT path
             real_flags.append(True)
+        elif (op.matrix is None and len(controls) == 1
+              and base in _D2_BASES):
+            d = _diag_vector(op, params)
+            m = jnp.stack([ones, d])
+            kinds.append("D2")
+            supports.append((controls[0], targets[0]))
+            mats.append(jnp.stack([jnp.real(m), jnp.imag(m)], axis=-1)
+                        .astype(jnp.float32))
+            real_flags.append(base == "Z")  # CZ is the only real member
         else:
             m = _base_matrix(op, params)
             kinds.append("U")
@@ -406,7 +422,7 @@ def execute(state: jnp.ndarray, ops: Sequence, params: Optional[jnp.ndarray] = N
     ``use_pallas`` (default: auto — on TPU, unsharded) routes runs of 1q
     gates through the fused single-pass kernel.
     """
-    items = fuse_diagonals(list(ops)) if fuse else list(ops)
+    items = list(ops)
     if use_pallas is None:
         # the fused kernel computes in float32 — never route double-precision
         # states through it (chemistry-accuracy fp64 must stay fp64)
@@ -425,8 +441,13 @@ def execute(state: jnp.ndarray, ops: Sequence, params: Optional[jnp.ndarray] = N
         # need >= 8-row tiles (sublane-aligned; smaller shapes unvalidated
         # on hardware) and enough state for the conversion passes to pay off
         if n_loc >= COL_QUBITS + 3:
+            # pallas runs claim gates FIRST (incl. diagonals — "D2" masked
+            # multiplies), so H + controlled-phase cascades fuse into one
+            # kernel pass; leftover diagonals fuse below
             items = fuse_pallas_runs(items, n_loc - 1, num_qubits=n_loc,
                                      relabel_reach=max_kernel_qubit(n_loc) + 1)
+    if fuse:
+        items = fuse_diagonals(items)
     plan = plan_fusion(items, max_fuse=max_fuse) if fuse else items
     if low_width:
         from .passes import consolidate_low
@@ -482,7 +503,7 @@ def execute_pair(re: jnp.ndarray, im: jnp.ndarray, ops: Sequence,
     n=30 on a 16 GiB chip.
     """
     n = re.shape[-1].bit_length() - 1
-    items = fuse_diagonals(list(ops)) if fuse else list(ops)
+    items = list(ops)
     if use_pallas is None:
         use_pallas = fuse and _pallas_enabled()
     if use_pallas:
@@ -490,6 +511,8 @@ def execute_pair(re: jnp.ndarray, im: jnp.ndarray, ops: Sequence,
         if n >= COL_QUBITS + 3:
             items = fuse_pallas_runs(items, n - 1, num_qubits=n,
                                      relabel_reach=max_kernel_qubit(n) + 1)
+    if fuse:
+        items = fuse_diagonals(items)
     plan = plan_fusion(items, max_fuse=max_fuse) if fuse else items
     if low_width:
         from .passes import consolidate_low

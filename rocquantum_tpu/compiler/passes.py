@@ -92,11 +92,14 @@ def fuse_pallas_runs(items: List[object], max_qubit: int,
         return set(item.targets) | set(item.controls)
 
     def _sup(op):
-        """Qubit support of an eligible op (CNOT: (control, target))."""
-        if op.name.upper() in ("CNOT", "CX"):
+        """Qubit support of an eligible op (2q forms: (control, target))."""
+        name = op.name.upper()
+        if name in ("CNOT", "CX", "CZ", "CRZ"):
             if op.controls:
                 return (op.controls[0], op.targets[0])
             return (op.targets[0], op.targets[1])
+        if op.controls:  # controlled diagonal (P/RZ/... with one control)
+            return (op.controls[0], op.targets[0])
         return (op.targets[0],)
 
     def eligible(item):
@@ -107,6 +110,14 @@ def fuse_pallas_runs(items: List[object], max_qubit: int,
             ok = ((len(item.controls) == 1 and len(item.targets) == 1)
                   or (not item.controls and len(item.targets) == 2))
             return ok and all(q <= max_qubit for q in _sup(item))
+        if is_diagonal(item):
+            # diagonals ride the kernel as masked multiplies ("D2" for the
+            # controlled-phase family, "U" for plain 1q diagonals) — the
+            # QFT's H + controlled-phase cascade becomes ONE kernel pass
+            s = _sup(item)
+            nq = len(item.controls) + len(item.targets)
+            return (nq <= 2 and len(s) == nq
+                    and all(q <= max_qubit for q in s))
         return (not item.controls and len(item.targets) == 1
                 and name not in ("SWAP_BITS", "SWAP")
                 and item.targets[0] <= max_qubit)
@@ -184,9 +195,10 @@ def is_diagonal(op: GateOp) -> bool:
     return (op.matrix is None and op.name.upper() in _DIAGONAL_NAMES)
 
 
-def fuse_diagonals(ops: List[GateOp]) -> List[object]:
+def fuse_diagonals(ops: List[object]) -> List[object]:
     """Group consecutive diagonal gates into DiagBlocks; non-diagonal ops on
-    disjoint qubits commute past an open block."""
+    disjoint qubits commute past an open block. Pre-built blocks (e.g.
+    PallasBlocks when the Pallas pass runs first) pass through."""
     out: List[object] = []
     block: DiagBlock = None
 
@@ -201,12 +213,15 @@ def fuse_diagonals(ops: List[GateOp]) -> List[object]:
             block = None
 
     for op in ops:
-        if is_diagonal(op):
+        if isinstance(op, GateOp) and is_diagonal(op):
             if block is None:
                 block = DiagBlock(ops=[])
             block.ops.append(op)
         else:
-            support = set(op.targets) | set(op.controls)
+            if isinstance(op, (FusedBlock, DiagBlock, PallasBlock)):
+                support = set(op.qubits)
+            else:
+                support = set(op.targets) | set(op.controls)
             if block is not None and support & set(block.qubits):
                 flush()
             out.append(op)

@@ -115,6 +115,29 @@ def _cnot_roll(re, im, c, t, is_one_cache, col_qubits, tile_rows):
     return jnp.where(m_c, p_re, re), jnp.where(m_c, p_im, im)
 
 
+def _d2_mul(re, im, sel_a, sel_b, coeffs, real_mat=False):
+    """Two-qubit DIAGONAL gate (controlled-phase family): multiply each
+    amplitude by d(bit_a, bit_b) — no partner fetch at all. ``coeffs`` is
+    the packed 2x2 of diagonal entries d[bit_a, bit_b]; ``sel_a``/``sel_b``
+    are boolean mask arrays for in-tile bits or compile-time 0/1 for pair
+    bits (per-tile constants in the multi-pair kernel)."""
+    ((d00_re, d00_im), (d01_re, d01_im),
+     (d10_re, d10_im), (d11_re, d11_im)) = coeffs
+
+    def pick(sel, on, off):
+        if isinstance(sel, (bool, int)):
+            return on if sel else off
+        return jnp.where(sel, on, off)
+
+    d_re = pick(sel_a, pick(sel_b, d11_re, d10_re),
+                pick(sel_b, d01_re, d00_re))
+    if real_mat:
+        return re * d_re, im * d_re
+    d_im = pick(sel_a, pick(sel_b, d11_im, d10_im),
+                pick(sel_b, d01_im, d00_im))
+    return re * d_re - im * d_im, re * d_im + im * d_re
+
+
 def _x_roll(re, im, t, is_one_cache, col_qubits, tile_rows):
     """Unconditional X on an in-tile qubit (y = partner)."""
     C = 1 << col_qubits
@@ -193,6 +216,11 @@ def _compose_lane_matrix(gm_ref, idxs, specs, real_flags):
         if spec[0] == "CNOT":
             m_re, m_im = _cnot_roll(m_re, m_im, spec[1], spec[2], is_one,
                                     LANE_QUBITS, L)
+        elif spec[0] == "D2":
+            # R' = R @ D scales R's columns by the diagonal
+            m_re, m_im = _d2_mul(m_re, m_im, is_one(spec[1]),
+                                 is_one(spec[2]), _coeffs(gm_ref, k),
+                                 real_mat=is_real and real_flags[k])
         else:
             m_re, m_im = _roll_gate(m_re, m_im, spec[1], is_one,
                                     _coeffs(gm_ref, k), LANE_QUBITS, L,
@@ -217,6 +245,13 @@ def _compose_row_matrix(gm_ref, idxs, specs, real_flags, col_qubits,
                                     t_log2 + spec[1] - col_qubits,
                                     t_log2 + spec[2] - col_qubits, is_one,
                                     t_log2, tile_rows)
+        elif spec[0] == "D2":
+            # A' = D @ A scales A's rows by the diagonal
+            a_re, a_im = _d2_mul(a_re, a_im,
+                                 is_one(t_log2 + spec[1] - col_qubits),
+                                 is_one(t_log2 + spec[2] - col_qubits),
+                                 _coeffs(gm_ref, k),
+                                 real_mat=is_real and real_flags[k])
         else:
             a_re, a_im = _roll_gate(a_re, a_im,
                                     t_log2 + spec[1] - col_qubits, is_one,
@@ -277,6 +312,11 @@ def _compose_pair_matrix(gm_ref, idxs, specs, real_flags, bitpos):
         if spec[0] == "CNOT":
             a_re, a_im = _cnot_roll(a_re, a_im, k + bitpos[spec[1]],
                                     k + bitpos[spec[2]], is_one, k, size)
+        elif spec[0] == "D2":
+            a_re, a_im = _d2_mul(a_re, a_im, is_one(k + bitpos[spec[1]]),
+                                 is_one(k + bitpos[spec[2]]),
+                                 _coeffs(gm_ref, i),
+                                 real_mat=is_real and real_flags[i])
         else:
             a_re, a_im = _roll_gate(a_re, a_im, k + bitpos[spec[1]], is_one,
                                     _coeffs(gm_ref, i), k, size,
@@ -410,8 +450,9 @@ def _plan_mxu_items(specs, pair_bits, col_qubits, tile_rows):
                 pair_pend.append(k)
                 continue
             items.append(("spec", k))
-        else:  # CNOT — a permutation: composable when both qubits are in
-            # one dot region; otherwise it's a barrier for regions it touches
+        else:  # CNOT (a permutation) / D2 (a diagonal): composable when both
+            # qubits are in one dot region; otherwise a barrier for the
+            # regions they touch
             qs = spec[1:]
             if all(is_lane(q) for q in qs):
                 lane_pend.append(k)
@@ -472,6 +513,9 @@ def _kernel(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
         if spec[0] == "CNOT":
             re, im = _cnot_roll(re, im, spec[1], spec[2], is_one,
                                 col_qubits, tile_rows)
+        elif spec[0] == "D2":
+            re, im = _d2_mul(re, im, is_one(spec[1]), is_one(spec[2]),
+                             _coeffs(gm_ref, k), real_mat=real_flags[k])
         else:
             re, im = _roll_gate(re, im, spec[1], is_one, _coeffs(gm_ref, k),
                                 col_qubits, tile_rows,
@@ -542,6 +586,16 @@ def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
             continue
         k = payload
         spec = specs[k]
+        if spec[0] == "D2":
+            qa, qb = spec[1], spec[2]
+
+            def sel(q, combo):
+                return pair_is_one(combo, q) if q in bitpos else is_one(q)
+
+            tiles = [_d2_mul(re, im, sel(qa, combo), sel(qb, combo),
+                             _coeffs(gm_ref, k), real_mat=real_flags[k])
+                     for combo, (re, im) in enumerate(tiles)]
+            continue
         if spec[0] == "CNOT":
             c, tq = spec[1], spec[2]
             c_pair, t_pair = c in bitpos, tq in bitpos
@@ -636,8 +690,11 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
     """Apply a mixed gate list to the float-pair state in one HBM pass.
 
     specs: per-gate ("U", q) — dense 1q matrix ``gate_mats[k]`` on qubit q —
-    or ("CNOT", control, target). gate_mats: float32 (K, 2, 2, 2) —
-    [k, row, col, re/im] (rows for CNOT entries are ignored).
+    ("CNOT", control, target), or ("D2", qa, qb) — a two-qubit DIAGONAL
+    (controlled-phase family) whose packed entry [i, j] is the diagonal
+    value at (bit_qa=i, bit_qb=j); D2 costs a masked multiply, no partner
+    fetch. gate_mats: float32 (K, 2, 2, 2) — [k, row, col, re/im] (rows for
+    CNOT entries are ignored).
     All referenced qubits must satisfy q <= max_kernel_qubit(n), except
     that up to MAX_PAIR_BITS extra high qubits listed in ``pair_bits``
     (index bits above the tile region) are reachable via block pairing

@@ -62,10 +62,16 @@ class TestPallasRunCollection:
         out = fuse_pallas_runs(ops, max_qubit=17, min_gates=6)
         assert len(out) == 1 and isinstance(out[0], PallasBlock)
         assert len(out[0].ops) == 13
-        ops_c = [g("H", [q]) for q in range(6)] + \
+        # controlled DIAGONALS (CRZ/CZ/controlled-P) now join as "D2"
+        # masked multiplies; non-diagonal controlled gates (CRY) stay out
+        ops_d = [g("H", [q]) for q in range(6)] + \
                 [g("CRZ", [1], [0], [0.3])] + [g("H", [q]) for q in range(6)]
+        out_d = fuse_pallas_runs(ops_d, max_qubit=17, min_gates=6)
+        assert len(out_d) == 1 and isinstance(out_d[0], PallasBlock)
+        ops_c = [g("H", [q]) for q in range(6)] + \
+                [g("CRY", [1], [0], [0.3])] + [g("H", [q]) for q in range(6)]
         out_c = fuse_pallas_runs(ops_c, max_qubit=17, min_gates=6)
-        assert any(isinstance(o, GateOp) and o.name == "CRZ" for o in out_c)
+        assert any(isinstance(o, GateOp) and o.name == "CRY" for o in out_c)
         # gate above the kernel range never joins
         out2 = fuse_pallas_runs([g("H", [20])] * 7, max_qubit=17)
         assert all(isinstance(o, GateOp) for o in out2)

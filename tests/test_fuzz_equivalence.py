@@ -173,7 +173,10 @@ def test_pallas_paths_match_plain_engine_fuzz(seed, monkeypatch):
         elif kind == 2:
             ir.add("CNOT", [q2], controls=[q])
         else:
-            ir.add("CZ", [q2], controls=[q])
+            # controlled-phase family -> the kernel's "D2" masked-multiply
+            name = str(rng.choice(["CZ", "CRZ", "P"]))
+            params = [float(rng.normal())] if name != "CZ" else []
+            ir.add(name, [q2], controls=[q], params=params)
     pops, values = parametrize(ir.ops)
     params = jnp.asarray(values, jnp.float32)
 

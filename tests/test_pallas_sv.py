@@ -451,3 +451,41 @@ def test_mxu_composes_lane_and_row_cnots():
                                real_flags=flags, interpret=True)
     got = np.asarray(re) + 1j * np.asarray(im)
     np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+def test_qft_fuses_to_one_kernel_pass_and_matches(monkeypatch):
+    """The QFT's H + controlled-phase cascade rides the kernel as "D2"
+    masked multiplies: the whole circuit (minus trailing SWAPs) must fuse
+    into ONE PallasBlock and match the dense engine. This is what turns
+    the QFT benchmark from ~39 launch-bound XLA ops into ~1."""
+    monkeypatch.setenv("ROCQ_PALLAS_INTERPRET", "1")
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from rocquantum_tpu.models import qft_ir
+    from rocquantum_tpu.compiler.interpreter import clear_cache, execute
+    from rocquantum_tpu.compiler.passes import (PallasBlock, fuse_diagonals,
+                                                fuse_pallas_runs)
+    from rocquantum_tpu.ops import statevec as sv
+    from rocquantum_tpu.ops.pallas_sv import max_kernel_qubit
+
+    n = 17  # one qubit beyond the in-tile window: the D2/pair path engages
+    ir = qft_ir(n)
+    items = fuse_diagonals(fuse_pallas_runs(
+        list(ir.ops), n - 1, num_qubits=n,
+        relabel_reach=max_kernel_qubit(n) + 1))
+    blocks = [it for it in items if isinstance(it, PallasBlock)]
+    assert len(blocks) == 1
+    assert len(blocks[0].ops) == len(ir.ops) - n // 2  # all but the SWAPs
+
+    clear_cache()
+    with_pallas = jax.jit(lambda: execute(
+        sv.apply_gate(sv.init_state(n), "H", [n - 1]), list(ir.ops), None))()
+    plain = jax.jit(lambda: execute(
+        sv.apply_gate(sv.init_state(n), "H", [n - 1]), list(ir.ops), None,
+        use_pallas=False))()
+    np.testing.assert_allclose(np.asarray(jnp.real(with_pallas)),
+                               np.asarray(jnp.real(plain)), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(jnp.imag(with_pallas)),
+                               np.asarray(jnp.imag(plain)), atol=3e-6)
+    clear_cache()
