@@ -97,3 +97,72 @@ def random_circuit_ir(n: int, depth: int, seed: int = 0,
             else:
                 ir.add("RY", [q], params=[float(rng.normal())])
     return ir
+
+
+def inverse_qft_ir(n: int, qubits=None, ir: CircuitIR = None,
+                   include_swaps: bool = True) -> CircuitIR:
+    """Inverse QFT, optionally on a subset of qubits of an existing IR
+    (used by phase estimation: the counting register)."""
+    qs = list(qubits) if qubits is not None else list(range(n))
+    if ir is None:
+        ir = CircuitIR(n, name=f"iqft{len(qs)}")
+    m = len(qs)
+    if include_swaps:
+        for i in range(m // 2):
+            ir.add("SWAP", [qs[i], qs[m - 1 - i]])
+    for i in range(m):
+        for j in range(i):
+            angle = -math.pi / (1 << (i - j))
+            ir.add("P", [qs[i]], controls=[qs[j]], params=[angle])
+        ir.add("H", [qs[i]])
+    return ir
+
+
+def qpe_ir(num_counting: int, phase: float) -> CircuitIR:
+    """Quantum phase estimation of U = P(2*pi*phase) on eigenstate |1>:
+    ``num_counting`` counting qubits (0..m-1, qubit j weighted 2^j) plus
+    one eigenstate qubit (index m). After the run, the counting register
+    peaks at round(phase * 2^m) — rides the kernel's one-pass "D2"
+    controlled-phase path end to end."""
+    m = num_counting
+    ir = CircuitIR(m + 1, name=f"qpe{m}")
+    ir.add("X", [m])  # eigenstate |1> of the phase gate
+    for j in range(m):
+        ir.add("H", [j])
+    for j in range(m):
+        # controlled-U^(2^j): phases are diagonal, so powers just scale
+        angle = 2.0 * math.pi * phase * (1 << j)
+        ir.add("P", [m], controls=[j], params=[angle])
+    inverse_qft_ir(m + 1, qubits=list(range(m)), ir=ir)
+    return ir
+
+
+def grover_ir(n: int, marked: int, iterations: int = None) -> CircuitIR:
+    """Grover search for the ``marked`` basis state: phase oracle (X-framed
+    multi-controlled Z) + diffusion, ~pi/4*sqrt(2^n) rounds."""
+    if not 0 <= marked < (1 << n):
+        raise ValueError(f"marked state {marked} out of range for n={n}")
+    if iterations is None:
+        iterations = max(1, int(math.floor(math.pi / 4 * math.sqrt(1 << n))))
+    ir = CircuitIR(n, name=f"grover{n}")
+    for q in range(n):
+        ir.add("H", [q])
+    zeros = [q for q in range(n) if not (marked >> q) & 1]
+
+    def mcz():
+        ir.add("Z", [n - 1], controls=list(range(n - 1)))
+
+    for _ in range(iterations):
+        for q in zeros:           # oracle: phase-flip the marked state
+            ir.add("X", [q])
+        mcz()
+        for q in zeros:
+            ir.add("X", [q])
+        for q in range(n):        # diffusion about the mean
+            ir.add("H", [q])
+            ir.add("X", [q])
+        mcz()
+        for q in range(n):
+            ir.add("X", [q])
+            ir.add("H", [q])
+    return ir

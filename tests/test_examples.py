@@ -34,6 +34,7 @@ EXAMPLES = [
     "teleportation_qasm.py",
     "batched_sharded_vqe.py",
     "qaoa_maxcut.py",
+    "phase_estimation_grover.py",
 ]
 
 
