@@ -150,6 +150,13 @@ class _GateMethods:
         self._validate_control_target(qubit1, qubit2)
         self._enqueue("SWAP", [qubit1, qubit2])
 
+    def rzz(self, angle, qubit1: int, qubit2: int):
+        """exp(-i angle/2 Z@Z) — the native two-qubit diagonal entangler
+        (rides the fused kernel's "D2" path; QASM emission decomposes to
+        CNOT-RZ-CNOT for cloud backends)."""
+        self._validate_control_target(qubit1, qubit2)
+        self._enqueue("RZZ", [qubit1, qubit2], params=[angle])
+
     def crx(self, angle, control_qubit: int, target_qubit: int):
         self._validate_control_target(control_qubit, target_qubit)
         self._enqueue("CRX", [target_qubit], controls=[control_qubit],

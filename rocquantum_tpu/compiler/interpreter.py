@@ -124,6 +124,22 @@ def _apply_diag_block(state: jnp.ndarray, block: DiagBlock,
     n = sv.num_qubits_of(state)
     for op in block.ops:
         base, controls, targets = _split_op(op)
+        if base == "RZZ":
+            # two-target diagonal: factor d[b0, b1] over both target axes
+            (theta,) = _resolve_params(op, params)
+            theta = jnp.asarray(theta, config.real_dtype())
+            if op.is_adjoint:
+                theta = -theta
+            em = jnp.exp(-0.5j * theta).astype(config.complex_dtype())
+            ep = jnp.exp(0.5j * theta).astype(config.complex_dtype())
+            d2 = jnp.stack([jnp.stack([em, ep]), jnp.stack([ep, em])])
+            desc = sorted(targets, reverse=True)
+            dims = sv._exposed_view_dims(n, desc)
+            bshape = [1] * len(dims)
+            bshape[1] = bshape[3] = 2
+            state = (state.reshape(dims) * d2.reshape(bshape)).reshape(
+                state.shape)
+            continue
         d = _diag_vector(op, params)
         qubits = list(controls) + list(targets)
         desc = sorted(qubits, reverse=True)
@@ -201,6 +217,31 @@ def pallas_block_specs(block: PallasBlock, params):
             mats.append(jnp.stack([jnp.real(m), jnp.imag(m)], axis=-1)
                         .astype(jnp.float32))
             real_flags.append(base == "Z")  # CZ is the only real member
+        elif (op.matrix is None and not controls and len(targets) == 1
+              and base in _D2_BASES):
+            # plain 1q diagonal as D2(q, q): composes as a row/col scale in
+            # the region dots and is FREE (grid-resolved) at any qubit
+            d = _diag_vector(op, params)
+            m = jnp.stack([jnp.stack([d[0], d[0]]),
+                           jnp.stack([d[1], d[1]])])
+            kinds.append("D2")
+            supports.append((targets[0], targets[0]))
+            mats.append(jnp.stack([jnp.real(m), jnp.imag(m)], axis=-1)
+                        .astype(jnp.float32))
+            real_flags.append(base == "Z")
+        elif op.matrix is None and base == "RZZ" and not controls:
+            (theta,) = _resolve_params(op, params)
+            theta = jnp.asarray(theta, config.real_dtype())
+            if op.is_adjoint:
+                theta = -theta
+            em = jnp.exp(-0.5j * theta).astype(config.complex_dtype())
+            ep = jnp.exp(0.5j * theta).astype(config.complex_dtype())
+            m = jnp.stack([jnp.stack([em, ep]), jnp.stack([ep, em])])
+            kinds.append("D2")
+            supports.append((targets[0], targets[1]))
+            mats.append(jnp.stack([jnp.real(m), jnp.imag(m)], axis=-1)
+                        .astype(jnp.float32))
+            real_flags.append(False)
         else:
             m = _base_matrix(op, params)
             kinds.append("U")
@@ -209,6 +250,38 @@ def pallas_block_specs(block: PallasBlock, params):
                         .astype(jnp.float32))
             real_flags.append(_has_real_matrix(op))
     return kinds, supports, jnp.stack(mats), real_flags
+
+
+_H_GM = np.zeros((2, 2, 2), np.float32)
+_H_GM[:, :, 0] = np.array([[1, 1], [1, -1]]) / np.sqrt(2.0)
+_CZ_GM = np.zeros((2, 2, 2), np.float32)
+_CZ_GM[:, :, 0] = np.array([[1, 1], [1, -1]])  # D2 entries d[bc, bt]
+
+
+def _rewrite_high_cnots(kinds, supports, gm, real_flags, limit):
+    """CNOT with BOTH qubits out of the kernel window -> H(t) CZ(c,t) H(t):
+    the CZ is a FREE diagonal (grid-resolved), so the gate consumes ONE
+    pair-bit slot (the target's H) instead of two — chains of high-bit
+    CNOTs (ring entanglers) pack 3 per 3-pair pass instead of 2."""
+    if not any(k == "CNOT" and min(s) >= limit
+               for k, s in zip(kinds, supports)):
+        return kinds, supports, gm, real_flags
+    h = jnp.asarray(_H_GM)
+    cz = jnp.asarray(_CZ_GM)
+    nk, ns, rows, nr = [], [], [], []
+    for i, (k, s) in enumerate(zip(kinds, supports)):
+        if k == "CNOT" and min(s) >= limit:
+            c, t = s
+            nk += ["U", "D2", "U"]
+            ns += [(t,), (c, t), (t,)]
+            rows += [h, cz, h]
+            nr += [True, True, True]
+        else:
+            nk.append(k)
+            ns.append(tuple(s))
+            rows.append(gm[i])
+            nr.append(real_flags[i])
+    return nk, ns, jnp.stack(rows), nr
 
 
 def _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
@@ -221,11 +294,17 @@ def _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
 
     n = re.shape[-1].bit_length() - 1
     limit = max_kernel_qubit(n) + 1
-    if max(q for s in supports for q in s) < limit:
+    kinds, supports, gm, real_flags = _rewrite_high_cnots(
+        kinds, supports, gm, real_flags, limit)
+    free = [k == "D2" for k in kinds]
+    constrained = [q for k, s in zip(kinds, supports) for q in s
+                   if k != "D2"]
+    if not constrained or max(constrained) < limit:
+        # D2 qubits are unconstrained (grid-resolved) — one direct pass
         specs = tuple((k,) + tuple(s) for k, s in zip(kinds, supports))
         return apply_fused_layer(re, im, specs, gm, real_flags=real_flags,
                                  interpret=interpret)
-    plan = plan_full_layer(n, supports, limit, pair_ok=n > limit)
+    plan = plan_full_layer(n, supports, limit, pair_ok=n > limit, free=free)
     return execute_plan(re, im, plan, gm, n, kinds=kinds,
                         real_flags=real_flags, interpret=interpret)
 
@@ -313,6 +392,10 @@ def _np_gate_matrix(name: str, params) -> np.ndarray:
     key = name.upper()
     if key in _g.FIXED:
         return np.asarray(_g.FIXED[key], np.complex128)
+    if key == "RZZ":
+        th = float(params[0])
+        em, ep = np.exp(-0.5j * th), np.exp(0.5j * th)
+        return np.diag([em, ep, ep, em])
     if key in ("RX", "RY", "RZ", "P", "PHASE", "U3"):
         theta = float(params[0])
         c, s = np.cos(theta / 2), np.sin(theta / 2)

@@ -94,6 +94,8 @@ def fuse_pallas_runs(items: List[object], max_qubit: int,
     def _sup(op):
         """Qubit support of an eligible op (2q forms: (control, target))."""
         name = op.name.upper()
+        if name == "RZZ":
+            return (op.targets[0], op.targets[1])
         if name in ("CNOT", "CX", "CZ", "CRZ"):
             if op.controls:
                 return (op.controls[0], op.targets[0])
@@ -127,15 +129,19 @@ def fuse_pallas_runs(items: List[object], max_qubit: int,
             out.append(PallasBlock(ops=ops))
             return
         sups = [_sup(op) for op in ops]
+        # diagonals are FREE gates: the kernel resolves their out-of-window
+        # bits from the grid position, so they never force pairing/splits
+        free = [is_diagonal(op) for op in ops]
         high_idx = [i for i, s in enumerate(sups)
-                    if any(q >= relabel_reach for q in s)]
+                    if any(q >= relabel_reach for q in s) and not free[i]]
         if not high_idx:
             out.append(PallasBlock(ops=ops))
             return
         from ..ops.relabel import plan_full_layer
         try:
             plan = plan_full_layer(num_qubits, sups, relabel_reach,
-                                   pair_ok=num_qubits > relabel_reach)
+                                   pair_ok=num_qubits > relabel_reach,
+                                   free=free)
         except ValueError:
             # unschedulable without rotations (pair-bit-only regime at
             # n > MAX_ROTATION_QUBITS): force the split path below
@@ -188,7 +194,7 @@ def fuse_pallas_runs(items: List[object], max_qubit: int,
 # Diagonal named gates (incl. implicitly-controlled forms: a controlled
 # diagonal is diagonal).
 _DIAGONAL_NAMES = {"Z", "S", "SDG", "T", "TDG", "RZ", "P", "PHASE",
-                   "CZ", "CRZ"}
+                   "CZ", "CRZ", "RZZ"}
 
 
 def is_diagonal(op: GateOp) -> bool:

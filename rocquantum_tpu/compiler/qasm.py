@@ -41,6 +41,15 @@ def to_qasm3(ir: CircuitIR, add_measure_all: bool = True) -> str:
         qstr = ", ".join(f"q[{i}]" for i in qubits)
         if op.matrix is not None:
             raise ValueError("generic unitary ops have no OpenQASM form")
+        if name == "RZZ":
+            # not in stdgates: emit the CNOT-RZ-CNOT decomposition so any
+            # cloud backend can consume it
+            a, b = op.targets
+            theta = _fmt_params(op)
+            lines.append(f"cx q[{a}], q[{b}];")
+            lines.append(f"rz{theta} q[{b}];")
+            lines.append(f"cx q[{a}], q[{b}];")
+            continue
         if name in _SIMPLE:
             lines.append(f"{_SIMPLE[name]}{_fmt_params(op)} {qstr};")
         elif name in _PARAM:

@@ -76,7 +76,7 @@ _NAME_MAP = {
     "s": ("S", 1, 0), "sdg": ("SDG", 1, 0), "t": ("T", 1, 0),
     "tdg": ("TDG", 1, 0), "swap": ("SWAP", 2, 0),
     "rx": ("RX", 1, 1), "ry": ("RY", 1, 1), "rz": ("RZ", 1, 1),
-    "p": ("P", 1, 1), "u3": ("U3", 1, 3),
+    "p": ("P", 1, 1), "u3": ("U3", 1, 3), "rzz": ("RZZ", 2, 1),
 }
 _CTRL_MAP = {"cx": ("CNOT", 1), "cz": ("CZ", 1), "crx": ("CRX", 1),
              "cry": ("CRY", 1), "crz": ("CRZ", 1), "ccx": ("MCX", 2),

@@ -70,10 +70,9 @@ def qaoa_maxcut_ir(n: int, p: int, edges=None) -> CircuitIR:
         gamma = ParamRef(k)
         k += 1
         for (a, b) in edges:
-            # exp(-i gamma Z_a Z_b) = CNOT - RZ(2 gamma) - CNOT
-            ir.add("CNOT", [b], controls=[a])
-            ir.add("RZ", [b], params=[gamma])  # angle scaling folded by caller
-            ir.add("CNOT", [b], controls=[a])
+            # native two-qubit diagonal: RZZ(g) == CNOT - RZ(g) - CNOT,
+            # but costs one masked multiply in the fused kernel
+            ir.add("RZZ", [a, b], params=[gamma])  # angle scaling by caller
         beta = ParamRef(k)
         k += 1
         for q in range(n):

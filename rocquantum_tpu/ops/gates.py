@@ -84,6 +84,16 @@ def phase(lam):
                       jnp.stack([zero, jnp.exp(1j * lam).astype(config.complex_dtype())])])
 
 
+def rzz(theta):
+    """exp(-i theta/2 Z@Z): the native two-qubit diagonal entangler (QAOA's
+    cost-layer term without the CNOT sandwich). targets[0] is the matrix
+    LSB; the diagonal is [e^-, e^+, e^+, e^-] over (b1, b0)."""
+    theta = jnp.asarray(theta, dtype=config.real_dtype())
+    em = jnp.exp(-0.5j * theta).astype(config.complex_dtype())
+    ep = jnp.exp(0.5j * theta).astype(config.complex_dtype())
+    return jnp.diag(jnp.stack([em, ep, ep, em]))
+
+
 def u3(theta, phi, lam):
     theta = jnp.asarray(theta, dtype=config.real_dtype())
     c = jnp.cos(theta / 2).astype(config.complex_dtype())
@@ -103,6 +113,7 @@ FIXED = {
 
 PARAMETERIZED = {
     "RX": rx, "RY": ry, "RZ": rz, "P": phase, "PHASE": phase, "U3": u3,
+    "RZZ": rzz,
 }
 
 

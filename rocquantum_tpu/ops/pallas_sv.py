@@ -138,6 +138,22 @@ def _d2_mul(re, im, sel_a, sel_b, coeffs, real_mat=False):
     return re * d_re - im * d_im, re * d_im + im * d_re
 
 
+def _free_bit_sel(b, pair_bits, limit):
+    """Boolean value of state-index bit ``b`` (>= limit, not a pair bit)
+    recovered from the GRID position — diagonal gates need only the bit
+    VALUE, not the partner amplitudes, so they reach every qubit with no
+    block pairing. Returns a traced scalar bool (per-tile constant)."""
+    if not pair_bits:
+        return ((pl.program_id(0) >> (b - limit)) & 1) == 1
+    k = len(pair_bits)
+    bounds = [limit] + [p + 1 for p in pair_bits]
+    for j, p in enumerate(pair_bits):
+        if bounds[j] <= b < p:
+            return ((pl.program_id(1 + (k - 1 - j))
+                     >> (b - bounds[j])) & 1) == 1
+    return ((pl.program_id(0) >> (b - (pair_bits[-1] + 1))) & 1) == 1
+
+
 def _x_roll(re, im, t, is_one_cache, col_qubits, tile_rows):
     """Unconditional X on an in-tile qubit (y = partner)."""
     C = 1 << col_qubits
@@ -514,7 +530,12 @@ def _kernel(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
             re, im = _cnot_roll(re, im, spec[1], spec[2], is_one,
                                 col_qubits, tile_rows)
         elif spec[0] == "D2":
-            re, im = _d2_mul(re, im, is_one(spec[1]), is_one(spec[2]),
+            limit = col_qubits + (tile_rows.bit_length() - 1)
+
+            def _sel(q):
+                return is_one(q) if q < limit else _free_bit_sel(q, (), limit)
+
+            re, im = _d2_mul(re, im, _sel(spec[1]), _sel(spec[2]),
                              _coeffs(gm_ref, k), real_mat=real_flags[k])
         else:
             re, im = _roll_gate(re, im, spec[1], is_one, _coeffs(gm_ref, k),
@@ -588,9 +609,14 @@ def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
         spec = specs[k]
         if spec[0] == "D2":
             qa, qb = spec[1], spec[2]
+            limit = col_qubits + (tile_rows.bit_length() - 1)
 
             def sel(q, combo):
-                return pair_is_one(combo, q) if q in bitpos else is_one(q)
+                if q in bitpos:
+                    return pair_is_one(combo, q)
+                if q < limit:
+                    return is_one(q)
+                return _free_bit_sel(q, pair_bits, limit)
 
             tiles = [_d2_mul(re, im, sel(qa, combo), sel(qb, combo),
                              _coeffs(gm_ref, k), real_mat=real_flags[k])
@@ -708,7 +734,11 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
     limit = col + tile_log2
     specs = tuple((spec[0],) + tuple(int(q) for q in spec[1:])
                   for spec in specs)
-    all_qubits = [q for spec in specs for q in spec[1:]]
+    # D2 (diagonal) gates need only the BIT VALUE of their qubits — any
+    # out-of-window bit resolves from the grid position (_free_bit_sel) —
+    # so only non-diagonal gate qubits constrain the window/pair set
+    paired_qubits = [q for spec in specs if spec[0] != "D2"
+                     for q in spec[1:]]
     real_flags = tuple(bool(f) for f in real_flags) if real_flags is not None \
         else (False,) * len(specs)
     if len(real_flags) != len(specs):
@@ -717,11 +747,13 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
         pair_bits = () if pair_bit is None else (int(pair_bit),)
     pair_bits = tuple(sorted(int(p) for p in set(pair_bits)))
     # only keep pair bits a gate actually touches (each costs 2x block size)
-    pair_bits = tuple(p for p in pair_bits if p in set(all_qubits))
-    in_tile = [q for q in all_qubits if q not in set(pair_bits)]
+    pair_bits = tuple(p for p in pair_bits if p in set(paired_qubits))
+    in_tile = [q for q in paired_qubits if q not in set(pair_bits)]
     if any(q >= limit for q in in_tile):
         raise ValueError(f"kernel handles qubits < {limit} (or in pair_bits "
                          f"{pair_bits}), got {specs}")
+    if any(q >= n for spec in specs for q in spec[1:]):
+        raise ValueError(f"qubit out of range for n={n}: {specs}")
     if len(pair_bits) > MAX_PAIR_BITS:
         raise ValueError(f"at most {MAX_PAIR_BITS} pair bits per pass, got "
                          f"{pair_bits}")

@@ -167,7 +167,8 @@ def _items_to_plan(supports, items) -> List[object]:
 def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
                     pair_ok: bool = True,
                     allow_rotations: bool = None,
-                    max_pairs: int = None) -> List[object]:
+                    max_pairs: int = None,
+                    free: Sequence[bool] = None) -> List[object]:
     """Schedule gates (1q or 2q, given by their qubit ``supports``) into
     KernelPass items covering ALL n qubits.
 
@@ -191,6 +192,8 @@ def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
     """
     del allow_rotations  # rotations superseded by multi-pair block pairing
     supports = [tuple(int(q) for q in s) for s in supports]
+    free = [bool(f) for f in free] if free is not None \
+        else [False] * len(supports)
     if any(q >= n for s in supports for q in s):
         raise ValueError(f"qubit out of range for n={n}: {supports}")
     if max_pairs is None:
@@ -198,30 +201,32 @@ def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
         max_pairs = MAX_PAIR_BITS
     if not pair_ok:
         max_pairs = 0
-    if any(len([q for q in s if q >= reach]) > max(max_pairs, 0)
-           for s in supports):
+    if any(not free[i] and len([q for q in s if q >= reach])
+           > max(max_pairs, 0) for i, s in enumerate(supports)):
         raise ValueError(
             f"a gate has more out-of-window qubits than max_pairs="
             f"{max_pairs} at reach={reach}: {supports}")
 
-    from ._native_planner import plan_layer_native
-    native = plan_layer_native(n, supports, reach, max_pairs)
-    if native is not None:
-        return _items_to_plan(supports, native)
+    if not any(free):
+        from ._native_planner import plan_layer_native
+        native = plan_layer_native(n, supports, reach, max_pairs)
+        if native is not None:
+            return _items_to_plan(supports, native)
 
     pending = list(range(len(supports)))  # gate indices, original order
 
     def scan(pairs):
         """List-schedule one pass: take gates in order whose qubits are not
         blocked by an earlier unscheduled gate and whose positions fit the
-        window or the pair set."""
+        window or the pair set. FREE gates (diagonals: the kernel reads
+        their out-of-window bits from the grid position) fit any pass."""
         taken, blocked = [], set()
         for i in pending:
             s = supports[i]
             if any(q in blocked for q in s):
                 blocked |= set(s)
                 continue
-            if all(q < reach or q in pairs for q in s):
+            if free[i] or all(q < reach or q in pairs for q in s):
                 taken.append(i)
             else:
                 blocked |= set(s)
@@ -233,11 +238,13 @@ def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
         # progress), then greedily add the pair bit that schedules the most
         # extra gates (ascending candidate order; strict improvement only —
         # bit-identical to the native scheduler)
-        pairs = {q for q in supports[pending[0]] if q >= reach}
+        head = pending[0]
+        pairs = set() if free[head] else \
+            {q for q in supports[head] if q >= reach}
         take = scan(pairs)
         while len(pairs) < max_pairs:
-            cands = sorted({q for i in pending for q in supports[i]
-                            if q >= reach} - pairs)
+            cands = sorted({q for i in pending if not free[i]
+                            for q in supports[i] if q >= reach} - pairs)
             best, best_take = None, take
             for p in cands:
                 t = scan(pairs | {p})
@@ -249,7 +256,8 @@ def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
             take = best_take
         if not take:
             raise AssertionError("scheduler made no progress")
-        used = {q for i in take for q in supports[i] if q >= reach}
+        used = {q for i in take if not free[i]
+                for q in supports[i] if q >= reach}
         plan.append(KernelPass(
             gate_idx=tuple(take),
             positions=tuple(supports[i] for i in take),

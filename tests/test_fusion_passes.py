@@ -160,3 +160,41 @@ class TestLaneRegionLayoutHazard:
                 full[col, col] = 1.0
         expected = full @ v
         np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)
+
+
+class TestFreeDiagonalScheduling:
+    """Diagonal gates are FREE in the kernel planner (out-of-window bits
+    resolve from the grid position) and both-high CNOTs rewrite to
+    H-CZ-H, halving their pair-slot cost."""
+
+    def test_free_diagonals_do_not_consume_pairs(self):
+        from rocquantum_tpu.ops.relabel import plan_full_layer
+        n, reach = 24, 17
+        sups = [(q,) for q in range(reach)] + \
+               [(18, 20), (17, 23), (22, 22)]
+        free = [False] * reach + [True, True, True]
+        plan = plan_full_layer(n, sups, reach, free=free)
+        assert len(plan) == 1
+        assert plan[0].pair_bits == ()
+
+    def test_high_cnot_ring_pass_count(self):
+        # the n=29 2-layer RY+CNOT-ring body: H-CZ-H rewriting packs 3
+        # chain CNOTs per 3-pair pass (was 2) -> 8 passes, down from 12
+        from rocquantum_tpu.ops.relabel import plan_full_layer
+        n, reach = 29, 17
+        kinds, sups = [], []
+        for _ in range(2):
+            for q in range(n):
+                kinds.append("U")
+                sups.append((q,))
+            for q in range(n):
+                c, t = q, (q + 1) % n
+                if min(c, t) >= reach:
+                    kinds += ["U", "D2", "U"]
+                    sups += [(t,), (c, t), (t,)]
+                else:
+                    kinds.append("CNOT")
+                    sups.append((c, t))
+        plan = plan_full_layer(n, sups, reach,
+                               free=[k == "D2" for k in kinds])
+        assert len(plan) <= 8

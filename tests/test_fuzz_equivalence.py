@@ -173,10 +173,13 @@ def test_pallas_paths_match_plain_engine_fuzz(seed, monkeypatch):
         elif kind == 2:
             ir.add("CNOT", [q2], controls=[q])
         else:
-            # controlled-phase family -> the kernel's "D2" masked-multiply
-            name = str(rng.choice(["CZ", "CRZ", "P"]))
-            params = [float(rng.normal())] if name != "CZ" else []
-            ir.add(name, [q2], controls=[q], params=params)
+            # controlled-phase family + RZZ -> the kernel's "D2" path
+            name = str(rng.choice(["CZ", "CRZ", "P", "RZZ"]))
+            if name == "RZZ":
+                ir.add("RZZ", [q, q2], params=[float(rng.normal())])
+            else:
+                params = [float(rng.normal())] if name != "CZ" else []
+                ir.add(name, [q2], controls=[q], params=params)
     pops, values = parametrize(ir.ops)
     params = jnp.asarray(values, jnp.float32)
 
