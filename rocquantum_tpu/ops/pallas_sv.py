@@ -311,26 +311,35 @@ def _apply_mid_dot(re, im, a_re, a_im, is_real):
     return o_re.reshape(T, C), o_im.reshape(T, C)
 
 
-def _compose_pair_matrix(gm_ref, idxs, specs, real_flags, bitpos):
+def _compose_pair_matrix(gm_ref, idxs, specs, real_flags, bitpos,
+                         pair_bits=(), limit=0):
     """(A_re, A_im, is_real): the cross-tile mixing matrix over the 2^k
     pair-bit combos — A = G_L @ ... @ G_1 with gate qubits translated
     through ``bitpos`` (pair bits are arbitrary, non-contiguous high index
     bits; combo bit j <-> pair_bits[j]). Applying ALL pair-bit gates is one
-    (2^k, 2^k) @ (2^k, T*C) dot instead of k elementwise tile combines."""
+    (2^k, 2^k) @ (2^k, T*C) dot instead of k elementwise tile combines.
+    D2 members may also reference FREE bits (out-of-window, unpaired):
+    their per-block value is a grid-resolved scalar, so the diagonal scale
+    folds into the matrix."""
     k = len(bitpos)
     size = 1 << k
     a_re = jnp.eye(size, dtype=jnp.float32)
     a_im = jnp.zeros((size, size), jnp.float32)
     is_one = _mask_factory(k, size)
     is_real = all(real_flags[i] for i in idxs)
+
+    def psel(q):
+        if q in bitpos:
+            return is_one(k + bitpos[q])
+        return _free_bit_sel(q, pair_bits, limit)
+
     for i in idxs:
         spec = specs[i]
         if spec[0] == "CNOT":
             a_re, a_im = _cnot_roll(a_re, a_im, k + bitpos[spec[1]],
                                     k + bitpos[spec[2]], is_one, k, size)
         elif spec[0] == "D2":
-            a_re, a_im = _d2_mul(a_re, a_im, is_one(k + bitpos[spec[1]]),
-                                 is_one(k + bitpos[spec[2]]),
+            a_re, a_im = _d2_mul(a_re, a_im, psel(spec[1]), psel(spec[2]),
                                  _coeffs(gm_ref, i),
                                  real_mat=is_real and real_flags[i])
         else:
@@ -403,6 +412,10 @@ def _plan_mxu_items(specs, pair_bits, col_qubits, tile_rows):
     # middle column bits [LANE_QUBITS, col_qubits): only dot them at the
     # full 32-wide region (smaller M underfills the fp32 sublane tile)
     mid_on = col_qubits - LANE_QUBITS == COL_QUBITS - LANE_QUBITS
+
+    def is_freebit(q):
+        # out-of-window, unpaired: reachable by D2 only (grid-resolved)
+        return q >= row_hi and q not in pair_set
 
     def is_lane(q):
         return q < LANE_QUBITS and q not in pair_set
@@ -480,6 +493,12 @@ def _plan_mxu_items(specs, pair_bits, col_qubits, tile_rows):
                 row_pend.append(k)
                 continue
             if all(is_pair(q) for q in qs):
+                pair_pend.append(k)
+                continue
+            if (spec[0] == "D2" and pair_set
+                    and all(is_pair(q) or is_freebit(q) for q in qs)):
+                # diagonal over pair + free bits: the free-bit value is a
+                # per-block scalar, so the scale folds into the pair matrix
                 pair_pend.append(k)
                 continue
             if any(is_lane(q) for q in qs):
@@ -596,7 +615,9 @@ def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
             continue
         if kind == "pairdot":
             a_re, a_im, a_real = _compose_pair_matrix(
-                gm_ref, payload, specs, real_flags, bitpos)
+                gm_ref, payload, specs, real_flags, bitpos,
+                pair_bits=pair_bits,
+                limit=col_qubits + (tile_rows.bit_length() - 1))
             tiles = _apply_pair_dot(tiles, a_re, a_im, a_real)
             continue
         if kind == "rowdot":
