@@ -66,9 +66,15 @@ def schedule_for_sharding(ops: Sequence[GateOp], n: int, n_global: int,
     if sorted(layout) != list(range(n)):
         raise ValueError("initial_layout must be a permutation")
 
-    # next-use table for the eviction heuristic
+    from .passes import is_diagonal
+
+    # next-use table for the eviction heuristic (diagonal ops apply at any
+    # layout, so they neither demand locality nor protect a bit from
+    # eviction)
     next_use = {q: [] for q in range(n)}
     for step, op in enumerate(ops):
+        if is_diagonal(op):
+            continue
         for q in list(op.targets) + list(op.controls):
             next_use[q].append(step)
 
@@ -92,6 +98,18 @@ def schedule_for_sharding(ops: Sequence[GateOp], n: int, n_global: int,
                 use_ptr[q] += 1
             continue
         support = set(op.targets) | set(op.controls)
+        if is_diagonal(op):
+            # diagonal gates are elementwise in the computational basis:
+            # a global qubit's bit value is constant per device, so the
+            # phase multiply needs NO relabeling and NO communication —
+            # emit on current physical bits (the reference relabeled every
+            # non-local gate, MULTI_GPU_GUIDE.md:58-59; QAOA cost layers
+            # and QFT phase cascades are comm-free here)
+            out.append(GateOp(op.name,
+                              tuple(layout[t] for t in op.targets),
+                              tuple(layout[c] for c in op.controls),
+                              op.params, op.matrix, op.is_adjoint))
+            continue
         if len(support) > n_local:
             raise ValueError(
                 f"gate support {sorted(support)} exceeds the local region "

@@ -375,3 +375,58 @@ class TestMultiSliceMesh:
         state = sharded_init_state(8, mesh)
         shard_sizes = {s.data.shape for s in state.addressable_shards}
         assert shard_sizes == {(256 // 8,)}
+
+
+class TestDiagonalGatesCommFree:
+    """Diagonal gates (CZ/CRZ/RZZ/phases) on device-selecting qubits apply
+    elementwise in place — the scheduler emits NO relabels for them and the
+    compiled program contains NO collectives (the reference required an
+    index-bit swap for every non-local gate, MULTI_GPU_GUIDE.md:58-59)."""
+
+    def test_global_diagonals_lower_with_no_collectives(self):
+        import re
+        from rocquantum_tpu.compiler.sharded_schedule import (
+            SWAP_BITS, schedule_for_sharding)
+        from rocquantum_tpu.parallel import num_global_qubits
+
+        mesh = make_mesh(8)
+        n = 12
+        ir = CircuitIR(n)
+        ir.add("CZ", [0], controls=[n - 1])         # global control
+        ir.add("RZZ", [n - 1, n - 2], params=[0.7])  # both global
+        ir.add("RZ", [n - 3], params=[0.4])          # global 1q diag
+        ir.add("CRZ", [n - 2], controls=[2], params=[0.3])
+        ops, layout = schedule_for_sharding(ir.ops, n,
+                                            num_global_qubits(mesh))
+        assert not any(op.name == SWAP_BITS for op in ops)
+        assert layout == list(range(n))
+        sched = CircuitIR(n, ops)
+        fn = compile_ir(sched, sharding=state_sharding(mesh), donate=False)
+        lowered = jax.jit(lambda s, p: fn(s, p)).lower(
+            jax.ShapeDtypeStruct((1 << n,), jnp.complex64,
+                                 sharding=state_sharding(mesh)),
+            jax.ShapeDtypeStruct((1,), jnp.float32))
+        txt = lowered.compile().as_text()
+        assert len(re.findall("all-gather", txt)) == 0
+        assert len(re.findall("all-to-all", txt)) == 0
+
+    def test_global_diagonal_circuit_matches_single_device(self):
+        mesh = make_mesh(8)
+        n = 7
+
+        def build(mesh_arg):
+            sim = rocq.Simulator(seed=5)
+            c = rocq.Circuit(n, sim, mesh=mesh_arg)
+            for q in range(n):
+                c.h(q)
+            c.cz(n - 1, 0)
+            c.rzz(0.9, n - 1, n - 2)
+            c.rz(0.4, n - 3)
+            c.crz(0.3, 2, n - 2)
+            c.ry(0.5, 1)
+            return c
+
+        ref = build(None)
+        shd = build(mesh)
+        np.testing.assert_allclose(shd.get_statevector(),
+                                   ref.get_statevector(), atol=1e-6)
