@@ -371,8 +371,14 @@ class Circuit(_GateMethods):
         params = jnp.asarray(values, dtype=config.real_dtype()) if values \
             else jnp.zeros((0,), dtype=config.real_dtype())
         state = self.state
-        for start in range(0, len(ops), MAX_SEGMENT_OPS):
-            segment = ops[start:start + MAX_SEGMENT_OPS]
+        from .compiler.interpreter import segment_ops
+        n_global = 0
+        if self.mesh is not None:
+            from .parallel.sharded import num_global_qubits
+            n_global = num_global_qubits(self.mesh)
+        for segment in segment_ops(ops, self.num_qubits,
+                                   max_items=MAX_SEGMENT_OPS,
+                                   n_global=n_global, fuse=self._fuse):
             ir = CircuitIR(self.num_qubits, segment)
             fn = compile_ir(ir, fuse=self._fuse, max_fuse=self._max_fuse,
                             sharding=self._sharding(),

@@ -621,6 +621,55 @@ def execute_pair(re: jnp.ndarray, im: jnp.ndarray, ops: Sequence,
     return re, im
 
 
+def segment_ops(ops: Sequence, num_qubits: int, max_items: int = 96,
+                n_global: int = 0, fuse: bool = True) -> list:
+    """Split an op list into segments of at most ``max_items`` POST-FUSION
+    plan items (a PallasBlock costs ~its pass count, not its member count):
+    the compile-service budget is about COMPILED program size, and a fused
+    220-op QFT is ~one op. Segment boundaries follow plan-item order (a
+    valid execution order), so member ops concatenate correctly."""
+    from .passes import DiagBlock as _DB, FusedBlock as _FB, \
+        PallasBlock as _PB
+    ops = list(ops)
+    if len(ops) <= max_items:
+        return [ops]
+    if not fuse:
+        # unfused executions compile one op per gate: raw slicing
+        return [ops[i:i + max_items] for i in range(0, len(ops), max_items)]
+    items = ops
+    if _pallas_enabled():
+        from ..ops.pallas_sv import COL_QUBITS, max_kernel_qubit
+        n_loc = num_qubits - n_global
+        if n_loc >= COL_QUBITS + 3:
+            items = fuse_pallas_runs(items, n_loc - 1, num_qubits=n_loc,
+                                     relabel_reach=max_kernel_qubit(n_loc)
+                                     + 1)
+    items = fuse_diagonals(items)
+    items = plan_fusion(items, max_fuse=2)
+
+    def cost(item):
+        if isinstance(item, _PB):
+            # ~one compiled op per kernel pass; passes pack ~10+ gates
+            return (len(item.ops) + 9) // 10 + 1
+        return 1
+
+    def members(item):
+        return list(item.ops) if isinstance(item, (_PB, _DB, _FB)) \
+            else [item]
+
+    segments, cur, count = [], [], 0
+    for item in items:
+        c = cost(item)
+        if cur and count + c > max_items:
+            segments.append(cur)
+            cur, count = [], 0
+        cur.extend(members(item))
+        count += c
+    if cur:
+        segments.append(cur)
+    return segments
+
+
 # ---------------------------------------------------------------------------
 # Executable cache
 # ---------------------------------------------------------------------------
