@@ -43,6 +43,7 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             ctypes.c_int,
         ]
@@ -57,19 +58,22 @@ class Unschedulable(Exception):
 
 
 def plan_layer_native(n: int, supports: Sequence[Tuple[int, ...]],
-                      reach: int, max_pairs: int) -> Optional[List[tuple]]:
+                      reach: int, max_pairs: int,
+                      free: Sequence[bool] = None) -> Optional[List[tuple]]:
     """Run the C++ multi-pair scheduler; returns a list of
     ('pass', pair_bits_tuple, gate_idx_tuple) records, or None when the
-    library is unavailable (callers fall back to the Python planner)."""
+    library is unavailable (callers fall back to the Python planner).
+    ``free[i]`` marks diagonal gates schedulable at any layout."""
     lib = _load()
     if lib is None:
         return None
     num = len(supports)
     q0 = np.asarray([s[0] for s in supports], np.int32)
     q1 = np.asarray([s[1] if len(s) > 1 else -1 for s in supports], np.int32)
+    ff = np.asarray([1 if f else 0 for f in (free or [0] * num)], np.uint8)
     capacity = 4 * num + (max_pairs + 4) * (2 * num + 2) + 16
     out = np.zeros(capacity, np.int32)
-    rc = lib.rocq_plan_layer_mp(n, reach, max_pairs, num, q0, q1, out,
+    rc = lib.rocq_plan_layer_mp(n, reach, max_pairs, num, q0, q1, ff, out,
                                 capacity)
     if rc < 0:
         return None

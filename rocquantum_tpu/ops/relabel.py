@@ -207,11 +207,10 @@ def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
             f"a gate has more out-of-window qubits than max_pairs="
             f"{max_pairs} at reach={reach}: {supports}")
 
-    if not any(free):
-        from ._native_planner import plan_layer_native
-        native = plan_layer_native(n, supports, reach, max_pairs)
-        if native is not None:
-            return _items_to_plan(supports, native)
+    from ._native_planner import plan_layer_native
+    native = plan_layer_native(n, supports, reach, max_pairs, free=free)
+    if native is not None:
+        return _items_to_plan(supports, native)
 
     pending = list(range(len(supports)))  # gate indices, original order
 

@@ -151,14 +151,20 @@ def test_sharded_density_matrix():
     assert 0.5 < float(zz) < 1.0
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", range(6))
 def test_pallas_paths_match_plain_engine_fuzz(seed, monkeypatch):
     """Random circuits at kernel-relevant sizes: the full Pallas pipeline
-    (fused 1q+CNOT runs, pair-bit blocks, rotation relabeling — interpret
-    mode) must match the plain XLA engine bit-for-tolerance."""
+    (fused 1q+CNOT runs, pair-bit blocks, free-bit diagonals, H-CZ-H
+    high-CNOT rewriting — interpret mode) must match the plain XLA engine
+    bit-for-tolerance."""
     monkeypatch.setenv("ROCQ_PALLAS_INTERPRET", "1")
     rng = np.random.default_rng(100 + seed)
-    n = int(rng.integers(16, 19))  # spans the pair-bit/rotation regimes
+    if seed >= 4:
+        # larger sizes: multiple out-of-window bits — free-bit D2 and the
+        # both-high CNOT rewrite engage
+        n = int(rng.integers(19, 22))
+    else:
+        n = int(rng.integers(16, 19))  # spans the pair-bit regimes
     ir = CircuitIR(n)
     k = 0
     for _ in range(40):

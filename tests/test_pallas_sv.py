@@ -329,7 +329,8 @@ def test_full_ansatz_layer_with_relabel_matches_reference():
 # Native C++ scheduler parity (native/fusion_planner.cpp)
 # ---------------------------------------------------------------------------
 
-def _python_plan(n, supports, reach, pair_ok=True, max_pairs=None):
+def _python_plan(n, supports, reach, pair_ok=True, max_pairs=None,
+                 free=None):
     """Force the pure-Python scheduling path."""
     import rocquantum_tpu.ops._native_planner as npl
     import rocquantum_tpu.ops.relabel as rl
@@ -337,7 +338,7 @@ def _python_plan(n, supports, reach, pair_ok=True, max_pairs=None):
     npl.plan_layer_native = lambda *a, **k: None
     try:
         return rl.plan_full_layer(n, supports, reach, pair_ok=pair_ok,
-                                  max_pairs=max_pairs)
+                                  max_pairs=max_pairs, free=free)
     finally:
         npl.plan_layer_native = orig
 
@@ -358,10 +359,18 @@ def test_native_planner_matches_python_oracle():
                 a = int(rng.integers(0, n))
                 b = int((a + 1 + rng.integers(0, n - 1)) % n)
                 supports.append((a, b))
+        # ~1/4 of gates marked FREE (diagonals): the native scheduler must
+        # agree with the Python oracle on the extended model too
+        free = [bool(rng.random() < 0.25) for _ in supports]
         for max_pairs in (2, 3):
             py = _python_plan(n, supports, reach, max_pairs=max_pairs)
             nat = plan_full_layer(n, supports, reach, max_pairs=max_pairs)
             assert py == nat, (trial, max_pairs, py, nat)
+            py_f = _python_plan(n, supports, reach, max_pairs=max_pairs,
+                                free=free)
+            nat_f = plan_full_layer(n, supports, reach, max_pairs=max_pairs,
+                                    free=free)
+            assert py_f == nat_f, (trial, max_pairs, py_f, nat_f)
 
 
 def test_mxu_dot_groups_match_reference():
