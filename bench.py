@@ -119,7 +119,9 @@ def run_single(n):
 
 def bench_ansatz(n):
     """RY-column + CNOT-ring layers — the VQE hot path, riding the fused
-    1q+CNOT kernel."""
+    1q+CNOT kernel. ROCQ_ANSATZ_BODY layers share kernel passes per
+    fori_loop body (the multi-layer pass-sharing lever, same as REPS for
+    the 1q-layer metric)."""
     import jax
     import jax.numpy as jnp
     _enable_compile_cache()
@@ -128,8 +130,9 @@ def bench_ansatz(n):
                                                      execute_pair, init_pair)
 
     layers = 8
+    body_layers = int(os.environ.get("ROCQ_ANSATZ_BODY", "2"))
     ir = CircuitIR(n, name="bench_ansatz")
-    for _ in range(2):
+    for _ in range(body_layers):
         for q in range(n):
             ir.add("RY", [q], params=[ParamRef(q)])
         for q in range(n):
@@ -145,7 +148,7 @@ def bench_ansatz(n):
             return execute_pair(c[0], c[1], ops, params, low_width=low_w,
                                 high_width=high_w)
 
-        re, im = jax.lax.fori_loop(0, layers // 2, body, (re, im))
+        re, im = jax.lax.fori_loop(0, layers // body_layers, body, (re, im))
         return jnp.sum(re * re + im * im)
 
     params = jnp.asarray(np.linspace(0.1, 1.0, n), jnp.float32)
