@@ -14,17 +14,18 @@
 // adds the candidate bit that schedules the most extra gates (ascending
 // order, strict improvement only).
 //
-// FREE gates (diagonals: the kernel resolves their out-of-window bit
-// values from the grid position) fit any pass and never consume pair
-// slots; they still participate in dependency blocking.
+// Scheduling constraints are per-gate ANCHOR qubits — the qubits that must
+// fit the window or the pair set. Diagonals anchor nothing (bit values
+// grid-resolve); a CNOT with an out-of-window control anchors only its
+// target. Dependency blocking always uses the full support (q0/q1).
 //
 // ABI (ctypes):
 //   rocq_plan_layer_mp(n, reach, max_pairs, num_gates,
 //                      q0[num_gates], q1[num_gates] /* -1 for 1q */,
-//                      free_flags[num_gates] /* 1 = free (diagonal) */,
+//                      a0[num_gates], a1[num_gates] /* anchors, -1 none */,
 //                      out[capacity]) -> number of int32 written, or
 //                      -1 capacity exceeded, -3 bad input (including a
-//                      non-free gate with more out-of-window qubits than
+//                      gate with more out-of-window anchors than
 //                      max_pairs)
 // Output encoding, repeated records:
 //   [1, npairs, pairs..., count, idx...]   — one kernel pass
@@ -38,7 +39,8 @@ namespace {
 struct Gate {
   int32_t q0;
   int32_t q1;  // -1 for 1q
-  bool free;   // diagonal: schedulable at any layout
+  int32_t a0;  // anchored qubits (must fit window/pairs); -1 = none
+  int32_t a1;
 };
 
 // one list-scheduling sweep: gates whose qubits are unblocked and whose
@@ -56,8 +58,8 @@ std::vector<int> scan(int n, int reach, const std::vector<Gate>& gates,
       if (g.q1 >= 0) blocked[g.q1] = 1;
       continue;
     }
-    auto fits = [&](int q) { return q < reach || pair_set[q]; };
-    if (g.free || (fits(g.q0) && (g.q1 < 0 || fits(g.q1)))) {
+    auto fits = [&](int q) { return q < 0 || q < reach || pair_set[q]; };
+    if (fits(g.a0) && fits(g.a1)) {
       taken.push_back(i);
     } else {
       blocked[g.q0] = 1;
@@ -71,16 +73,16 @@ std::vector<int> scan(int n, int reach, const std::vector<Gate>& gates,
 
 extern "C" int rocq_plan_layer_mp(int n, int reach, int max_pairs,
                                   int num_gates, const int32_t* q0,
-                                  const int32_t* q1,
-                                  const uint8_t* free_flags, int32_t* out,
+                                  const int32_t* q1, const int32_t* a0,
+                                  const int32_t* a1, int32_t* out,
                                   int capacity) {
   if (n <= 0 || reach <= 0 || num_gates < 0 || max_pairs < 0) return -3;
   std::vector<Gate> gates(num_gates);
   for (int i = 0; i < num_gates; ++i) {
-    if (q0[i] < 0 || q0[i] >= n || q1[i] >= n) return -3;
-    gates[i] = Gate{q0[i], q1[i], free_flags[i] != 0};
-    if (gates[i].free) continue;
-    int high = (q0[i] >= reach) + (q1[i] >= 0 && q1[i] >= reach);
+    if (q0[i] < 0 || q0[i] >= n || q1[i] >= n || a0[i] >= n || a1[i] >= n)
+      return -3;
+    gates[i] = Gate{q0[i], q1[i], a0[i], a1[i]};
+    int high = (a0[i] >= reach) + (a1[i] >= reach);
     if (high > max_pairs) return -3;
   }
 
@@ -99,12 +101,10 @@ extern "C" int rocq_plan_layer_mp(int n, int reach, int max_pairs,
     std::vector<char> pair_set(n, 0);
     int npairs = 0;
     const Gate& g0 = gates[pending[0]];
-    if (!g0.free) {
-      for (int q : {g0.q0, g0.q1}) {
-        if (q >= reach && !pair_set[q]) {
-          pair_set[q] = 1;
-          ++npairs;
-        }
+    for (int q : {g0.a0, g0.a1}) {
+      if (q >= reach && !pair_set[q]) {
+        pair_set[q] = 1;
+        ++npairs;
       }
     }
     std::vector<int> take = scan(n, reach, gates, pending, pair_set);
@@ -113,8 +113,7 @@ extern "C" int rocq_plan_layer_mp(int n, int reach, int max_pairs,
       std::vector<int> cands;
       for (int i : pending) {
         const Gate& g = gates[i];
-        if (g.free) continue;
-        for (int q : {g.q0, g.q1}) {
+        for (int q : {g.a0, g.a1}) {
           if (q >= reach && !pair_set[q]) cands.push_back(q);
         }
       }
@@ -142,8 +141,7 @@ extern "C" int rocq_plan_layer_mp(int n, int reach, int max_pairs,
     std::vector<char> used(n, 0);
     for (int i : take) {
       const Gate& g = gates[i];
-      if (g.free) continue;
-      for (int q : {g.q0, g.q1})
+      for (int q : {g.a0, g.a1})
         if (q >= reach) used[q] = 1;
     }
     std::vector<int> pairs;

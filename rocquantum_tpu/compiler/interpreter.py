@@ -252,36 +252,19 @@ def pallas_block_specs(block: PallasBlock, params):
     return kinds, supports, jnp.stack(mats), real_flags
 
 
-_H_GM = np.zeros((2, 2, 2), np.float32)
-_H_GM[:, :, 0] = np.array([[1, 1], [1, -1]]) / np.sqrt(2.0)
-_CZ_GM = np.zeros((2, 2, 2), np.float32)
-_CZ_GM[:, :, 0] = np.array([[1, 1], [1, -1]])  # D2 entries d[bc, bt]
-
-
-def _rewrite_high_cnots(kinds, supports, gm, real_flags, limit):
-    """CNOT with BOTH qubits out of the kernel window -> H(t) CZ(c,t) H(t):
-    the CZ is a FREE diagonal (grid-resolved), so the gate consumes ONE
-    pair-bit slot (the target's H) instead of two — chains of high-bit
-    CNOTs (ring entanglers) pack 3 per 3-pair pass instead of 2."""
-    if not any(k == "CNOT" and min(s) >= limit
-               for k, s in zip(kinds, supports)):
-        return kinds, supports, gm, real_flags
-    h = jnp.asarray(_H_GM)
-    cz = jnp.asarray(_CZ_GM)
-    nk, ns, rows, nr = [], [], [], []
-    for i, (k, s) in enumerate(zip(kinds, supports)):
-        if k == "CNOT" and min(s) >= limit:
-            c, t = s
-            nk += ["U", "D2", "U"]
-            ns += [(t,), (c, t), (t,)]
-            rows += [h, cz, h]
-            nr += [True, True, True]
+def _spec_anchors(kinds, supports, limit):
+    """Per-gate ANCHOR qubits — what must fit the kernel window or the
+    pass's pair set. Diagonals (D2) anchor nothing; a CNOT's out-of-window
+    CONTROL is a grid-resolved scalar, so only its target anchors."""
+    anchors = []
+    for k, s in zip(kinds, supports):
+        if k == "D2":
+            anchors.append(())
+        elif k == "CNOT" and s[0] >= limit:
+            anchors.append((s[1],))
         else:
-            nk.append(k)
-            ns.append(tuple(s))
-            rows.append(gm[i])
-            nr.append(real_flags[i])
-    return nk, ns, jnp.stack(rows), nr
+            anchors.append(tuple(s))
+    return anchors
 
 
 def _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
@@ -294,17 +277,15 @@ def _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
 
     n = re.shape[-1].bit_length() - 1
     limit = max_kernel_qubit(n) + 1
-    kinds, supports, gm, real_flags = _rewrite_high_cnots(
-        kinds, supports, gm, real_flags, limit)
-    free = [k == "D2" for k in kinds]
-    constrained = [q for k, s in zip(kinds, supports) for q in s
-                   if k != "D2"]
+    anchors = _spec_anchors(kinds, supports, limit)
+    constrained = [q for a in anchors for q in a]
     if not constrained or max(constrained) < limit:
-        # D2 qubits are unconstrained (grid-resolved) — one direct pass
+        # unanchored qubits grid-resolve in the kernel — one direct pass
         specs = tuple((k,) + tuple(s) for k, s in zip(kinds, supports))
         return apply_fused_layer(re, im, specs, gm, real_flags=real_flags,
                                  interpret=interpret)
-    plan = plan_full_layer(n, supports, limit, pair_ok=n > limit, free=free)
+    plan = plan_full_layer(n, supports, limit, pair_ok=n > limit,
+                           anchors=anchors)
     return execute_plan(re, im, plan, gm, n, kinds=kinds,
                         real_flags=real_flags, interpret=interpret)
 

@@ -129,11 +129,19 @@ def fuse_pallas_runs(items: List[object], max_qubit: int,
             out.append(PallasBlock(ops=ops))
             return
         sups = [_sup(op) for op in ops]
-        # diagonals are FREE gates: the kernel resolves their out-of-window
-        # bits from the grid position, so they never force pairing/splits
-        free = [is_diagonal(op) for op in ops]
-        high_idx = [i for i, s in enumerate(sups)
-                    if any(q >= relabel_reach for q in s) and not free[i]]
+        # ANCHORS: diagonals are free (grid-resolved bits), a CNOT's
+        # out-of-window control likewise — neither forces pairing/splits
+        def _anchor(op, s):
+            if is_diagonal(op):
+                return ()
+            if (op.name.upper() in ("CNOT", "CX") and len(s) == 2
+                    and s[0] >= relabel_reach):
+                return (s[1],)
+            return s
+
+        anchors = [_anchor(op, s) for op, s in zip(ops, sups)]
+        high_idx = [i for i, a in enumerate(anchors)
+                    if any(q >= relabel_reach for q in a)]
         if not high_idx:
             out.append(PallasBlock(ops=ops))
             return
@@ -141,7 +149,7 @@ def fuse_pallas_runs(items: List[object], max_qubit: int,
         try:
             plan = plan_full_layer(num_qubits, sups, relabel_reach,
                                    pair_ok=num_qubits > relabel_reach,
-                                   free=free)
+                                   anchors=anchors)
         except ValueError:
             # unschedulable without rotations (pair-bit-only regime at
             # n > MAX_ROTATION_QUBITS): force the split path below

@@ -43,7 +43,8 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             ctypes.c_int,
         ]
@@ -59,22 +60,27 @@ class Unschedulable(Exception):
 
 def plan_layer_native(n: int, supports: Sequence[Tuple[int, ...]],
                       reach: int, max_pairs: int,
-                      free: Sequence[bool] = None) -> Optional[List[tuple]]:
+                      anchors: Sequence[Tuple[int, ...]] = None
+                      ) -> Optional[List[tuple]]:
     """Run the C++ multi-pair scheduler; returns a list of
     ('pass', pair_bits_tuple, gate_idx_tuple) records, or None when the
     library is unavailable (callers fall back to the Python planner).
-    ``free[i]`` marks diagonal gates schedulable at any layout."""
+    ``anchors[i]`` lists the qubits that must fit the window/pair set
+    (default: the full support)."""
     lib = _load()
     if lib is None:
         return None
     num = len(supports)
+    if anchors is None:
+        anchors = supports
     q0 = np.asarray([s[0] for s in supports], np.int32)
     q1 = np.asarray([s[1] if len(s) > 1 else -1 for s in supports], np.int32)
-    ff = np.asarray([1 if f else 0 for f in (free or [0] * num)], np.uint8)
+    a0 = np.asarray([a[0] if len(a) > 0 else -1 for a in anchors], np.int32)
+    a1 = np.asarray([a[1] if len(a) > 1 else -1 for a in anchors], np.int32)
     capacity = 4 * num + (max_pairs + 4) * (2 * num + 2) + 16
     out = np.zeros(capacity, np.int32)
-    rc = lib.rocq_plan_layer_mp(n, reach, max_pairs, num, q0, q1, ff, out,
-                                capacity)
+    rc = lib.rocq_plan_layer_mp(n, reach, max_pairs, num, q0, q1, a0, a1,
+                                out, capacity)
     if rc < 0:
         return None
     items: List[tuple] = []

@@ -95,16 +95,20 @@ def _roll_gate(re, im, q, is_one_cache, coeffs, col_qubits, tile_rows,
                       real_mat=real_mat)
 
 
-def _cnot_roll(re, im, c, t, is_one_cache, col_qubits, tile_rows):
+def _cnot_roll(re, im, c, t, is_one_cache, col_qubits, tile_rows,
+               m_c=None):
     """CNOT with control+target both in-tile: target-partner fetch via one
     roll pair, applied only where the control bit is 1 (~10 VPU ops/elem —
-    the two_qubit_kernels.hip:17-51 analog, fused into the layer pass)."""
+    the two_qubit_kernels.hip:17-51 analog, fused into the layer pass).
+    ``m_c`` overrides the control mask — a grid-resolved SCALAR for
+    out-of-window (free) controls."""
     C = 1 << col_qubits
     if t < col_qubits:
         axis, dist, size = 1, 1 << t, C
     else:
         axis, dist, size = 0, 1 << (t - col_qubits), tile_rows
-    m_c = is_one_cache(c)
+    if m_c is None:
+        m_c = is_one_cache(c)
     m_t = is_one_cache(t)
     fwd_re = pltpu.roll(re, size - dist, axis)
     bwd_re = pltpu.roll(re, dist, axis)
@@ -216,7 +220,8 @@ def _mxu_enabled() -> bool:
     return not os.environ.get("ROCQ_DISABLE_MXU")
 
 
-def _compose_lane_matrix(gm_ref, idxs, specs, real_flags):
+def _compose_lane_matrix(gm_ref, idxs, specs, real_flags, pair_bits=(),
+                         limit=0):
     """(R_re, R_im, is_real): R = G_1^T @ ... @ G_L^T so that applying all
     gates is x' = x @ R on the lane axis. Each 1q gate updates R's COLUMN
     index via the roll formula ((M @ G^T)[r,c] = sum_c' M[r,c'] G[c,c']);
@@ -230,8 +235,10 @@ def _compose_lane_matrix(gm_ref, idxs, specs, real_flags):
     for k in idxs:
         spec = specs[k]
         if spec[0] == "CNOT":
+            m_c = _free_bit_sel(spec[1], pair_bits, limit) \
+                if limit and spec[1] >= limit else None
             m_re, m_im = _cnot_roll(m_re, m_im, spec[1], spec[2], is_one,
-                                    LANE_QUBITS, L)
+                                    LANE_QUBITS, L, m_c=m_c)
         elif spec[0] == "D2":
             # R' = R @ D scales R's columns by the diagonal
             m_re, m_im = _d2_mul(m_re, m_im, is_one(spec[1]),
@@ -245,7 +252,7 @@ def _compose_lane_matrix(gm_ref, idxs, specs, real_flags):
 
 
 def _compose_row_matrix(gm_ref, idxs, specs, real_flags, col_qubits,
-                        tile_rows):
+                        tile_rows, pair_bits=(), limit=0):
     """(A_re, A_im, is_real): A = G_L @ ... @ G_1 so that applying all gates
     is x' = A @ x on the row axis. Each gate updates A's ROW index (CNOTs
     compose as row shuffles)."""
@@ -257,10 +264,14 @@ def _compose_row_matrix(gm_ref, idxs, specs, real_flags, col_qubits,
     for k in idxs:
         spec = specs[k]
         if spec[0] == "CNOT":
-            a_re, a_im = _cnot_roll(a_re, a_im,
-                                    t_log2 + spec[1] - col_qubits,
+            if limit and spec[1] >= limit:
+                m_c = _free_bit_sel(spec[1], pair_bits, limit)
+                c_t = t_log2  # unused (mask overridden); any in-range bit
+            else:
+                m_c, c_t = None, t_log2 + spec[1] - col_qubits
+            a_re, a_im = _cnot_roll(a_re, a_im, c_t,
                                     t_log2 + spec[2] - col_qubits, is_one,
-                                    t_log2, tile_rows)
+                                    t_log2, tile_rows, m_c=m_c)
         elif spec[0] == "D2":
             # A' = D @ A scales A's rows by the diagonal
             a_re, a_im = _d2_mul(a_re, a_im,
@@ -276,14 +287,16 @@ def _compose_row_matrix(gm_ref, idxs, specs, real_flags, col_qubits,
     return a_re, a_im, is_real
 
 
-def _compose_mid_matrix(gm_ref, idxs, specs, real_flags, col_qubits):
+def _compose_mid_matrix(gm_ref, idxs, specs, real_flags, col_qubits,
+                        pair_bits=(), limit=0):
     """(A_re, A_im, is_real) for gates on the MIDDLE column bits
     (LANE_QUBITS <= q < col_qubits): A = G_L @ ... @ G_1 acting on the
     middle axis of the (T, M, 128) tile view. The composition is the row
     composition with the bit window shifted to start at LANE_QUBITS."""
     mid = 1 << (col_qubits - LANE_QUBITS)
     return _compose_row_matrix(gm_ref, idxs, specs, real_flags,
-                               LANE_QUBITS, mid)
+                               LANE_QUBITS, mid, pair_bits=pair_bits,
+                               limit=limit)
 
 
 def _apply_mid_dot(re, im, a_re, a_im, is_real):
@@ -336,8 +349,16 @@ def _compose_pair_matrix(gm_ref, idxs, specs, real_flags, bitpos,
     for i in idxs:
         spec = specs[i]
         if spec[0] == "CNOT":
-            a_re, a_im = _cnot_roll(a_re, a_im, k + bitpos[spec[1]],
-                                    k + bitpos[spec[2]], is_one, k, size)
+            if spec[1] not in bitpos:  # free control: scalar-masked X
+                sel_c = _free_bit_sel(spec[1], pair_bits, limit)
+                x_re, x_im = _x_roll(a_re, a_im, k + bitpos[spec[2]],
+                                     is_one, k, size)
+                a_re = jnp.where(sel_c, x_re, a_re)
+                a_im = jnp.where(sel_c, x_im, a_im)
+            else:
+                a_re, a_im = _cnot_roll(a_re, a_im, k + bitpos[spec[1]],
+                                        k + bitpos[spec[2]], is_one, k,
+                                        size)
         elif spec[0] == "D2":
             a_re, a_im = _d2_mul(a_re, a_im, psel(spec[1]), psel(spec[2]),
                                  _coeffs(gm_ref, i),
@@ -495,6 +516,22 @@ def _plan_mxu_items(specs, pair_bits, col_qubits, tile_rows):
             if all(is_pair(q) for q in qs):
                 pair_pend.append(k)
                 continue
+            if spec[0] == "CNOT" and is_freebit(qs[0]):
+                # free control (grid-resolved scalar): the TARGET's region
+                # decides the group
+                t = qs[1]
+                if is_lane(t):
+                    lane_pend.append(k)
+                    continue
+                if is_mid(t):
+                    mid_pend.append(k)
+                    continue
+                if is_row(t):
+                    row_pend.append(k)
+                    continue
+                if is_pair(t):
+                    pair_pend.append(k)
+                    continue
             if (spec[0] == "D2" and pair_set
                     and all(is_pair(q) or is_freebit(q) for q in qs)):
                 # diagonal over pair + free bits: the free-bit value is a
@@ -527,27 +564,34 @@ def _kernel(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
     is_one = _mask_factory(col_qubits, tile_rows)
     items = _plan_mxu_items(specs, (), col_qubits, tile_rows) if use_mxu \
         else [("spec", k) for k in range(len(specs))]
+    limit0 = col_qubits + (tile_rows.bit_length() - 1)
     for kind, payload in items:
         if kind == "lanedot":
             m_re, m_im, m_real = _compose_lane_matrix(
-                gm_ref, payload, specs, real_flags)
+                gm_ref, payload, specs, real_flags, pair_bits=(),
+                limit=limit0)
             re, im = _apply_lane_dot(re, im, m_re, m_im, m_real)
             continue
         if kind == "middot":
             a_re, a_im, a_real = _compose_mid_matrix(
-                gm_ref, payload, specs, real_flags, col_qubits)
+                gm_ref, payload, specs, real_flags, col_qubits,
+                pair_bits=(), limit=limit0)
             re, im = _apply_mid_dot(re, im, a_re, a_im, a_real)
             continue
         if kind == "rowdot":
             a_re, a_im, a_real = _compose_row_matrix(
-                gm_ref, payload, specs, real_flags, col_qubits, tile_rows)
+                gm_ref, payload, specs, real_flags, col_qubits, tile_rows,
+                pair_bits=(), limit=limit0)
             re, im = _apply_row_dot(re, im, a_re, a_im, a_real)
             continue
         k = payload
         spec = specs[k]
         if spec[0] == "CNOT":
-            re, im = _cnot_roll(re, im, spec[1], spec[2], is_one,
-                                col_qubits, tile_rows)
+            c = spec[1]
+            limit = col_qubits + (tile_rows.bit_length() - 1)
+            m_c = _free_bit_sel(c, (), limit) if c >= limit else None
+            re, im = _cnot_roll(re, im, c, spec[2], is_one,
+                                col_qubits, tile_rows, m_c=m_c)
         elif spec[0] == "D2":
             limit = col_qubits + (tile_rows.bit_length() - 1)
 
@@ -600,16 +644,19 @@ def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
 
     items = _plan_mxu_items(specs, pair_bits, col_qubits, tile_rows) \
         if use_mxu else [("spec", k) for k in range(len(specs))]
+    limit0 = col_qubits + (tile_rows.bit_length() - 1)
     for kind, payload in items:
         if kind == "lanedot":
             m_re, m_im, m_real = _compose_lane_matrix(
-                gm_ref, payload, specs, real_flags)
+                gm_ref, payload, specs, real_flags, pair_bits=pair_bits,
+                limit=limit0)
             tiles = [_apply_lane_dot(re, im, m_re, m_im, m_real)
                      for (re, im) in tiles]
             continue
         if kind == "middot":
             a_re, a_im, a_real = _compose_mid_matrix(
-                gm_ref, payload, specs, real_flags, col_qubits)
+                gm_ref, payload, specs, real_flags, col_qubits,
+                pair_bits=pair_bits, limit=limit0)
             tiles = [_apply_mid_dot(re, im, a_re, a_im, a_real)
                      for (re, im) in tiles]
             continue
@@ -645,7 +692,24 @@ def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
             continue
         if spec[0] == "CNOT":
             c, tq = spec[1], spec[2]
+            limit = col_qubits + (tile_rows.bit_length() - 1)
             c_pair, t_pair = c in bitpos, tq in bitpos
+            if not c_pair and c >= limit:
+                # FREE control: its bit value is a per-block scalar
+                sel_c = _free_bit_sel(c, pair_bits, limit)
+                if t_pair:
+                    # scalar-masked cross-tile swap over the target axis
+                    new = []
+                    for combo, (re, im) in enumerate(tiles):
+                        p_re, p_im = tiles[pair_partner(combo, tq)]
+                        new.append((jnp.where(sel_c, p_re, re),
+                                    jnp.where(sel_c, p_im, im)))
+                    tiles = new
+                else:
+                    tiles = [_cnot_roll(re, im, c, tq, is_one, col_qubits,
+                                        tile_rows, m_c=sel_c)
+                             for (re, im) in tiles]
+                continue
             if c_pair and t_pair:
                 # both qubits on pair bits: swap tiles across the target
                 # axis wherever the control bit is 1
@@ -755,11 +819,20 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
     limit = col + tile_log2
     specs = tuple((spec[0],) + tuple(int(q) for q in spec[1:])
                   for spec in specs)
-    # D2 (diagonal) gates need only the BIT VALUE of their qubits — any
-    # out-of-window bit resolves from the grid position (_free_bit_sel) —
-    # so only non-diagonal gate qubits constrain the window/pair set
-    paired_qubits = [q for spec in specs if spec[0] != "D2"
-                     for q in spec[1:]]
+    # D2 (diagonal) gates need only the BIT VALUE of their qubits, and a
+    # CNOT's CONTROL likewise — any out-of-window bit resolves from the
+    # grid position (_free_bit_sel) — so only targets and in-window
+    # controls constrain the window/pair set
+    paired_qubits = []
+    for spec in specs:
+        if spec[0] == "D2":
+            continue
+        if spec[0] == "CNOT":
+            paired_qubits.append(spec[2])
+            if spec[1] < limit:
+                paired_qubits.append(spec[1])
+            continue
+        paired_qubits.extend(spec[1:])
     real_flags = tuple(bool(f) for f in real_flags) if real_flags is not None \
         else (False,) * len(specs)
     if len(real_flags) != len(specs):

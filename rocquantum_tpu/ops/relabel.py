@@ -168,7 +168,9 @@ def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
                     pair_ok: bool = True,
                     allow_rotations: bool = None,
                     max_pairs: int = None,
-                    free: Sequence[bool] = None) -> List[object]:
+                    free: Sequence[bool] = None,
+                    anchors: Sequence[Tuple[int, ...]] = None
+                    ) -> List[object]:
     """Schedule gates (1q or 2q, given by their qubit ``supports``) into
     KernelPass items covering ALL n qubits.
 
@@ -186,14 +188,26 @@ def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
     accepted for back-compat and ignored. With ``max_pairs >= 2`` every
     layer schedules without relabeling.
 
+    Scheduling constraints are per-gate ANCHOR qubits — the qubits that
+    must fit the window or the pair set. Defaults: all support qubits;
+    ``free[i]`` (diagonals) anchors nothing; ``anchors`` overrides per
+    gate (a CNOT with an out-of-window CONTROL anchors only its target:
+    the control's bit value grid-resolves as a per-block scalar).
+    Dependency blocking always uses the FULL support.
+
     The scheduling loop runs in native C++ (native/fusion_planner.cpp, the
     analog of the reference's host-side GateFusion.cpp) with this Python
     implementation as fallback and differential-test oracle.
     """
     del allow_rotations  # rotations superseded by multi-pair block pairing
     supports = [tuple(int(q) for q in s) for s in supports]
-    free = [bool(f) for f in free] if free is not None \
-        else [False] * len(supports)
+    if anchors is None:
+        free = [bool(f) for f in free] if free is not None \
+            else [False] * len(supports)
+        anchors = [() if free[i] else supports[i]
+                   for i in range(len(supports))]
+    else:
+        anchors = [tuple(int(q) for q in a) for a in anchors]
     if any(q >= n for s in supports for q in s):
         raise ValueError(f"qubit out of range for n={n}: {supports}")
     if max_pairs is None:
@@ -201,14 +215,15 @@ def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
         max_pairs = MAX_PAIR_BITS
     if not pair_ok:
         max_pairs = 0
-    if any(not free[i] and len([q for q in s if q >= reach])
-           > max(max_pairs, 0) for i, s in enumerate(supports)):
+    if any(len([q for q in a if q >= reach]) > max(max_pairs, 0)
+           for a in anchors):
         raise ValueError(
-            f"a gate has more out-of-window qubits than max_pairs="
+            f"a gate has more out-of-window anchored qubits than max_pairs="
             f"{max_pairs} at reach={reach}: {supports}")
 
     from ._native_planner import plan_layer_native
-    native = plan_layer_native(n, supports, reach, max_pairs, free=free)
+    native = plan_layer_native(n, supports, reach, max_pairs,
+                               anchors=anchors)
     if native is not None:
         return _items_to_plan(supports, native)
 
@@ -216,16 +231,16 @@ def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
 
     def scan(pairs):
         """List-schedule one pass: take gates in order whose qubits are not
-        blocked by an earlier unscheduled gate and whose positions fit the
-        window or the pair set. FREE gates (diagonals: the kernel reads
-        their out-of-window bits from the grid position) fit any pass."""
+        blocked by an earlier unscheduled gate and whose ANCHOR qubits fit
+        the window or the pair set (free/unanchored bits grid-resolve in
+        the kernel)."""
         taken, blocked = [], set()
         for i in pending:
             s = supports[i]
             if any(q in blocked for q in s):
                 blocked |= set(s)
                 continue
-            if free[i] or all(q < reach or q in pairs for q in s):
+            if all(q < reach or q in pairs for q in anchors[i]):
                 taken.append(i)
             else:
                 blocked |= set(s)
@@ -238,12 +253,11 @@ def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
         # extra gates (ascending candidate order; strict improvement only —
         # bit-identical to the native scheduler)
         head = pending[0]
-        pairs = set() if free[head] else \
-            {q for q in supports[head] if q >= reach}
+        pairs = {q for q in anchors[head] if q >= reach}
         take = scan(pairs)
         while len(pairs) < max_pairs:
-            cands = sorted({q for i in pending if not free[i]
-                            for q in supports[i] if q >= reach} - pairs)
+            cands = sorted({q for i in pending
+                            for q in anchors[i] if q >= reach} - pairs)
             best, best_take = None, take
             for p in cands:
                 t = scan(pairs | {p})
@@ -255,8 +269,8 @@ def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
             take = best_take
         if not take:
             raise AssertionError("scheduler made no progress")
-        used = {q for i in take if not free[i]
-                for q in supports[i] if q >= reach}
+        used = {q for i in take
+                for q in anchors[i] if q >= reach}
         plan.append(KernelPass(
             gate_idx=tuple(take),
             positions=tuple(supports[i] for i in take),
