@@ -296,10 +296,11 @@ def main():
         "unit": "gates/s",
         "vs_baseline": round(gates_per_sec / ideal, 3),
     }
-    qft = probe_qft()  # second workload: mixed-gate QFT wall-clock
+    qft = probe_qft() or probe_qft()  # mixed-gate QFT; one retry (the
+    # compile cache makes the second attempt cheap if the first timed out)
     if qft is not None:
         record["qft_n20_ms"] = qft["qft_ms"]
-    ansatz = probe_ansatz(min(n_used, 29))  # third: the VQE hot path
+    ansatz = probe_ansatz(min(n_used, 29)) or probe_ansatz(min(n_used, 29))
     if ansatz is not None:
         record["ansatz_gates_per_sec"] = ansatz["ansatz_gates_per_sec"]
     print(json.dumps(record))
