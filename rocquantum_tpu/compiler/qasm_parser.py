@@ -18,7 +18,9 @@ Covers the subset emitted by compiler/qasm.py plus, beyond the reference
 * ``def`` subroutines — ``def name(qubit a, float x) { ... }`` — bodies
   may contain gates, measurements, ``if``/``for``/``while``; expanded at
   call sites (``name(q[0], 0.5);``) with qubit and classical argument
-  substitution.
+  substitution;
+* gate modifiers — ``inv @``, ``pow(k) @`` (integer k), ``ctrl(n) @``,
+  ``negctrl @`` — composable, including over user-defined gates.
 
 ``parse_qasm3`` returns a plain :class:`CircuitIR` for static circuits
 (raising on dynamic constructs), matching its original contract;
@@ -174,10 +176,74 @@ def _qubits_in(arg_text: str, env: Dict[str, float]) -> List[int]:
     return out
 
 
+_MOD_RE = re.compile(
+    r"^(?P<mod>inv|pow\((?P<exp>[^)]+)\)|(?P<neg>neg)?ctrl"
+    r"(?:\((?P<n>\d+)\))?)\s*@\s*(?P<rest>.*)$")
+
+
 def _parse_gate_use(line: str, macros: Dict[str, GateDef],
                     env: Dict[str, float]) -> Optional[List[GateOp]]:
     """Parse one gate-application statement into GateOps (macro uses are
-    expanded recursively)."""
+    expanded recursively). OpenQASM 3 gate modifiers — ``inv @``,
+    ``pow(k) @`` (integer k), ``ctrl(n) @``, ``negctrl @`` — compose:
+    controls prepend to the qubit argument list (modifier order), inv
+    daggers the reversed body, pow repeats it."""
+    mods = []
+    rest = line
+    while True:
+        mm = _MOD_RE.match(rest)
+        if not mm:
+            break
+        mods.append(mm)
+        rest = mm.group("rest")
+    if mods:
+        ctrl_specs = []  # (negated?) per control qubit slot, in order
+        inv = False
+        power = 1
+        for mm in mods:
+            tok = mm.group("mod")
+            if tok == "inv":
+                inv = not inv
+            elif tok.startswith("pow"):
+                k = _eval_param(mm.group("exp"), env)
+                if abs(k - round(k)) > 1e-9:
+                    raise ValueError(
+                        f"only integer pow modifiers supported: {line!r}")
+                power *= int(round(k))
+            else:
+                nc = int(mm.group("n") or 1)
+                ctrl_specs.extend([bool(mm.group("neg"))] * nc)
+        qubits = _qubits_in(line, env)
+        nc = len(ctrl_specs)
+        if len(qubits) < nc + 1:
+            raise ValueError(f"not enough qubits for modifiers: {line!r}")
+        controls, own = qubits[:nc], qubits[nc:]
+        # rebuild the base statement with only the gate's own qubits
+        base_name = rest.split("(")[0].split()[0]
+        pm = re.match(r"^[\w]+\s*\(([^)]*)\)", rest)
+        params_txt = f"({pm.group(1)})" if pm else ""
+        base_line = (f"{base_name}{params_txt} "
+                     + ", ".join(f"q[{q}]" for q in own) + ";")
+        ops = _parse_gate_use(base_line, macros, env)
+        if ops is None:
+            raise ValueError(f"cannot parse modified gate: {line!r}")
+        if power < 0:
+            inv, power = not inv, -power
+        if inv:
+            ops = [dataclasses.replace(op, is_adjoint=not op.is_adjoint)
+                   for op in reversed(ops)]
+        out: List[GateOp] = []
+        neg = [q for q, is_neg in zip(controls, ctrl_specs) if is_neg]
+        for _ in range(power):
+            for q in neg:  # negctrl = X-conjugated control
+                out.append(GateOp("X", (q,)))
+            out.extend(
+                dataclasses.replace(op,
+                                    controls=tuple(controls) + op.controls)
+                for op in ops)
+            for q in neg:
+                out.append(GateOp("X", (q,)))
+        return out
     m = _CTRL_RE.match(line)
     if m:
         qubits = _qubits_in(m.group("args"), env)

@@ -351,3 +351,57 @@ class TestDefSubroutines:
         """
         with pytest.raises(ValueError):
             parse_qasm3_program(qasm)
+
+
+class TestGateModifiers:
+    """OpenQASM 3 gate modifiers: inv @, pow(k) @, ctrl(n) @, negctrl @ —
+    composable, including over user-defined gates."""
+
+    def test_inv_pow_ctrl_forms(self):
+        from rocquantum_tpu.compiler.qasm_parser import parse_qasm3
+        ir = parse_qasm3("""
+        OPENQASM 3.0;
+        qubit[3] q;
+        inv @ s q[0];
+        pow(2) @ t q[0];
+        ctrl @ rz(0.5) q[1], q[0];
+        ctrl(2) @ x q[0], q[1], q[2];
+        pow(-1) @ s q[0];
+        """)
+        kinds = [(op.name, op.controls, op.is_adjoint) for op in ir.ops]
+        assert kinds[0] == ("S", (), True)
+        assert kinds[1] == ("T", (), False) and kinds[2] == ("T", (), False)
+        assert kinds[3] == ("RZ", (1,), False)
+        assert kinds[4] == ("X", (0, 1), False)
+        assert kinds[5] == ("S", (), True)
+
+    def test_negctrl_via_x_conjugation(self):
+        from rocquantum_tpu.compiler.qasm_parser import parse_qasm3
+        ir = parse_qasm3("""
+        OPENQASM 3.0;
+        qubit[2] q;
+        negctrl @ x q[0], q[1];
+        """)
+        names = [(op.name, op.targets, op.controls) for op in ir.ops]
+        assert names == [("X", (0,), ()), ("X", (1,), (0,)),
+                         ("X", (0,), ())]
+        # behavior: |00> -> control 0 is 0 -> fires -> |10> (q1 flipped)
+        counts = run_dynamic(parse_qasm3_program("""
+        OPENQASM 3.0;
+        qubit[2] q;
+        negctrl @ x q[0], q[1];
+        """), shots=16, seed=0)
+        assert counts == {"10": 16}
+
+    def test_inv_of_macro_reverses_and_daggers(self):
+        from rocquantum_tpu.compiler.qasm_parser import parse_qasm3
+        ir = parse_qasm3("""
+        OPENQASM 3.0;
+        qubit[1] q;
+        gate st a { s a; t a; }
+        st q[0];
+        inv @ st q[0];
+        """)
+        names = [(op.name, op.is_adjoint) for op in ir.ops]
+        assert names == [("S", False), ("T", False),
+                         ("T", True), ("S", True)]
