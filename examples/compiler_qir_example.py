@@ -1,6 +1,6 @@
-"""Kernel -> portable compiler IR (reference example.py: kernel.qir()
-emitting QIR with __quantum__qis__h__body calls; here the lowering target is
-StableHLO — the portable IR of the XLA stack)."""
+"""Kernel -> QIR + portable compiler IR (reference example.py: kernel.qir()
+emitting LLVM IR with __quantum__qis__h__body calls — reproduced verbatim —
+plus the StableHLO lowering of the executable XLA program)."""
 
 from rocquantum_tpu import dsl as rocq
 from rocquantum_tpu.compiler import Compiler
@@ -16,10 +16,18 @@ def main():
     # textual circuit IR (the MLIR-module analog)
     print(bell.mlir())
 
-    # lowering to StableHLO (the QIR analog)
-    hlo = bell.qir()
+    # QIR (LLVM IR) emission — the reference example.py:21-27 verification
+    qir = bell.qir()
+    print("\n--- Generated QIR (LLVM IR) ---")
+    print(qir)
+    assert "__quantum__qis__h__body" in qir
+    assert "__quantum__qis__cnot__body" in qir
+    assert "call void @__quantum__qis__h__body" in qir
+
+    # lowering to StableHLO (the portable IR of the execution path)
+    hlo = bell.stablehlo()
     assert "func" in hlo
-    print(f"\nStableHLO module: {len(hlo.splitlines())} lines")
+    print(f"StableHLO module: {len(hlo.splitlines())} lines")
 
     # the Compiler facade drives the same pipeline from OpenQASM text
     comp = Compiler()

@@ -1,22 +1,21 @@
-"""AliceBob backend client (skeleton, as in the reference
-rocquantum/backends/alice_bob.py — registered but not yet implemented)."""
+"""Alice & Bob backend client (Type A, REST).
 
-from .base import RocqBackend
+The reference ships this provider as a registered skeleton
+(rocquantum/backends/alice_bob.py: TODO stub). Promoted here to a concrete
+Type A client over the shared REST job lifecycle
+(base.py submit_job/get_job_status/get_job_result): cat-qubit (logical) processors,
+ALICE_BOB_API_KEY env auth, Bearer-token headers.
+"""
+
+from __future__ import annotations
+
+from .base import TypeARestBackend
 
 
-class AliceBobBackend(RocqBackend):
-    """Skeleton backend: accepted by set_target; job methods raise."""
+class AliceBobBackend(TypeARestBackend):
+    """Client for the Alice & Bob cloud API."""
 
-    def __init__(self, backend_name: str = "alice_bob", api_endpoint: str = ""):
-        super().__init__(backend_name=backend_name, api_endpoint=api_endpoint)
-
-    def authenticate(self) -> None:
-        pass
-
-    def _get_auth_headers(self):
-        return {}
-
-    def _build_payload(self, circuit_representation, shots):
-        raise NotImplementedError(
-            "The alice_bob backend is a skeleton; job submission is not yet "
-            "implemented.")
+    API_KEY_ENV = "ALICE_BOB_API_KEY"
+    DEFAULT_ENDPOINT = "https://api.alice-bob.com/v1"
+    DEFAULT_BACKEND_NAME = "alice_bob"
+    AUTH_SCHEME = "Bearer"

@@ -106,3 +106,54 @@ class RocqBackend(abc.ABC):
                 f"API response for job '{job_id}' did not contain a "
                 "histogram.")
         return histogram
+
+
+class TypeARestBackend(RocqBackend):
+    """Shared concrete Type A client: env-var API key, Bearer auth, and a
+    {device, shots, program} JSON payload. Provider subclasses set the
+    class attributes; override ``_build_payload`` only when a provider's
+    schema differs (reference pattern: rocquantum/backends/base.py:61-131
+    drives the lifecycle; the per-provider deltas are auth + payload).
+    """
+
+    #: name of the environment variable holding the API key
+    API_KEY_ENV: str = ""
+    #: default REST endpoint
+    DEFAULT_ENDPOINT: str = ""
+    #: default device/target name
+    DEFAULT_BACKEND_NAME: str = ""
+    #: authorization header scheme ("Bearer" -> "Authorization: Bearer k")
+    AUTH_SCHEME: str = "Bearer"
+
+    def __init__(self, backend_name: str = None, api_endpoint: str = None):
+        super().__init__(
+            backend_name=backend_name or self.DEFAULT_BACKEND_NAME,
+            api_endpoint=api_endpoint or self.DEFAULT_ENDPOINT)
+        self.api_key = None
+
+    def authenticate(self) -> None:
+        import os
+        api_key = os.getenv(self.API_KEY_ENV)
+        if not api_key:
+            raise BackendAuthenticationError(
+                f"Authentication failed: The '{self.API_KEY_ENV}' "
+                "environment variable is not set. Please set it to your "
+                f"{self.DEFAULT_BACKEND_NAME} API key.")
+        self.api_key = api_key
+
+    def _get_auth_headers(self) -> Dict[str, str]:
+        if not self.api_key:
+            raise BackendAuthenticationError(
+                "Client is not authenticated. Please call authenticate() "
+                "first.")
+        if self.AUTH_SCHEME:
+            return {"Authorization": f"{self.AUTH_SCHEME} {self.api_key}"}
+        return {"Authorization": self.api_key}
+
+    def _build_payload(self, circuit_representation: str,
+                       shots: int) -> Dict[str, Any]:
+        return {
+            "device": self.backend_name,
+            "shots": shots,
+            "program": circuit_representation,
+        }

@@ -1,22 +1,21 @@
-"""IQM backend client (skeleton, as in the reference
-rocquantum/backends/iqm.py — registered but not yet implemented)."""
+"""IQM backend client (Type A, REST).
 
-from .base import RocqBackend
+The reference ships this provider as a registered skeleton
+(rocquantum/backends/iqm.py: TODO stub). Promoted here to a concrete
+Type A client over the shared REST job lifecycle
+(base.py submit_job/get_job_status/get_job_result): superconducting processors (Resonance service),
+IQM_TOKEN env auth, Bearer-token headers.
+"""
+
+from __future__ import annotations
+
+from .base import TypeARestBackend
 
 
-class IQMBackend(RocqBackend):
-    """Skeleton backend: accepted by set_target; job methods raise."""
+class IQMBackend(TypeARestBackend):
+    """Client for the IQM cloud API."""
 
-    def __init__(self, backend_name: str = "iqm", api_endpoint: str = ""):
-        super().__init__(backend_name=backend_name, api_endpoint=api_endpoint)
-
-    def authenticate(self) -> None:
-        pass
-
-    def _get_auth_headers(self):
-        return {}
-
-    def _build_payload(self, circuit_representation, shots):
-        raise NotImplementedError(
-            "The iqm backend is a skeleton; job submission is not yet "
-            "implemented.")
+    API_KEY_ENV = "IQM_TOKEN"
+    DEFAULT_ENDPOINT = "https://cocos.resonance.meetiqm.com"
+    DEFAULT_BACKEND_NAME = "iqm"
+    AUTH_SCHEME = "Bearer"

@@ -1,22 +1,21 @@
-"""Orca backend client (skeleton, as in the reference
-rocquantum/backends/orca.py — registered but not yet implemented)."""
+"""ORCA Computing backend client (Type A, REST).
 
-from .base import RocqBackend
+The reference ships this provider as a registered skeleton
+(rocquantum/backends/orca.py: TODO stub). Promoted here to a concrete
+Type A client over the shared REST job lifecycle
+(base.py submit_job/get_job_status/get_job_result): photonic boson-sampling processors,
+ORCA_AUTH_TOKEN env auth, Bearer-token headers.
+"""
+
+from __future__ import annotations
+
+from .base import TypeARestBackend
 
 
-class OrcaBackend(RocqBackend):
-    """Skeleton backend: accepted by set_target; job methods raise."""
+class OrcaBackend(TypeARestBackend):
+    """Client for the ORCA Computing cloud API."""
 
-    def __init__(self, backend_name: str = "orca", api_endpoint: str = ""):
-        super().__init__(backend_name=backend_name, api_endpoint=api_endpoint)
-
-    def authenticate(self) -> None:
-        pass
-
-    def _get_auth_headers(self):
-        return {}
-
-    def _build_payload(self, circuit_representation, shots):
-        raise NotImplementedError(
-            "The orca backend is a skeleton; job submission is not yet "
-            "implemented.")
+    API_KEY_ENV = "ORCA_AUTH_TOKEN"
+    DEFAULT_ENDPOINT = "https://api.orcacomputing.com/v1"
+    DEFAULT_BACKEND_NAME = "orca"
+    AUTH_SCHEME = "Bearer"

@@ -1,22 +1,21 @@
-"""QuantumMachines backend client (skeleton, as in the reference
-rocquantum/backends/quantum_machines.py — registered but not yet implemented)."""
+"""Quantum Machines backend client (Type A, REST).
 
-from .base import RocqBackend
+The reference ships this provider as a registered skeleton
+(rocquantum/backends/quantum_machines.py: TODO stub). Promoted here to a concrete
+Type A client over the shared REST job lifecycle
+(base.py submit_job/get_job_status/get_job_result): OPX-controlled processors,
+QM_API_KEY env auth, Bearer-token headers.
+"""
+
+from __future__ import annotations
+
+from .base import TypeARestBackend
 
 
-class QuantumMachinesBackend(RocqBackend):
-    """Skeleton backend: accepted by set_target; job methods raise."""
+class QuantumMachinesBackend(TypeARestBackend):
+    """Client for the Quantum Machines cloud API."""
 
-    def __init__(self, backend_name: str = "quantum_machines", api_endpoint: str = ""):
-        super().__init__(backend_name=backend_name, api_endpoint=api_endpoint)
-
-    def authenticate(self) -> None:
-        pass
-
-    def _get_auth_headers(self):
-        return {}
-
-    def _build_payload(self, circuit_representation, shots):
-        raise NotImplementedError(
-            "The quantum_machines backend is a skeleton; job submission is not yet "
-            "implemented.")
+    API_KEY_ENV = "QM_API_KEY"
+    DEFAULT_ENDPOINT = "https://api.quantum-machines.co/v1"
+    DEFAULT_BACKEND_NAME = "quantum_machines"
+    AUTH_SCHEME = "Bearer"

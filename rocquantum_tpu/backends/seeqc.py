@@ -1,22 +1,21 @@
-"""Seeqc backend client (skeleton, as in the reference
-rocquantum/backends/seeqc.py — registered but not yet implemented)."""
+"""SEEQC backend client (Type A, REST).
 
-from .base import RocqBackend
+The reference ships this provider as a registered skeleton
+(rocquantum/backends/seeqc.py: TODO stub). Promoted here to a concrete
+Type A client over the shared REST job lifecycle
+(base.py submit_job/get_job_status/get_job_result): digital-SFQ superconducting processors,
+SEEQC_API_KEY env auth, Bearer-token headers.
+"""
+
+from __future__ import annotations
+
+from .base import TypeARestBackend
 
 
-class SeeqcBackend(RocqBackend):
-    """Skeleton backend: accepted by set_target; job methods raise."""
+class SeeqcBackend(TypeARestBackend):
+    """Client for the SEEQC cloud API."""
 
-    def __init__(self, backend_name: str = "seeqc", api_endpoint: str = ""):
-        super().__init__(backend_name=backend_name, api_endpoint=api_endpoint)
-
-    def authenticate(self) -> None:
-        pass
-
-    def _get_auth_headers(self):
-        return {}
-
-    def _build_payload(self, circuit_representation, shots):
-        raise NotImplementedError(
-            "The seeqc backend is a skeleton; job submission is not yet "
-            "implemented.")
+    API_KEY_ENV = "SEEQC_API_KEY"
+    DEFAULT_ENDPOINT = "https://api.seeqc.com/v1"
+    DEFAULT_BACKEND_NAME = "seeqc"
+    AUTH_SCHEME = "Bearer"

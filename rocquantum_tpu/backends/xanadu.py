@@ -1,22 +1,21 @@
-"""Xanadu backend client (skeleton, as in the reference
-rocquantum/backends/xanadu.py — registered but not yet implemented)."""
+"""Xanadu backend client (Type A, REST).
 
-from .base import RocqBackend
+The reference ships this provider as a registered skeleton
+(rocquantum/backends/xanadu.py: TODO stub). Promoted here to a concrete
+Type A client over the shared REST job lifecycle
+(base.py submit_job/get_job_status/get_job_result): photonic processors (Xanadu Cloud),
+XANADU_CLOUD_KEY env auth, Bearer-token headers.
+"""
+
+from __future__ import annotations
+
+from .base import TypeARestBackend
 
 
-class XanaduBackend(RocqBackend):
-    """Skeleton backend: accepted by set_target; job methods raise."""
+class XanaduBackend(TypeARestBackend):
+    """Client for the Xanadu cloud API."""
 
-    def __init__(self, backend_name: str = "xanadu", api_endpoint: str = ""):
-        super().__init__(backend_name=backend_name, api_endpoint=api_endpoint)
-
-    def authenticate(self) -> None:
-        pass
-
-    def _get_auth_headers(self):
-        return {}
-
-    def _build_payload(self, circuit_representation, shots):
-        raise NotImplementedError(
-            "The xanadu backend is a skeleton; job submission is not yet "
-            "implemented.")
+    API_KEY_ENV = "XANADU_CLOUD_KEY"
+    DEFAULT_ENDPOINT = "https://platform.xanadu.ai/api/v1"
+    DEFAULT_BACKEND_NAME = "xanadu"
+    AUTH_SCHEME = "Bearer"

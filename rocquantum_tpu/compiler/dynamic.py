@@ -12,6 +12,7 @@ batched programs instead of 2^shots tiny ones.
 
 from __future__ import annotations
 
+import warnings
 from collections import Counter
 from typing import Dict, List, Optional, Sequence
 
@@ -100,6 +101,19 @@ def _exec_items(items, circ, clbits: np.ndarray,
                     break
                 _exec_items(item.items, circ, clbits, flags)
                 circ.flush()
+            else:
+                flags = _flags_for(item.clbit, item.value, clbits)
+                if mask is not None:
+                    flags = flags & mask
+                if flags.any():
+                    # shots whose condition never cleared would otherwise be
+                    # returned as normal results, indistinguishable from
+                    # converged ones (ADVICE r2)
+                    warnings.warn(
+                        f"while loop stopped after max_iter={item.max_iter} "
+                        f"iterations with {int(flags.sum())} shot(s) still "
+                        "active; their results did not converge",
+                        RuntimeWarning, stacklevel=2)
         elif mask is None:
             circ._enqueue(item.name, item.targets, item.controls,
                           item.params, item.matrix,

@@ -82,9 +82,23 @@ class Compiler:
     # -- lowering (C5 parity) --------------------------------------------------
 
     def emit_qir(self, text: Optional[str] = None) -> str:
-        """Lower to StableHLO text — the XLA stack's portable IR, playing
-        the role QIR/LLVM-IR played in the reference (emit_qir,
-        rocqCompiler/MLIRCompiler.cpp:47-79)."""
+        """Emit QIR-shaped LLVM IR text: ``call void
+        @__quantum__qis__<name>__body(...)`` per gate — the reference's
+        declared output contract (SimulatorToQIRPass.cpp:33-40, verified
+        by example.py:21-27). For the XLA-stack portable IR of the
+        EXECUTABLE program use :meth:`emit_stablehlo`."""
+        if text is not None:
+            if not self.load_module_from_string(text):
+                raise ValueError("failed to parse module text")
+        if self.module is None:
+            raise RuntimeError("no module loaded")
+        from .qir import emit_qir_text
+        return emit_qir_text(self.module)
+
+    def emit_stablehlo(self, text: Optional[str] = None) -> str:
+        """Lower to StableHLO text — the XLA stack's portable IR of the
+        jitted simulation program (the role LLVM played in the reference's
+        emit_qir, rocqCompiler/MLIRCompiler.cpp:47-79)."""
         if text is not None:
             if not self.load_module_from_string(text):
                 raise ValueError("failed to parse module text")
@@ -105,8 +119,6 @@ class Compiler:
 
         params = jnp.zeros((n_params,), config.real_dtype())
         return jax.jit(program).lower(params).as_text()
-
-    emit_stablehlo = emit_qir
 
     def compile(self, fuse: bool = True, donate: bool = True):
         """Compile the module to an executable f(state, params) -> state."""

@@ -39,9 +39,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 from .ir import CircuitIR, GateOp
 
-_GATE_RE = re.compile(
-    r"^(?P<name>[a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\((?P<params>[^)]*)\))?\s*"
-    r"(?P<args>\S.*?)\s*;$")
 _CTRL_RE = re.compile(
     r"^ctrl\((?P<n>\d+)\)\s*@\s*(?P<name>[a-z]+)\s*"
     r"(?P<args>q\[[^\]]+\](?:\s*,\s*q\[[^\]]+\])*)\s*;$")
@@ -176,9 +173,81 @@ def _qubits_in(arg_text: str, env: Dict[str, float]) -> List[int]:
     return out
 
 
-_MOD_RE = re.compile(
-    r"^(?P<mod>inv|pow\((?P<exp>[^)]+)\)|(?P<neg>neg)?ctrl"
-    r"(?:\((?P<n>\d+)\))?)\s*@\s*(?P<rest>.*)$")
+def _split_gate_stmt(s: str):
+    """(name, params_text or None, args_text) for a gate-application
+    statement, or None if ``s`` is not shaped like one. The parameter list
+    is extracted with a balanced-parenthesis scan so expressions like
+    ``rz(pi/(1+1))`` parse whole (a regex ``[^)]*`` truncates them)."""
+    m = re.match(r"^(?P<name>[a-zA-Z_][a-zA-Z0-9_]*)\s*", s)
+    if not m:
+        return None
+    name = m.group("name")
+    rest = s[m.end():]
+    params = None
+    if rest.startswith("("):
+        try:
+            end = _scan_paren(rest, 0)
+        except ValueError:
+            return None
+        params = rest[1:end - 1]
+        rest = rest[end:].lstrip()
+    m2 = re.match(r"^(?P<args>\S.*?)\s*;$", rest)
+    if not m2:
+        return None
+    return name, params, m2.group("args")
+
+
+def _split_commas(s: str) -> List[str]:
+    """Split a parameter list on top-level commas only."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
+def _scan_paren(s: str, start: int) -> int:
+    """Index just past the ')' matching the '(' at ``start``; supports
+    nesting (so ``pow(2*(1+1))`` / ``rz(pi/(1+1))`` parse whole)."""
+    depth = 0
+    for i in range(start, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise ValueError(f"unbalanced parentheses in {s!r}")
+
+
+def _match_modifier(rest: str):
+    """Match one leading gate modifier (``inv @``, ``pow(EXPR) @``,
+    ``ctrl(n) @``, ``negctrl @``); returns (mod-dict, remainder) or None.
+    pow exponents are scanned with balanced parentheses, not a regex."""
+    s = rest.lstrip()
+    m = re.match(r"^(?P<neg>neg)?ctrl(?:\((?P<n>\d+)\))?\s*@\s*", s)
+    if m:
+        return ({"mod": "ctrl", "neg": bool(m.group("neg")),
+                 "n": int(m.group("n") or 1)}, s[m.end():])
+    m = re.match(r"^inv\s*@\s*", s)
+    if m:
+        return {"mod": "inv"}, s[m.end():]
+    m = re.match(r"^pow\s*\(", s)
+    if m:
+        end = _scan_paren(s, m.end() - 1)
+        after = re.match(r"\s*@\s*", s[end:])
+        if after:
+            return ({"mod": "pow", "exp": s[m.end():end - 1]},
+                    s[end + after.end():])
+    return None
 
 
 def _parse_gate_use(line: str, macros: Dict[str, GateDef],
@@ -191,37 +260,42 @@ def _parse_gate_use(line: str, macros: Dict[str, GateDef],
     mods = []
     rest = line
     while True:
-        mm = _MOD_RE.match(rest)
-        if not mm:
+        hit = _match_modifier(rest)
+        if hit is None:
             break
+        mm, rest = hit
         mods.append(mm)
-        rest = mm.group("rest")
     if mods:
         ctrl_specs = []  # (negated?) per control qubit slot, in order
         inv = False
         power = 1
         for mm in mods:
-            tok = mm.group("mod")
+            tok = mm["mod"]
             if tok == "inv":
                 inv = not inv
-            elif tok.startswith("pow"):
-                k = _eval_param(mm.group("exp"), env)
+            elif tok == "pow":
+                k = _eval_param(mm["exp"], env)
                 if abs(k - round(k)) > 1e-9:
                     raise ValueError(
                         f"only integer pow modifiers supported: {line!r}")
                 power *= int(round(k))
             else:
-                nc = int(mm.group("n") or 1)
-                ctrl_specs.extend([bool(mm.group("neg"))] * nc)
+                ctrl_specs.extend([mm["neg"]] * mm["n"])
         qubits = _qubits_in(line, env)
         nc = len(ctrl_specs)
         if len(qubits) < nc + 1:
             raise ValueError(f"not enough qubits for modifiers: {line!r}")
         controls, own = qubits[:nc], qubits[nc:]
         # rebuild the base statement with only the gate's own qubits
-        base_name = rest.split("(")[0].split()[0]
-        pm = re.match(r"^[\w]+\s*\(([^)]*)\)", rest)
-        params_txt = f"({pm.group(1)})" if pm else ""
+        nm = re.match(r"^\s*(?P<name>\w+)\s*", rest)
+        if nm is None:
+            raise ValueError(f"cannot parse modified gate: {line!r}")
+        base_name = nm.group("name")
+        after = rest[nm.end():]
+        if after.startswith("("):
+            params_txt = after[:_scan_paren(after, 0)]
+        else:
+            params_txt = ""
         base_line = (f"{base_name}{params_txt} "
                      + ", ".join(f"q[{q}]" for q in own) + ";")
         ops = _parse_gate_use(base_line, macros, env)
@@ -250,14 +324,13 @@ def _parse_gate_use(line: str, macros: Dict[str, GateDef],
         if m.group("name") != "x":
             raise ValueError(f"unsupported controlled gate: {line!r}")
         return [GateOp("MCX", tuple(qubits[-1:]), tuple(qubits[:-1]), ())]
-    m = _GATE_RE.match(line)
-    if not m:
+    parts = _split_gate_stmt(line)
+    if parts is None:
         return None
-    name = m.group("name").lower()
-    arg_text = m.group("args")
+    name, params_text, arg_text = parts
+    name = name.lower()
     qubits = _qubits_in(arg_text, env)
-    param_exprs = ([p for p in m.group("params").split(",")]
-                   if m.group("params") else [])
+    param_exprs = _split_commas(params_text) if params_text else []
     if name in macros:
         macro = macros[name]
         if len(param_exprs) != len(macro.params):
@@ -315,13 +388,14 @@ def _parse_gatedef_body(lines: List[str], start: int):
         line = lines[i]
         if line.startswith("}"):
             return body, i + 1
-        m = _GATE_RE.match(line)
-        if not m:
+        parts = _split_gate_stmt(line)
+        if parts is None:
             raise ValueError(f"cannot parse gate-definition line: {line!r}")
-        params = ([p.strip() for p in m.group("params").split(",")]
-                  if m.group("params") else [])
-        args = [a.strip() for a in m.group("args").split(",")]
-        body.append((m.group("name").lower(), params, args))
+        gname, params_text, args_text = parts
+        params = ([p.strip() for p in _split_commas(params_text)]
+                  if params_text else [])
+        args = [a.strip() for a in args_text.split(",")]
+        body.append((gname.lower(), params, args))
         i += 1
     raise ValueError("unterminated gate definition")
 

@@ -20,7 +20,7 @@ _AVAILABLE_BACKENDS: Dict[str, str] = {
     "qristal": "rocquantum_tpu.backends.qristal.QuantumBrillianceBackend",
     "rigetti": "rocquantum_tpu.backends.rigetti.RigettiBackend",
     "local": "rocquantum_tpu.backends.local.LocalTPUBackend",
-    # --- Skeleton Backends ---
+    # --- Promoted Type A clients (skeletons in the reference) ---
     "iqm": "rocquantum_tpu.backends.iqm.IQMBackend",
     "xanadu": "rocquantum_tpu.backends.xanadu.XanaduBackend",
     "quera": "rocquantum_tpu.backends.quera.QuEraBackend",

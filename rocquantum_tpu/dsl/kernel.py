@@ -174,11 +174,16 @@ class QuantumKernel:
         return self.ir().dump()
 
     def qir(self, **kwargs) -> str:
-        """Reference emitted QIR here (rocq/kernel.py:6-17); the TPU-native
-        equivalent of 'compile to the execution format' is StableHLO text
-        for the jitted simulation program."""
+        """QIR (LLVM IR) text with __quantum__qis__<name>__body calls —
+        the reference contract (rocq/kernel.py:6-17 via
+        SimulatorToQIRPass.cpp:33-40, checked by example.py:21-27)."""
+        from ..compiler.qir import emit_qir_text
+        return emit_qir_text(self.ir())
+
+    def stablehlo(self, **kwargs) -> str:
+        """StableHLO text of the jitted simulation program (the TPU-native
+        'compile to the execution format')."""
         import jax
-        from .. import config
         from ..ops import statevec as sv
         from ..compiler.interpreter import execute as _exec
 

@@ -669,7 +669,8 @@ def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
             continue
         if kind == "rowdot":
             a_re, a_im, a_real = _compose_row_matrix(
-                gm_ref, payload, specs, real_flags, col_qubits, tile_rows)
+                gm_ref, payload, specs, real_flags, col_qubits, tile_rows,
+                pair_bits=pair_bits, limit=limit0)
             tiles = [_apply_row_dot(re, im, a_re, a_im, a_real)
                      for (re, im) in tiles]
             continue

@@ -147,3 +147,105 @@ class TestBindingShims:
         tn.contract({"repetitions": 8, "memory_limit": 2048}, result)
         assert tn.last_num_slices > 1   # the reference stopped at
         assert result._data is not None  # NOT_IMPLEMENTED here; we execute
+
+
+class TestB1PerGateSurface:
+    """The reference's direct binding layer (python/rocq/bindings.cpp:160-495)
+    driven the way reference user code drives it: handle -> allocate ->
+    per-gate apply_* -> measure/expectation/sample/readback."""
+
+    def _bell(self, be):
+        h = be.RocsvHandle()
+        d = be.allocate_state_internal(h, 2)
+        assert be.initialize_state(h, d, 2) == be.rocqStatus.SUCCESS
+        assert be.apply_h(h, d, 2, 0) == be.rocqStatus.SUCCESS
+        assert be.apply_cnot(h, d, 2, 0, 1) == be.rocqStatus.SUCCESS
+        return h, d
+
+    def test_bell_flow_statevector_and_sampling(self):
+        import rocq._rocq_hip_backend as be
+        h, d = self._bell(be)
+        sv = be.get_state_vector_full(h, d, 2)
+        expected = np.zeros(4, np.complex64)
+        expected[0] = expected[3] = 2**-0.5
+        assert np.allclose(sv, expected, atol=1e-6)
+        shots = 2000
+        results = be.sample(h, d, 2, [0, 1], shots)
+        assert results.dtype == np.uint64 and len(results) == shots
+        counts = {int(v): int(c) for v, c in
+                  zip(*np.unique(results, return_counts=True))}
+        assert set(counts) <= {0, 3}
+        assert abs(counts.get(0, 0) - shots / 2) < shots / 10
+        assert abs(counts.get(3, 0) - shots / 2) < shots / 10
+
+    def test_every_named_gate_enqueues(self):
+        import rocq._rocq_hip_backend as be
+        h = be.RocsvHandle()
+        d = be.allocate_state_internal(h, 4)
+        S = be.rocqStatus.SUCCESS
+        assert be.apply_x(h, d, 4, 0) == S
+        assert be.apply_y(h, d, 4, 1) == S
+        assert be.apply_z(h, d, 4, 2) == S
+        assert be.apply_s(h, d, 4, 0) == S
+        assert be.apply_sdg(h, d, 4, 0) == S
+        assert be.apply_t(h, d, 4, 1) == S
+        assert be.apply_rx(h, d, 4, 0, 0.3) == S
+        assert be.apply_ry(h, d, 4, 1, 0.4) == S
+        assert be.apply_rz(h, d, 4, 2, 0.5) == S
+        assert be.apply_cz(h, d, 4, 0, 1) == S
+        assert be.apply_swap(h, d, 4, 1, 2) == S
+        assert be.apply_crx(h, d, 4, 0, 1, 0.2) == S
+        assert be.apply_cry(h, d, 4, 1, 2, 0.2) == S
+        assert be.apply_crz(h, d, 4, 2, 3, 0.2) == S
+        assert be.apply_mcx(h, d, 4, [0, 1], 3) == S
+        assert be.apply_cswap(h, d, 4, 0, 1, 2) == S
+        psi = be.get_state_vector_full(h, d, 4)
+        assert abs(np.linalg.norm(psi) - 1.0) < 1e-5
+
+    def test_apply_matrix_and_controlled_matrix(self):
+        import rocq._rocq_hip_backend as be
+        h = be.RocsvHandle()
+        d = be.allocate_state_internal(h, 2)
+        H = (np.array([[1, 1], [1, -1]]) / np.sqrt(2)).astype(np.complex64)
+        mat = be.create_device_matrix_from_numpy(H)
+        assert mat.nbytes() == H.nbytes
+        be.apply_matrix(h, d, 2, [0], mat, 2)
+        X = be.create_device_matrix_from_numpy(
+            np.array([[0, 1], [1, 0]], np.complex64))
+        be.apply_controlled_matrix(h, d, 2, [0], [1], X)
+        psi = be.get_state_vector_full(h, d, 2)
+        expected = np.zeros(4, np.complex64)
+        expected[0] = expected[3] = 2**-0.5
+        assert np.allclose(psi, expected, atol=1e-6)
+
+    def test_measure_collapses(self):
+        import rocq._rocq_hip_backend as be
+        h, d = self._bell(be)
+        outcome, prob = be.measure(h, d, 2, 0)
+        assert outcome in (0, 1)
+        assert abs(prob - 0.5) < 1e-6
+        # post-collapse the two qubits are perfectly correlated
+        o2, p2 = be.measure(h, d, 2, 1)
+        assert o2 == outcome and abs(p2 - 1.0) < 1e-6
+
+    def test_expectations(self):
+        import rocq._rocq_hip_backend as be
+        h, d = self._bell(be)
+        assert abs(be.get_expectation_value_z(h, d, 2, 0)) < 1e-6
+        assert abs(be.get_expectation_value_x(h, d, 2, 0)) < 1e-6
+        assert abs(be.get_expectation_value_pauli_product_z(
+            h, d, 2, [0, 1]) - 1.0) < 1e-6
+        assert abs(be.get_expectation_pauli_string(
+            h, d, 2, "XX", [0, 1]) - 1.0) < 1e-6
+        assert be.get_expectation_value_pauli_product_z(h, d, 2, []) == 1.0
+        # |+> on qubit 0 of a fresh state: <X0> = 1
+        d2 = be.allocate_state_internal(h, 1)
+        be.apply_h(h, d2, 1, 0)
+        assert abs(be.get_expectation_value_x(h, d2, 1, 0) - 1.0) < 1e-6
+
+    def test_state_vector_slice(self):
+        import rocq._rocq_hip_backend as be
+        h, d = self._bell(be)
+        full = be.get_state_vector_full(h, d, 2)
+        sl = be.get_state_vector_slice(h, d, 2, 1, 0)
+        assert np.allclose(full, sl)

@@ -29,9 +29,38 @@ class TestCompiler:
         comp = Compiler()
         assert not comp.load_module_from_string("not a module")
 
-    def test_emit_qir_stablehlo(self):
+    def test_emit_qir_llvm_calls(self):
+        # port of the reference's example.py:21-27 verification: the QIR
+        # text must contain the mangled intrinsic calls
         comp = MLIRCompiler(num_qubits=2)
-        hlo = comp.emit_qir(bell_qasm())
+        qir = comp.emit_qir(bell_qasm())
+        assert "__quantum__qis__h__body" in qir
+        assert "__quantum__qis__cnot__body" in qir
+        assert "call void @__quantum__qis__h__body" in qir
+        assert "declare void @__quantum__qis__cnot__body" in qir
+
+    def test_emit_qir_params_adjoint_controls(self):
+        from rocquantum_tpu.compiler.ir import ParamRef
+        ir = CircuitIR(3, name="k")
+        ir.add("RZ", [0], params=[0.5])
+        ir.add("RY", [1], params=[ParamRef(0)])
+        ir.add("S", [2], is_adjoint=True)
+        ir.add("X", [2], controls=[0, 1])  # -> ccx
+        comp = Compiler()
+        comp.load_module(ir)
+        qir = comp.emit_qir()
+        assert "call void @__quantum__qis__rz__body(double 5.0" in qir
+        assert "define void @k(double %p0)" in qir
+        assert "double %p0" in qir and "__quantum__qis__ry__body" in qir
+        assert "__quantum__qis__s__adj" in qir
+        assert "__quantum__qis__ccx__body" in qir
+        # qubit encoding: null for q0, inttoptr otherwise
+        assert "%Qubit* null" in qir
+        assert "inttoptr (i64 2 to %Qubit*)" in qir
+
+    def test_emit_stablehlo(self):
+        comp = MLIRCompiler(num_qubits=2)
+        hlo = comp.emit_stablehlo(bell_qasm())
         assert "func" in hlo  # StableHLO module text
 
     def test_adjoint_pass(self):

@@ -203,12 +203,17 @@ class TestKernelLowering:
         text = bell.mlir()
         assert "H" in text and "CNOT" in text
 
-    def test_kernel_qir_stablehlo(self):
+    def test_kernel_qir_and_stablehlo(self):
+        # the reference example.py:21-27 verification ported verbatim
         @rocq.kernel
         def bell():
             q = rocq.qvec(2)
             rocq.h(q[0])
             rocq.cnot(q[0], q[1])
 
-        hlo = bell.qir()
+        qir = bell.qir()
+        assert "__quantum__qis__h__body" in qir
+        assert "__quantum__qis__cnot__body" in qir
+        assert "call void @__quantum__qis__h__body" in qir
+        hlo = bell.stablehlo()
         assert "stablehlo" in hlo or "func" in hlo

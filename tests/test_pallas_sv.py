@@ -252,6 +252,50 @@ def test_fused_cnot_pair_bit(pair_role):
     np.testing.assert_allclose(got, expected, atol=1e-5)
 
 
+def test_free_control_cnot_row_target_with_pair_bits():
+    # Regression (ADVICE r2, high): a multi-pair pass whose rowdot group
+    # holds a CNOT with a FREE (out-of-window, unpaired) control and a
+    # tile-ROW-region target (COL_QUBITS <= t < limit). _kernel_multi's
+    # rowdot branch must pass pair_bits/limit to _compose_row_matrix or
+    # the control mask reads a nonexistent row-index bit and the CNOT is
+    # silently dropped (err ~7e-3 end to end).
+    n = 19
+    limit = max_kernel_qubit(n) + 1
+    assert limit == 17
+    state = rand_state(n, 77)
+    eye = np.eye(2, dtype=np.complex64)
+    # U(17) forces pair_bits=(17,); CNOT(18 -> 13): control 18 is free,
+    # target 13 is in the row region -> rowdot with a free control
+    specs = [("U", 17), ("CNOT", 18, 13)]
+    mats = [_ry(0.9), eye]
+    expected = reference_apply_specs(state, specs, mats)
+    re = jnp.real(jnp.asarray(state))
+    im = jnp.imag(jnp.asarray(state))
+    re, im = apply_fused_layer(re, im, specs,
+                               jnp.asarray(pack_gate_mats(mats)),
+                               pair_bits=(17,), interpret=True)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_free_control_cnot_row_target_multi_pair_bits():
+    # Same path with TWO pair bits and extra row gates sharing the rowdot
+    n = 20
+    limit = max_kernel_qubit(n) + 1
+    state = rand_state(n, 78)
+    eye = np.eye(2, dtype=np.complex64)
+    specs = [("U", 17), ("U", 18), ("CNOT", 19, 14), ("U", 13)]
+    mats = [_ry(0.4), np.asarray(g.H), eye, _ry(1.1)]
+    expected = reference_apply_specs(state, specs, mats)
+    re = jnp.real(jnp.asarray(state))
+    im = jnp.imag(jnp.asarray(state))
+    re, im = apply_fused_layer(re, im, specs,
+                               jnp.asarray(pack_gate_mats(mats)),
+                               pair_bits=(17, 18), interpret=True)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
 def test_plan_respects_cnot_dependencies():
     # RY(q20); CNOT(20 -> 3); RY(3): strictly ordered chain — the plan must
     # not let the later RY(3) overtake the CNOT into an earlier pass

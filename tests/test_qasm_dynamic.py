@@ -405,3 +405,62 @@ class TestGateModifiers:
         names = [(op.name, op.is_adjoint) for op in ir.ops]
         assert names == [("S", False), ("T", False),
                          ("T", True), ("S", True)]
+
+    def test_nested_parens_in_params_and_pow(self):
+        # ADVICE r2: [^)]* regexes truncated nested-paren expressions
+        from rocquantum_tpu.compiler.qasm_parser import parse_qasm3
+        ir = parse_qasm3("""
+        OPENQASM 3.0;
+        qubit[1] q;
+        rz(pi/(1+1)) q[0];
+        pow(2*(1+1)) @ t q[0];
+        pow(2) @ rz(pi/(1+1)) q[0];
+        """)
+        names = [op.name for op in ir.ops]
+        assert names == ["RZ"] + ["T"] * 4 + ["RZ"] * 2
+        import math
+        assert abs(ir.ops[0].params[0] - math.pi / 2) < 1e-9
+        assert abs(ir.ops[5].params[0] - math.pi / 2) < 1e-9
+
+    def test_nested_parens_in_gatedef_body(self):
+        from rocquantum_tpu.compiler.qasm_parser import parse_qasm3
+        ir = parse_qasm3("""
+        OPENQASM 3.0;
+        qubit[1] q;
+        gate half(t) a { rz(t/(1+1)) a; }
+        half(1.0) q[0];
+        """)
+        assert [op.name for op in ir.ops] == ["RZ"]
+        assert abs(ir.ops[0].params[0] - 0.5) < 1e-9
+
+
+class TestWhileMaxIterWarning:
+    def test_nonconverged_while_warns(self):
+        # condition never clears: c stays 1 (no re-measure in body)
+        qasm = """
+        OPENQASM 3.0;
+        qubit[1] q;
+        bit[1] c;
+        x q[0];
+        c[0] = measure q[0];
+        while (c[0] == 1) { z q[0]; }
+        """
+        prog = parse_qasm3_program(qasm)
+        prog.items[-1].max_iter = 5
+        with pytest.warns(RuntimeWarning, match="did not converge"):
+            run_dynamic(prog, shots=4, seed=0)
+
+    def test_converged_while_does_not_warn(self):
+        import warnings as _w
+        qasm = """
+        OPENQASM 3.0;
+        qubit[1] q;
+        bit[1] c;
+        x q[0];
+        c[0] = measure q[0];
+        while (c[0] == 1) { x q[0]; c[0] = measure q[0]; }
+        """
+        prog = parse_qasm3_program(qasm)
+        with _w.catch_warnings():
+            _w.simplefilter("error", RuntimeWarning)
+            run_dynamic(prog, shots=4, seed=0)

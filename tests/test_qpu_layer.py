@@ -296,3 +296,51 @@ class TestRigettiBackendMocked:
         be = RigettiBackend()
         with pytest.raises(BackendAuthenticationError):
             be.submit_job("OPENQASM 3.0;", shots=10)
+
+
+class TestPromotedTypeABackendsMocked:
+    """The 7 providers the reference left as TODO skeletons, promoted to
+    concrete Type A clients (TypeARestBackend): every one submits a mocked
+    job end-to-end through the shared REST lifecycle."""
+
+    CASES = [
+        ("alice_bob", "AliceBobBackend", "ALICE_BOB_API_KEY"),
+        ("iqm", "IQMBackend", "IQM_TOKEN"),
+        ("orca", "OrcaBackend", "ORCA_AUTH_TOKEN"),
+        ("quantum_machines", "QuantumMachinesBackend", "QM_API_KEY"),
+        ("quera", "QuEraBackend", "QUERA_API_KEY"),
+        ("seeqc", "SeeqcBackend", "SEEQC_API_KEY"),
+        ("xanadu", "XanaduBackend", "XANADU_CLOUD_KEY"),
+    ]
+
+    @pytest.mark.parametrize("mod,cls,env", CASES)
+    def test_job_lifecycle(self, monkeypatch, mod, cls, env):
+        import importlib
+        m = importlib.import_module(f"rocquantum_tpu.backends.{mod}")
+        be = getattr(m, cls)()
+        monkeypatch.delenv(env, raising=False)
+        with pytest.raises(BackendAuthenticationError):
+            be.authenticate()
+        monkeypatch.setenv(env, "tok")
+        be.authenticate()
+        with mock.patch("requests.post",
+                        return_value=_response(payload={"id": "j-9"})) as p:
+            assert be.submit_job("OPENQASM 3.0;", shots=64) == "j-9"
+        args, kwargs = p.call_args
+        assert args[0].startswith(be.api_endpoint)
+        assert args[0].endswith("/jobs")
+        assert kwargs["headers"]["Authorization"] == "Bearer tok"
+        assert kwargs["json"]["shots"] == 64
+        assert kwargs["json"]["program"] == "OPENQASM 3.0;"
+        with mock.patch("requests.get", return_value=_response(
+                payload={"status": "completed",
+                         "data": {"histogram": {"00": 32, "11": 32}}})):
+            assert be.get_job_status("j-9") == "completed"
+            assert be.get_job_result("j-9") == {"00": 32, "11": 32}
+
+    @pytest.mark.parametrize("mod,cls,env", CASES)
+    def test_set_target_accepts(self, monkeypatch, mod, cls, env):
+        from rocquantum_tpu import core
+        monkeypatch.setenv(env, "tok")  # set_target authenticates
+        core.set_target(mod)
+        assert core.get_active_backend().backend_name == mod
