@@ -216,24 +216,132 @@ def bench_qft():
         run_once()
         times.append(time.perf_counter() - t0)
     # the D2-fused QFT is one kernel pass: wall-clock lands AT the ~35 ms
-    # transfer floor, so the subtraction can underflow — clamp to the
-    # measurement resolution
-    return len(ir.ops), max(min(times) - TRANSFER_OVERHEAD_S, 1e-5)
+    # transfer floor, so the subtraction can underflow — report both the
+    # clamped value AND whether it hit the floor + the raw wall-clock
+    raw = min(times)
+    secs = max(raw - TRANSFER_OVERHEAD_S, 1e-5)
+    floored = (raw - TRANSFER_OVERHEAD_S) <= 1e-5
+    return len(ir.ops), secs, floored, raw
 
 
 def run_qft():
-    n_ops, secs = bench_qft()
+    n_ops, secs, floored, raw = bench_qft()
     print(json.dumps({"qft_n": QFT_N, "qft_ops": n_ops,
-                      "qft_ms": round(secs * 1e3, 2)}))
+                      "qft_ms": round(secs * 1e3, 2),
+                      "qft_floor": floored,
+                      "qft_raw_wallclock_ms": round(raw * 1e3, 2)}))
     return 0
 
 
-def probe_qft():
+DENSITY_N = 13
+DENSITY_LAYERS = 4
+
+
+def bench_density(n):
+    """Density-matrix engine probe (VERDICT r2 #3): RY + depolarizing-Kraus
+    layers on rho at n qubits (rho = 2n-qubit flattened statevector;
+    reference workload: hipDensityMat.cpp:254-446 channels). Reported as
+    channel+gate ops/s plus the effective HBM GB/s of the ideal
+    one-pass-per-op model (each op touches all 4^n amplitudes)."""
+    import jax
+    import jax.numpy as jnp
+    _enable_compile_cache()
+    import rocquantum_tpu as rocq
+    from rocquantum_tpu.density_circuit import DensityCircuit
+
+    sim = rocq.Simulator(seed=0)
+    n_ops = DENSITY_LAYERS * 2 * n
+
+    def run_once():
+        dc = DensityCircuit(n, sim)
+        for _ in range(DENSITY_LAYERS):
+            for q in range(n):
+                dc.ry(0.3 + 0.01 * q, q)
+            for q in range(n):
+                dc.apply_channel("depolarizing", 0.02, [q])
+        dc.flush()
+        return float(dc.expval(rocq.PauliOperator({"Z0": 1.0})))
+
+    run_once()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_once()
+        times.append(time.perf_counter() - t0)
+    dt = max(min(times) - TRANSFER_OVERHEAD_S, 1e-9)
+    return n_ops / dt
+
+
+def run_density(n):
+    ops_s = bench_density(n)
+    gbps = ops_s * 16.0 * (4 ** n) / 1e9
+    print(json.dumps({"density_n": n,
+                      "density_ops_per_sec": round(ops_s, 2),
+                      "density_gbps": round(gbps, 1)}))
+    return 0
+
+
+TN_DIM = 4096
+TN_SLICES = 4
+
+
+def bench_tensornet():
+    """Tensor-network engine probe (VERDICT r2 #3): a sliced ring
+    contraction A(a,b) B(b,c) C(c,a) -> scalar at bond dimension TN_DIM
+    with num_slices forced (reference workload: hipTensorNet.cpp:450-569
+    executeSlicedContraction). Reports achieved complex-GEMM GFLOP/s
+    (8 real FLOPs per complex MAC)."""
+    import jax
+    _enable_compile_cache()
+    from rocquantum_tpu.tensornet import Tensor, TensorNetwork
+
+    rng = np.random.default_rng(0)
+    d = TN_DIM
+
+    def mk(labels):
+        a = (rng.normal(size=(d, d)) / d).astype(np.complex64)
+        return Tensor.from_numpy(a, list(labels))
+
+    def run_once():
+        tn = TensorNetwork()
+        tn.add_tensor(mk("ab"))
+        tn.add_tensor(mk("bc"))
+        tn.add_tensor(mk("ca"))
+        out = tn.contract({"num_slices": TN_SLICES})
+        return complex(np.asarray(out.to_numpy()).reshape(())), \
+            tn.last_num_slices
+
+    (_, n_slices) = run_once()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_once()
+        times.append(time.perf_counter() - t0)
+    dt = max(min(times) - TRANSFER_OVERHEAD_S, 1e-9)
+    # two pairwise contractions: (d,d)@(d,d) GEMM + (d*d) dot reduction;
+    # count the dominant GEMM + the elementwise-sum contraction
+    flops = 8.0 * d * d * d + 8.0 * d * d
+    return flops / dt / 1e9, n_slices
+
+
+def run_tensornet():
+    gflops, n_slices = bench_tensornet()
+    print(json.dumps({"tn_dim": TN_DIM, "tn_slices": n_slices,
+                      "tn_gflops": round(gflops, 1)}))
+    return 0
+
+
+def _probe_subprocess(args, key, timeout=QFT_TIMEOUT_S, env_extra=None):
+    """Run this script with ``args`` in a timeout-guarded subprocess and
+    return the first JSON line containing ``key``."""
     script = os.path.abspath(__file__)
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
     try:
-        out = subprocess.run([sys.executable, script, "--qft"],
+        out = subprocess.run([sys.executable, script] + list(args),
                              capture_output=True, text=True,
-                             timeout=QFT_TIMEOUT_S)
+                             timeout=timeout, env=env)
     except subprocess.TimeoutExpired:
         return None
     if out.returncode != 0:
@@ -243,29 +351,36 @@ def probe_qft():
             rec = json.loads(line)
         except json.JSONDecodeError:
             continue
-        if "qft_ms" in rec:
+        if key in rec:
             return rec
     return None
 
 
+def probe_qft():
+    return _probe_subprocess(["--qft"], "qft_ms")
+
+
+def probe_density():
+    return _probe_subprocess(["--density", str(DENSITY_N)],
+                             "density_ops_per_sec")
+
+
+def probe_tensornet():
+    return _probe_subprocess(["--tensornet"], "tn_gflops")
+
+
 def probe():
-    script = os.path.abspath(__file__)
     for n in SIZES:
-        try:
-            out = subprocess.run(
-                [sys.executable, script, "--size", str(n)],
-                capture_output=True, text=True, timeout=PER_SIZE_TIMEOUT_S)
-        except subprocess.TimeoutExpired:
-            continue
-        if out.returncode != 0:
-            continue
-        for line in out.stdout.splitlines():
-            try:
-                rec = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if "gates_per_sec" in rec:
-                return rec["n"], rec["gates_per_sec"]
+        rec = _probe_subprocess(["--size", str(n)], "gates_per_sec",
+                                timeout=PER_SIZE_TIMEOUT_S)
+        if rec is None and not os.environ.get("ROCQ_BENCH_REPS"):
+            # auto-tuned REPS fallback: a cold-cache compile at REPS=16 can
+            # blow the per-size budget; halve the program size and retry
+            rec = _probe_subprocess(["--size", str(n)], "gates_per_sec",
+                                    timeout=PER_SIZE_TIMEOUT_S,
+                                    env_extra={"ROCQ_BENCH_REPS": "8"})
+        if rec is not None:
+            return rec["n"], rec["gates_per_sec"]
     return None, None
 
 
@@ -274,11 +389,17 @@ def main():
     parser.add_argument("--size", type=int, default=None)
     parser.add_argument("--qft", action="store_true")
     parser.add_argument("--ansatz", type=int, default=None)
+    parser.add_argument("--density", type=int, default=None)
+    parser.add_argument("--tensornet", action="store_true")
     args = parser.parse_args()
     if args.qft:
         return run_qft()
     if args.ansatz is not None:
         return run_ansatz(args.ansatz)
+    if args.density is not None:
+        return run_density(args.density)
+    if args.tensornet:
+        return run_tensornet()
     if args.size is not None:
         return run_single(args.size)
 
@@ -295,14 +416,31 @@ def main():
         "value": round(gates_per_sec, 2),
         "unit": "gates/s",
         "vs_baseline": round(gates_per_sec / ideal, 3),
+        # achieved effective HBM bandwidth of the one-pass-per-gate model:
+        # value * 16 bytes * 2^n (SURVEY §6 roofline; > physical HBM BW
+        # means gates are being fused into shared passes)
+        "gbps": round(gates_per_sec * 16.0 * (1 << n_used) / 1e9, 1),
     }
     qft = probe_qft() or probe_qft()  # mixed-gate QFT; one retry (the
     # compile cache makes the second attempt cheap if the first timed out)
     if qft is not None:
         record["qft_n20_ms"] = qft["qft_ms"]
+        record["qft_floor"] = qft.get("qft_floor", False)
+        record["qft_raw_wallclock_ms"] = qft.get("qft_raw_wallclock_ms")
     ansatz = probe_ansatz(min(n_used, 29)) or probe_ansatz(min(n_used, 29))
     if ansatz is not None:
         record["ansatz_gates_per_sec"] = ansatz["ansatz_gates_per_sec"]
+        record["ansatz_gbps"] = round(
+            ansatz["ansatz_gates_per_sec"] * 16.0
+            * (1 << min(n_used, 29)) / 1e9, 1)
+    density = probe_density() or probe_density()
+    if density is not None:
+        record["density_n13_ops_per_sec"] = density["density_ops_per_sec"]
+        record["density_gbps"] = density["density_gbps"]
+    tn = probe_tensornet() or probe_tensornet()
+    if tn is not None:
+        record["tn_sliced_gflops"] = tn["tn_gflops"]
+        record["tn_slices"] = tn["tn_slices"]
     print(json.dumps(record))
     return 0
 

@@ -602,6 +602,12 @@ def execute_pair(re: jnp.ndarray, im: jnp.ndarray, ops: Sequence,
     return re, im
 
 
+# Compile-service budget: >~300-op single programs can OOM the remote
+# compiler, so both Circuit.flush and compile_ir split at this many
+# post-fusion plan items per jitted program.
+MAX_SEGMENT_ITEMS = 96
+
+
 def segment_ops(ops: Sequence, num_qubits: int, max_items: int = 96,
                 n_global: int = 0, fuse: bool = True) -> list:
     """Split an op list into segments of at most ``max_items`` POST-FUSION
@@ -719,6 +725,36 @@ def compile_ir(ir: CircuitIR, fuse: bool = True, max_fuse: int = 2,
     cached = _EXEC_CACHE.get(key)
     if cached is not None:
         return cached
+
+    # Self-segmentation: one >~300-op jitted program can OOM the compile
+    # service, so long IRs auto-split into chained per-segment executables
+    # (the same post-fusion item rule Circuit.flush uses) — raw
+    # compile_ir/Compiler.compile callers no longer need the manual 96-op
+    # rule. The returned callable dispatches each segment from the host.
+    n_glob = 0
+    if sharding is not None and getattr(sharding, "device_set", None):
+        n_dev = len(sharding.device_set)
+        n_glob = max(n_dev - 1, 0).bit_length()
+    segments = segment_ops(list(ir.ops), ir.num_qubits,
+                           max_items=MAX_SEGMENT_ITEMS, n_global=n_glob,
+                           fuse=fuse)
+    if len(segments) > 1:
+        seg_fns = [
+            compile_ir(CircuitIR(ir.num_qubits, seg,
+                                 name=f"{ir.name}.seg{i}"),
+                       fuse=fuse, max_fuse=max_fuse, donate=donate,
+                       sharding=sharding, low_width=low_width,
+                       high_width=high_width, batched=batched,
+                       batch_sharding=batch_sharding)
+            for i, seg in enumerate(segments)]
+
+        def chained(state, params):
+            for f in seg_fns:
+                state = f(state, params)
+            return state
+
+        _EXEC_CACHE[key] = chained
+        return chained
     ops = list(ir.ops)
 
     def run_one(state, params):

@@ -253,3 +253,41 @@ class TestParameterizedGates:
         assert abs(float(jf(np.pi / 3)) - np.cos(np.pi / 3)) < 1e-6
         g_ = jax.grad(f)(jnp.float32(np.pi / 3))
         assert abs(float(g_) + np.sin(np.pi / 3)) < 1e-5
+
+
+class TestCompileIrSelfSegmentation:
+    def test_long_ir_self_segments_and_matches(self, monkeypatch):
+        # VERDICT r2 #4: raw compile_ir callers must not need the manual
+        # 96-op rule — long IRs chain per-segment executables automatically
+        import jax
+        import jax.numpy as jnp
+        from rocquantum_tpu.compiler import interpreter as interp
+        from rocquantum_tpu.compiler.ir import CircuitIR, ParamRef
+
+        monkeypatch.setattr(interp, "MAX_SEGMENT_ITEMS", 16)
+        interp.clear_cache()
+        n = 6
+        rng = np.random.default_rng(3)
+        ir = CircuitIR(n, name="long")
+        k = 0
+        for i in range(120):
+            q = int(rng.integers(n))
+            if i % 5 == 4:
+                ir.add("CNOT", [(q + 1) % n], controls=[q])
+            else:
+                ir.add("RY", [q], params=[ParamRef(k)])
+                k += 1
+        fn = interp.compile_ir(ir, donate=False)
+        params = jnp.asarray(rng.normal(size=(k,)), jnp.float32)
+        state = jax.jit(lambda: sv.init_state(n))()
+        out = fn(state, params)
+
+        def ref(state, params):
+            for op in ir.ops:
+                state = interp.apply_op(state, op, params)
+            return state
+
+        want = jax.jit(ref)(jax.jit(lambda: sv.init_state(n))(), params)
+        np.testing.assert_allclose(np.asarray(jnp.abs(out - want)).max(),
+                                   0.0, atol=2e-5)
+        interp.clear_cache()
