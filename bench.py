@@ -281,6 +281,55 @@ def run_density(n):
     return 0
 
 
+FP64_N = 26
+FP64_REPS = 2
+
+
+def bench_fp64(n):
+    """Double-precision (complex128) gate throughput on the einsum path —
+    the ROCQ_PRECISION_DOUBLE analog (reference hipStateVec.h:7-15). The
+    Pallas kernels are float32-only (Mosaic has no f64), so this records
+    the chemistry-accuracy regime's real number."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    _enable_compile_cache()
+    from rocquantum_tpu import config
+    config.set_precision("double")
+    from rocquantum_tpu.compiler.ir import CircuitIR, ParamRef
+    from rocquantum_tpu.compiler.interpreter import execute
+    from rocquantum_tpu.ops import statevec as sv
+
+    ir = CircuitIR(n)
+    for _ in range(FP64_REPS):
+        for q in range(n):
+            ir.add("RY", [q], params=[ParamRef(q)])
+
+    @jax.jit
+    def prog(params):
+        s = sv.init_state(n)
+        s = execute(s, list(ir.ops), params)
+        return jnp.sum(jnp.abs(s) ** 2).real
+
+    params = jnp.asarray(np.linspace(0.1, 1.0, n))
+    norm = float(prog(params))
+    assert abs(norm - 1.0) < 1e-9, norm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(prog(params))
+        times.append(time.perf_counter() - t0)
+    dt = max(min(times) - TRANSFER_OVERHEAD_S, 1e-9)
+    return FP64_REPS * n / dt
+
+
+def run_fp64(n):
+    gps = bench_fp64(n)
+    print(json.dumps({"fp64_n": n, "fp64_gates_per_sec": round(gps, 2),
+                      "fp64_gbps": round(gps * 32.0 * (1 << n) / 1e9, 1)}))
+    return 0
+
+
 TN_DIM = 4096
 TN_SLICES = 4
 
@@ -302,20 +351,26 @@ def bench_tensornet():
         a = (rng.normal(size=(d, d)) / d).astype(np.complex64)
         return Tensor.from_numpy(a, list(labels))
 
-    def run_once():
-        tn = TensorNetwork()
-        tn.add_tensor(mk("ab"))
-        tn.add_tensor(mk("bc"))
-        tn.add_tensor(mk("ca"))
-        out = tn.contract({"num_slices": TN_SLICES})
-        return complex(np.asarray(out.to_numpy()).reshape(())), \
-            tn.last_num_slices
-
-    (_, n_slices) = run_once()
+    # build once, jit once, keep the inputs device-resident: per-call
+    # re-shipping 3 x 134 MB through the axon relay would otherwise
+    # dominate the measurement
+    from rocquantum_tpu.tensornet.contraction import OptimizerConfig
+    tn = TensorNetwork()
+    tn.add_tensor(mk("ab"))
+    tn.add_tensor(mk("bc"))
+    tn.add_tensor(mk("ca"))
+    import jax.numpy as jnp
+    cfg = OptimizerConfig.from_dict({"num_slices": TN_SLICES})
+    jit_body, datas, _, _ = tn._build_runner(cfg)
+    # scalar-real output: the float() read is the sync point (no eager
+    # complex ops / complex transfers on the axon backend)
+    fn = jax.jit(lambda *a: jnp.abs(jit_body(*a)).real.reshape(()))
+    float(fn(*datas))                     # compile + warm
+    n_slices = tn.last_num_slices
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        run_once()
+        float(fn(*datas))
         times.append(time.perf_counter() - t0)
     dt = max(min(times) - TRANSFER_OVERHEAD_S, 1e-9)
     # two pairwise contractions: (d,d)@(d,d) GEMM + (d*d) dot reduction;
@@ -391,6 +446,7 @@ def main():
     parser.add_argument("--ansatz", type=int, default=None)
     parser.add_argument("--density", type=int, default=None)
     parser.add_argument("--tensornet", action="store_true")
+    parser.add_argument("--fp64", type=int, default=None)
     args = parser.parse_args()
     if args.qft:
         return run_qft()
@@ -400,6 +456,8 @@ def main():
         return run_density(args.density)
     if args.tensornet:
         return run_tensornet()
+    if args.fp64 is not None:
+        return run_fp64(args.fp64)
     if args.size is not None:
         return run_single(args.size)
 
@@ -441,6 +499,10 @@ def main():
     if tn is not None:
         record["tn_sliced_gflops"] = tn["tn_gflops"]
         record["tn_slices"] = tn["tn_slices"]
+    fp64 = _probe_subprocess(["--fp64", str(FP64_N)], "fp64_gates_per_sec")
+    if fp64 is not None:
+        record["fp64_n26_gates_per_sec"] = fp64["fp64_gates_per_sec"]
+        record["fp64_gbps"] = fp64["fp64_gbps"]
     print(json.dumps(record))
     return 0
 

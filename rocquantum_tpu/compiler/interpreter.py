@@ -286,6 +286,33 @@ def _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
                                  interpret=interpret)
     plan = plan_full_layer(n, supports, limit, pair_ok=n > limit,
                            anchors=anchors)
+    # Smaller-tile geometry alternatives buy more pair bits per pass
+    # (pallas_sv.TALL_GEOMETRY: k=5) — a high-qubit CNOT chain that costs
+    # ~4 default-geometry passes fits 3 tall ones. Pick the shortest plan
+    # (pass count == HBM traffic; every pass streams the full state); ties
+    # prefer the wider geometry (wider windows keep more work on the
+    # lane/mid MXU dots). THIN_GEOMETRY (k=9, 2 passes/layer) measured
+    # SLOWER on v5e (300 vs 532 gates/s on the n=29 ring ansatz): its
+    # 40-gate merged bodies push the scoped-VMEM stack past 100 MiB, which
+    # starves block double-buffering — so it is not auto-selected.
+    from ..ops.pallas_sv import TALL_GEOMETRY, max_pair_bits_for
+    if len(plan) > 2:
+        for geo in (TALL_GEOMETRY,):
+            gcol, gtile = geo
+            geo_limit = min(gcol, n) + min(gtile, n - min(gcol, n))
+            if n <= geo_limit:
+                continue
+            geo_anchors = _spec_anchors(kinds, supports, geo_limit)
+            try:
+                geo_plan = plan_full_layer(
+                    n, supports, geo_limit, pair_ok=True,
+                    anchors=geo_anchors,
+                    max_pairs=max_pair_bits_for(gcol, gtile),
+                    geometry=geo)
+            except ValueError:
+                continue
+            if len(geo_plan) < len(plan):
+                plan = geo_plan
     return execute_plan(re, im, plan, gm, n, kinds=kinds,
                         real_flags=real_flags, interpret=interpret)
 

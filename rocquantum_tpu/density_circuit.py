@@ -201,6 +201,7 @@ class DensityCircuit(_GateMethods):
 
             def run(rho, params):
                 from .compiler.interpreter import execute as _exec
+                from .compiler.ir import GateOp
                 pending2n: List = []  # GateOps on the 2n-qubit flat view
 
                 def drain(rho):
@@ -229,16 +230,22 @@ class DensityCircuit(_GateMethods):
                                                   list(ctrl), list(vals),
                                                   adjoint=adj)
                     elif kind == "channel":
-                        rho = drain(rho)
+                        # one superoperator matrix per target qubit: rides
+                        # the SAME fused interpreter stream as the gates
+                        # (no drain, no per-Kraus-term passes)
                         _, channel, prob, tgt = item
-                        rho = dmops.apply_channel(rho, channel, prob, list(tgt))
+                        ks = dmops.CHANNELS[channel.lower()](prob)
+                        s = dmops.kraus_superoperator(ks, xp=np)
+                        for q in tgt:
+                            pending2n.append(GateOp(
+                                "UNITARY", (q, q + n), (), (), s))
                     else:  # kraus
-                        rho = drain(rho)
                         _, mats, tgt = item
-                        ks = [jnp.asarray(
-                            np.frombuffer(b, np.complex128).reshape(shape),
-                            config.complex_dtype()) for b, shape in mats]
-                        rho = dmops.apply_kraus(rho, ks, list(tgt))
+                        ks = [np.frombuffer(b, np.complex128).reshape(shape)
+                              for b, shape in mats]
+                        s = dmops.kraus_superoperator(ks, xp=np)
+                        pos = tuple(tgt) + tuple(q + n for q in tgt)
+                        pending2n.append(GateOp("UNITARY", pos, (), (), s))
                 return drain(rho)
 
             fn = jax.jit(run, donate_argnums=(0,))

@@ -114,15 +114,35 @@ def apply_gate_dm(rho: jnp.ndarray, name: str, targets: Sequence[int],
 # Kraus channels
 # ---------------------------------------------------------------------------
 
+def kraus_superoperator(kraus_ops: List, dtype=None, xp=jnp):
+    """S = sum_i K_i (x) conj(K_i): the channel as ONE (4^m, 4^m) matrix on
+    the flattened rho's (row ⊗ col) index pair.
+
+    rho'[r', c'] = sum_i K_i[r', r] conj(K_i)[c', c] rho[r, c] — so applying
+    S over the combined index (r·2^m + c) IS the whole channel: one state
+    pass instead of 2 passes + an add per Kraus term (the reference looped
+    terms through apply_single_qubit_kraus_kernel + accumulate_kernel,
+    hipDensityMat.cpp:23-72). Pass ``xp=np`` for a host-side matrix usable
+    as a GateOp matrix (trace-time constant)."""
+    conj = xp.conj
+    mats = [xp.asarray(k) if dtype is None else xp.asarray(k, dtype)
+            for k in kraus_ops]
+    s = None
+    for k in mats:
+        term = xp.kron(k, conj(k))
+        s = term if s is None else s + term
+    return s
+
+
 def apply_kraus(rho: jnp.ndarray, kraus_ops: List[jnp.ndarray],
                 targets: Sequence[int]) -> jnp.ndarray:
     """rho' = sum_i K_i rho K_i† (generic channel entry,
-    hipDensityMatApplyChannel, hipDensityMat.cpp:984; kernel :23-72)."""
-    acc = None
-    for k in kraus_ops:
-        term = apply_matrix_dm(rho, jnp.asarray(k, dtype=rho.dtype), targets)
-        acc = term if acc is None else acc + term
-    return acc
+    hipDensityMatApplyChannel, hipDensityMat.cpp:984; kernel :23-72) —
+    executed as one superoperator matrix over (col, row) index bits."""
+    n = num_qubits_of(rho)
+    s = kraus_superoperator(kraus_ops, dtype=rho.dtype)
+    pos = list(targets) + [t + n for t in targets]
+    return sv.apply_matrix(rho, s, pos)
 
 
 def apply_kraus_at(rho2n: jnp.ndarray, kraus_ops: List[jnp.ndarray],
@@ -132,13 +152,8 @@ def apply_kraus_at(rho2n: jnp.ndarray, kraus_ops: List[jnp.ndarray],
     index-bit positions of the flattened 2n-qubit view — the primitive the
     sharded density path needs after locality relabeling has moved row bit
     q+n / col bit q to other physical positions."""
-    acc = None
-    for k in kraus_ops:
-        k = jnp.asarray(k, dtype=rho2n.dtype)
-        term = sv.apply_matrix(rho2n, k, list(row_pos))
-        term = sv.apply_matrix(term, jnp.conj(k), list(col_pos))
-        acc = term if acc is None else acc + term
-    return acc
+    s = kraus_superoperator(kraus_ops, dtype=rho2n.dtype)
+    return sv.apply_matrix(rho2n, s, list(col_pos) + list(row_pos))
 
 
 def _chan(mats):

@@ -142,6 +142,21 @@ def _d2_mul(re, im, sel_a, sel_b, coeffs, real_mat=False):
     return re * d_re - im * d_im, re * d_im + im * d_re
 
 
+def _pair_groups(pair_bits):
+    """Partition sorted pair bits into maximal CONTIGUOUS runs,
+    [(lo, m), ...] ascending. Each run becomes ONE size-2^m block axis of
+    the paired view (instead of m size-2 axes), keeping the view rank at
+    1 + 2*runs + 2 — which is what lets a chain pass carry 5+ pair bits
+    without exceeding Mosaic's rank tolerance."""
+    groups = []
+    for p in pair_bits:
+        if groups and p == groups[-1][0] + groups[-1][1]:
+            groups[-1] = (groups[-1][0], groups[-1][1] + 1)
+        else:
+            groups.append((p, 1))
+    return groups
+
+
 def _free_bit_sel(b, pair_bits, limit):
     """Boolean value of state-index bit ``b`` (>= limit, not a pair bit)
     recovered from the GRID position — diagonal gates need only the bit
@@ -149,13 +164,15 @@ def _free_bit_sel(b, pair_bits, limit):
     block pairing. Returns a traced scalar bool (per-tile constant)."""
     if not pair_bits:
         return ((pl.program_id(0) >> (b - limit)) & 1) == 1
-    k = len(pair_bits)
-    bounds = [limit] + [p + 1 for p in pair_bits]
-    for j, p in enumerate(pair_bits):
-        if bounds[j] <= b < p:
-            return ((pl.program_id(1 + (k - 1 - j))
+    groups = _pair_groups(pair_bits)
+    r = len(groups)
+    # grid = (a_top, gap_{r-1}, ..., gap_0); gap_j covers [bounds[j], lo_j)
+    bounds = [limit] + [lo + m for lo, m in groups]
+    for j, (lo, m) in enumerate(groups):
+        if bounds[j] <= b < lo:
+            return ((pl.program_id(1 + (r - 1 - j))
                      >> (b - bounds[j])) & 1) == 1
-    return ((pl.program_id(0) >> (b - (pair_bits[-1] + 1))) & 1) == 1
+    return ((pl.program_id(0) >> (b - bounds[r])) & 1) == 1
 
 
 def _x_roll(re, im, t, is_one_cache, col_qubits, tile_rows):
@@ -450,6 +467,12 @@ def _plan_mxu_items(specs, pair_bits, col_qubits, tile_rows):
     def is_pair(q):
         return q in pair_set
 
+    # The dense (2^k, 2^k) pair dot costs 2^k x the state FLOPs; past k=3
+    # (8 combos) the elementwise cross-tile combines (a few FMA per gate
+    # per element, and pair-pair CNOTs are FREE tile-list permutations)
+    # are strictly cheaper than the MXU dot.
+    pair_dot_ok = len(pair_set) <= 3
+
     items, lane_pend, mid_pend, row_pend, pair_pend = [], [], [], [], []
 
     def flush_lane():
@@ -478,7 +501,7 @@ def _plan_mxu_items(specs, pair_bits, col_qubits, tile_rows):
 
     def flush_pair():
         if pair_pend:
-            if len(pair_pend) >= _MIN_PAIR_DOT:
+            if pair_dot_ok and len(pair_pend) >= _MIN_PAIR_DOT:
                 items.append(("pairdot", tuple(pair_pend)))
             else:
                 items.extend(("spec", k) for k in pair_pend)
@@ -608,6 +631,197 @@ def _kernel(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
     out_im_ref[...] = im
 
 
+def _matmul_coeffs(c2, c1):
+    """Scalar 2x2 complex matrix product c2 @ c1 on packed coeff tuples —
+    composes consecutive same-bit 1q gates at O(1) cost so a merged-kernel
+    pass applies ONE slice gate per bit regardless of layer count."""
+    (a2, b2), (c2_, d2) = (c2[0], c2[1]), (c2[2], c2[3])
+    (a1, b1), (c1_, d1) = (c1[0], c1[1]), (c1[2], c1[3])
+
+    def mul(x, y):
+        return (x[0] * y[0] - x[1] * y[1], x[0] * y[1] + x[1] * y[0])
+
+    def add(x, y):
+        return (x[0] + y[0], x[1] + y[1])
+
+    return (add(mul(a2, a1), mul(b2, c1_)),
+            add(mul(a2, b1), mul(b2, d1)),
+            add(mul(c2_, a1), mul(d2, c1_)),
+            add(mul(c2_, b1), mul(d2, d1)))
+
+
+def _slice_gate_rows(re, im, q, col_qubits, coeffs, real_mat=False):
+    """1q gate on a ROW-axis bit via a leading-dim reshape exposing the bit
+    as its own axis — no rolls, no masks, half the VMEM temporaries of
+    _roll_gate (Mosaic only rejects LANE-splitting reshapes; leading dims
+    are free). This is what keeps the merged-group kernel's stack inside
+    the 128 MiB scoped-vmem budget at 4 MiB blocks."""
+    R, C = re.shape
+    d = 1 << (q - col_qubits)
+    v_re = re.reshape(R // (2 * d), 2, d, C)
+    v_im = im.reshape(R // (2 * d), 2, d, C)
+    x0_re, x1_re = v_re[:, 0], v_re[:, 1]
+    x0_im, x1_im = v_im[:, 0], v_im[:, 1]
+    (a_re, a_im), (b_re, b_im), (c_re, c_im), (d_re, d_im) = coeffs
+    if real_mat:
+        n0_re = a_re * x0_re + b_re * x1_re
+        n0_im = a_re * x0_im + b_re * x1_im
+        n1_re = c_re * x0_re + d_re * x1_re
+        n1_im = c_re * x0_im + d_re * x1_im
+    else:
+        n0_re = a_re * x0_re - a_im * x0_im + b_re * x1_re - b_im * x1_im
+        n0_im = a_re * x0_im + a_im * x0_re + b_re * x1_im + b_im * x1_re
+        n1_re = c_re * x0_re - c_im * x0_im + d_re * x1_re - d_im * x1_im
+        n1_im = c_re * x0_im + c_im * x0_re + d_re * x1_im + d_im * x1_re
+    out_re = jnp.stack([n0_re, n1_re], axis=1).reshape(R, C)
+    out_im = jnp.stack([n0_im, n1_im], axis=1).reshape(R, C)
+    return out_re, out_im
+
+
+def _slice_cnot_rows(re, im, t, col_qubits, c=None, m_c=None):
+    """CNOT with a ROW-axis target via the same leading-dim reshape:
+    where the control is 1 the two target slices swap. The in-tile control
+    mask (virtual bit ``c``) is built DIRECTLY in the sliced (lead, d, C)
+    shape — reshaping an (R, C) boolean mask trips a Mosaic layout CHECK.
+    ``m_c`` overrides with a grid-resolved scalar (free controls)."""
+    R, C = re.shape
+    d = 1 << (t - col_qubits)
+    lead = R // (2 * d)
+    shape3 = (lead, d, C)
+    if m_c is not None:
+        m = m_c
+    elif c < col_qubits:
+        ids = jax.lax.broadcasted_iota(jnp.int32, shape3, 2)
+        m = ((ids >> c) & 1) == 1
+    else:
+        # full row index at target-bit=0: lead*(2d) + j; bit (c - col) of
+        # it never lands on the target-bit position (c != t)
+        row0 = (jax.lax.broadcasted_iota(jnp.int32, shape3, 0) * (2 * d)
+                + jax.lax.broadcasted_iota(jnp.int32, shape3, 1))
+        m = ((row0 >> (c - col_qubits)) & 1) == 1
+    v_re = re.reshape(lead, 2, d, C)
+    v_im = im.reshape(lead, 2, d, C)
+    x0_re, x1_re = v_re[:, 0], v_re[:, 1]
+    x0_im, x1_im = v_im[:, 0], v_im[:, 1]
+    n0_re = jnp.where(m, x1_re, x0_re)
+    n0_im = jnp.where(m, x1_im, x0_im)
+    n1_re = jnp.where(m, x0_re, x1_re)
+    n1_im = jnp.where(m, x0_im, x1_im)
+    return (jnp.stack([n0_re, n1_re], axis=1).reshape(R, C),
+            jnp.stack([n0_im, n1_im], axis=1).reshape(R, C))
+
+
+def _kernel_merged(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
+                   specs: Tuple[Tuple, ...], real_flags: Tuple[bool, ...],
+                   group_lo: int, group_m: int,
+                   pair_bits: Tuple[int, ...], col_qubits: int,
+                   tile_rows: int, use_mxu: bool = False):
+    """Fused layer over a block pairing ONE contiguous run of ``group_m``
+    bits at [group_lo, group_lo+group_m): the (1, 2^m, 1, T, C) block
+    reshapes to a single (2^m * T, C) tile whose high row bits ARE the
+    group bits — every group-bit gate is an ordinary row-axis roll, so the
+    kernel body stays O(gates) regardless of 2^m (the tiles-list kernel
+    unrolls 2^m refs per gate, which explodes at m >= 4)."""
+    G = 1 << group_m
+    T = tile_rows
+    limit = col_qubits + (T.bit_length() - 1)
+    re = re_ref[...].reshape(G * T, 1 << col_qubits)
+    im = im_ref[...].reshape(G * T, 1 << col_qubits)
+    rows = G * T
+
+    def in_group(b):
+        return group_lo <= b < group_lo + group_m
+
+    def is_free(b):
+        """Out-of-window, not in the paired group: grid-resolved."""
+        return b >= limit and not in_group(b)
+
+    def vbit(b):
+        """Virtual bit position of state bit b inside the merged tile:
+        window bits keep their position, group bits stack above the real
+        tile rows, free bits stay at their REAL positions (disambiguated
+        by is_free on the original spec, never by magnitude)."""
+        if in_group(b):
+            return limit + (b - group_lo)
+        return b
+
+    vspecs = tuple((s[0],) + tuple(vbit(q) for q in s[1:]) for s in specs)
+    vlimit = limit + group_m
+    is_one = _mask_factory(col_qubits, rows)
+    # only LANE dots stay on the MXU here: row/group gates roll on the
+    # merged row axis (a rowdot would compose a (G*T)^2 matrix), and the
+    # planner routes anything listed in its pair set to the spec path
+    blocked = tuple(range(col_qubits, vlimit))
+    items = _plan_mxu_items(vspecs, blocked, col_qubits, T) if use_mxu \
+        else [("spec", k) for k in range(len(vspecs))]
+    # consecutive 1q gates on the same row/group bit COMPOSE (scalar 2x2
+    # products) and apply as ONE slice gate at flush time — a 16-layer RY
+    # body stays at one gate per bit instead of 16 (which would blow the
+    # scoped-VMEM stack). 1q gates on distinct bits commute, so deferral
+    # past disjoint items is exact.
+    pending = {}  # vbit -> [coeffs, all_real]
+
+    def flush(bits=None):
+        nonlocal re, im
+        for b in sorted(pending) if bits is None else list(bits):
+            ent = pending.pop(b, None)
+            if ent is None:
+                continue
+            re, im = _slice_gate_rows(re, im, b, col_qubits, ent[0],
+                                      real_mat=ent[1])
+
+    for kind, payload in items:
+        if kind == "lanedot":
+            # lanes are disjoint from every pending row/group bit.
+            # Free controls keep their REAL bit numbers in vspecs, so the
+            # composer's >= limit test + _free_bit_sel see real positions
+            m_re, m_im, m_real = _compose_lane_matrix(
+                gm_ref, payload, vspecs, real_flags, pair_bits=pair_bits,
+                limit=limit)
+            re, im = _apply_lane_dot(re, im, m_re, m_im, m_real)
+            continue
+        k = payload
+        spec = vspecs[k]
+        if spec[0] == "CNOT":
+            c_real = specs[k][1]
+            free_c = is_free(c_real)
+            m_c = _free_bit_sel(c_real, pair_bits, limit) if free_c else None
+            flush([b for b in ((spec[2],) if free_c
+                               else (spec[1], spec[2])) if b in pending])
+            if spec[2] >= col_qubits:
+                re, im = _slice_cnot_rows(re, im, spec[2], col_qubits,
+                                          c=spec[1], m_c=m_c)
+            else:
+                re, im = _cnot_roll(re, im, spec[1], spec[2], is_one,
+                                    col_qubits, rows, m_c=m_c)
+        elif spec[0] == "D2":
+            flush([b for j, b in ((1, spec[1]), (2, spec[2]))
+                   if not is_free(specs[k][j]) and b in pending])
+
+            def _sel(j):
+                b_real = specs[k][j]
+                if is_free(b_real):
+                    return _free_bit_sel(b_real, pair_bits, limit)
+                return is_one(vspecs[k][j])
+
+            re, im = _d2_mul(re, im, _sel(1), _sel(2),
+                             _coeffs(gm_ref, k), real_mat=real_flags[k])
+        elif spec[1] >= col_qubits:
+            cs = _coeffs(gm_ref, k)
+            ent = pending.get(spec[1])
+            if ent is None:
+                pending[spec[1]] = [cs, real_flags[k]]
+            else:
+                ent[0] = _matmul_coeffs(cs, ent[0])
+                ent[1] = ent[1] and real_flags[k]
+        else:
+            re, im = _roll_gate(re, im, spec[1], is_one, _coeffs(gm_ref, k),
+                                col_qubits, rows, real_mat=real_flags[k])
+    flush()
+    out_re_ref[...] = re.reshape(re_ref.shape)
+    out_im_ref[...] = im.reshape(im_ref.shape)
+
+
 def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
                   specs: Tuple[Tuple, ...], real_flags: Tuple[bool, ...],
                   pair_bits: Tuple[int, ...], col_qubits: int,
@@ -619,17 +833,29 @@ def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
     gate on a pair bit is an elementwise cross-tile combine — extending the
     kernel's reach by k arbitrary high qubits in the same single HBM pass.
     A CNOT with BOTH qubits on pair bits is a conditional tile swap (this is
-    what covers 2q gates whose qubits are both out of the roll window)."""
+    what covers 2q gates whose qubits are both out of the roll window).
+
+    Contiguous pair-bit runs share ONE size-2^m block axis (_pair_groups),
+    so a chain pass can pair 5+ bits while the view rank stays <= 9."""
     k_pairs = len(pair_bits)
     ncombo = 1 << k_pairs
     # combo bit j <-> pair_bits[j] (ascending); the view's outermost pair
-    # axis carries the HIGHEST pair bit, i.e. combo bit k_pairs-1
+    # axis carries the HIGHEST pair-bit GROUP
     bitpos = {pb: j for j, pb in enumerate(pair_bits)}
+    groups = _pair_groups(pair_bits)   # ascending (lo, m) runs
+    r_groups = len(groups)
+    # combo-bit offset of each group (ascending)
+    starts = []
+    s = 0
+    for (_, m) in groups:
+        starts.append(s)
+        s += m
 
     def ref_idx(combo):
         idx = [0]
-        for j in range(k_pairs):
-            idx.append((combo >> (k_pairs - 1 - j)) & 1)
+        for j in reversed(range(r_groups)):
+            v = (combo >> starts[j]) & ((1 << groups[j][1]) - 1)
+            idx.append(v)
             idx.append(0)
         return tuple(idx)
 
@@ -787,9 +1013,34 @@ def apply_fused_1q_layer(re: jnp.ndarray, im: jnp.ndarray,
                              real_flags=real_flags, interpret=interpret)
 
 
-MAX_PAIR_BITS = 3  # VMEM: 2^k paired tiles x (re+im) x (in+out) x double-
-                   # buffering; k=3 with 32-row tiles needs ~70 MiB of
-                   # v5e's 128 MiB physical VMEM (k=4 would exceed it)
+MAX_PAIR_BITS = 3  # default-geometry cap: VMEM holds 2^k paired tiles x
+                   # (re+im) x (in+out) x double-buffering; k=3 with
+                   # 0.5 MiB tiles needs ~70 MiB of v5e's 128 MiB physical
+                   # VMEM (k=4 would exceed it). Smaller tiles raise the
+                   # cap — see max_pair_bits_for.
+MAX_PAIR_GROUPS = 3  # contiguous runs of pair bits, each one block axis:
+                     # view rank = 1 + 2*groups + 2 (rank 9 compiles)
+_PAIRED_BUDGET_BYTES = 4 << 20  # 2^k tiles x T x C x 4B per array, the
+                                # measured k=3 @ 0.5 MiB-tile working set
+
+# The tall chain geometry: 4x smaller tiles buy 2 more pair bits per pass
+# (k=5), which is what collapses a 12-target CNOT chain from 5 passes to 3.
+TALL_GEOMETRY = (10, 5)
+# The thin geometry: 8 KiB tiles buy 9 pair bits per pass (k=9) at an
+# 11-bit window — a full n=29 ring-CNOT chain fits TWO passes. Pair gates
+# at this k run as elementwise cross-tile combines, never the dense
+# (2^k, 2^k) dot (see pair_dot_ok).
+THIN_GEOMETRY = (8, 3)
+
+
+def max_pair_bits_for(col_qubits: int = COL_QUBITS,
+                      tile_log2: int = TILE_ROWS_LOG2) -> int:
+    """Pair-bit capacity of a kernel geometry: how many out-of-window bits
+    fit the paired-block VMEM budget at this tile size."""
+    tile_bytes = (1 << col_qubits) * (1 << tile_log2) * 4
+    if tile_bytes > _PAIRED_BUDGET_BYTES:
+        return 0
+    return (_PAIRED_BUDGET_BYTES // tile_bytes).bit_length() - 1
 
 
 def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
@@ -798,7 +1049,8 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
                       pair_bit=None,
                       real_flags: Sequence[bool] = None,
                       interpret: bool = False,
-                      pair_bits: Sequence[int] = None):
+                      pair_bits: Sequence[int] = None,
+                      geometry: Tuple[int, int] = None):
     """Apply a mixed gate list to the float-pair state in one HBM pass.
 
     specs: per-gate ("U", q) — dense 1q matrix ``gate_mats[k]`` on qubit q —
@@ -807,15 +1059,18 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
     value at (bit_qa=i, bit_qb=j); D2 costs a masked multiply, no partner
     fetch. gate_mats: float32 (K, 2, 2, 2) — [k, row, col, re/im] (rows for
     CNOT entries are ignored).
-    All referenced qubits must satisfy q <= max_kernel_qubit(n), except
-    that up to MAX_PAIR_BITS extra high qubits listed in ``pair_bits``
-    (index bits above the tile region) are reachable via block pairing
-    (_kernel_multi). ``pair_bit`` (scalar) is the backward-compatible
-    single-pair form.
+    All referenced qubits must satisfy q < window (col + tile bits of the
+    active ``geometry``, default (COL_QUBITS, TILE_ROWS_LOG2)), except that
+    extra high qubits listed in ``pair_bits`` (up to
+    ``max_pair_bits_for(*geometry)`` of them, in at most MAX_PAIR_GROUPS
+    contiguous runs) are reachable via block pairing (_kernel_multi).
+    ``pair_bit`` (scalar) is the backward-compatible single-pair form.
     """
     n = (re.size).bit_length() - 1
-    col = min(COL_QUBITS, n)
-    tile_log2 = min(TILE_ROWS_LOG2, n - col)
+    geo_col, geo_tile = geometry if geometry is not None \
+        else (COL_QUBITS, TILE_ROWS_LOG2)
+    col = min(geo_col, n)
+    tile_log2 = min(geo_tile, n - col)
     tile_rows = 1 << tile_log2
     limit = col + tile_log2
     specs = tuple((spec[0],) + tuple(int(q) for q in spec[1:])
@@ -849,9 +1104,18 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
                          f"{pair_bits}), got {specs}")
     if any(q >= n for spec in specs for q in spec[1:]):
         raise ValueError(f"qubit out of range for n={n}: {specs}")
-    if len(pair_bits) > MAX_PAIR_BITS:
-        raise ValueError(f"at most {MAX_PAIR_BITS} pair bits per pass, got "
-                         f"{pair_bits}")
+    cap = max_pair_bits_for(col, tile_log2)
+    if len(pair_bits) > cap:
+        raise ValueError(f"at most {cap} pair bits per pass at geometry "
+                         f"({col}, {tile_log2}), got {pair_bits}")
+    pg = _pair_groups(pair_bits)
+    if len(pg) > MAX_PAIR_GROUPS:
+        raise ValueError(f"at most {MAX_PAIR_GROUPS} contiguous pair-bit "
+                         f"runs per pass, got {pair_bits}")
+    if len(pg) > 1 and len(pair_bits) > 5:
+        raise ValueError(
+            f"more than 5 pair bits need a single contiguous run (the "
+            f"tiles-list kernel unrolls 2^k refs), got {pair_bits}")
     C = 1 << col
     R = 1 << (n - col)
     tile_rows = min(tile_rows, R)
@@ -890,41 +1154,63 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
     # non-pair bits between adjacent pair bits (A_0: [col+tile, p_min)).
     t_log2 = tile_rows.bit_length() - 1
     k_pairs = len(pair_bits)
-    bounds = [limit] + [p + 1 for p in pair_bits]  # low edge above each pair
-    gaps = []  # A_j sizes, innermost first
-    for j, p in enumerate(pair_bits):
-        gaps.append(1 << (p - bounds[j]))
-    a_top = 1 << (n - 1 - pair_bits[-1])
+    groups = _pair_groups(pair_bits)   # ascending (lo, m) contiguous runs
+    r_groups = len(groups)
+    # low edge of the non-pair gap below each group (and above the last)
+    bounds = [limit] + [lo + m for lo, m in groups]
+    gaps = []  # A_j sizes, innermost first: A_j covers [bounds[j], lo_j)
+    for j, (lo, m) in enumerate(groups):
+        gaps.append(1 << (lo - bounds[j]))
+    top_lo, top_m = groups[-1]
+    a_top = 1 << (n - (top_lo + top_m))
     shape = (a_top,)
-    for g in reversed(gaps):
-        shape = shape + (2, g)
+    for (lo, m), g in zip(reversed(groups), reversed(gaps)):
+        shape = shape + (1 << m, g)
     shape = shape + (tile_rows, C)
-    # collapse T into A_0's axis? no — keep T, C as the final two axes
     re_v = re.reshape(shape)
     im_v = im.reshape(shape)
     grid = (a_top,) + tuple(reversed(gaps))
-    kernel = functools.partial(_kernel_multi, specs=specs,
-                               real_flags=real_flags,
-                               pair_bits=pair_bits, col_qubits=col,
-                               tile_rows=tile_rows,
-                               use_mxu=_mxu_enabled())
-    block_shape = (1,) + (2, 1) * k_pairs + (tile_rows, C)
+    if r_groups == 1 and k_pairs >= 4:
+        # one contiguous run: merge the group axis into the tile rows —
+        # O(gates) kernel body instead of the tiles-list kernel's
+        # 2^k-unrolled refs (which explodes at k >= 4)
+        kernel = functools.partial(_kernel_merged, specs=specs,
+                                   real_flags=real_flags,
+                                   group_lo=groups[0][0],
+                                   group_m=groups[0][1],
+                                   pair_bits=pair_bits, col_qubits=col,
+                                   tile_rows=tile_rows,
+                                   use_mxu=_mxu_enabled())
+    else:
+        kernel = functools.partial(_kernel_multi, specs=specs,
+                                   real_flags=real_flags,
+                                   pair_bits=pair_bits, col_qubits=col,
+                                   tile_rows=tile_rows,
+                                   use_mxu=_mxu_enabled())
+    block_shape = (1,)
+    for (lo, m) in reversed(groups):
+        block_shape = block_shape + (1 << m, 1)
+    block_shape = block_shape + (tile_rows, C)
 
     def index_map(*idx):
-        # idx = (a_top_idx, gap_{k-1}, ..., gap_0)
+        # idx = (a_top_idx, gap_{r-1}, ..., gap_0)
         out = [idx[0]]
-        for j in range(k_pairs):
+        for j in range(r_groups):
             out.extend((0, idx[1 + j]))
         return tuple(out) + (0, 0)
 
     block = pl.BlockSpec(block_shape, index_map, memory_space=pltpu.VMEM)
     # paired blocks are 2^k x the unpaired ones; scoped-vmem must hold the
-    # double-buffered in/out set (v5e physical VMEM is 128 MiB)
+    # double-buffered in/out set (v5e physical VMEM is 128 MiB). The limit
+    # scales with the paired-block bytes (measured: 4 MiB blocks need the
+    # 100 MiB ceiling).
     params = {}
     if not interpret:
-        mib = 32 * (1 << max(0, k_pairs - 1))
+        block_mib = max(1, ((1 << k_pairs) * tile_rows * C * 4) >> 20)
+        # 112 MiB ceiling of v5e's 128 MiB physical VMEM: the merged-group
+        # window pass measured 100.04 MiB of stack at 4 MiB blocks
         params["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=min(mib, 100) * 1024 * 1024)
+            vmem_limit_bytes=min(32 * block_mib, 112) * 1024 * 1024)
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=grid,

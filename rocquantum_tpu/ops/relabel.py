@@ -41,10 +41,14 @@ class KernelPass:
     gate list) applies at the physical bit(s) ``positions[k]`` (a 1-tuple
     for 1q gates, (control, target) for CNOT). ``pair_bits`` are the
     out-of-window bits this pass reaches via block pairing (up to
-    pallas_sv.MAX_PAIR_BITS; each doubles the kernel's VMEM block)."""
+    pallas_sv.max_pair_bits_for(geometry); each doubles the kernel's VMEM
+    block). ``geometry`` is the (col_qubits, tile_rows_log2) the pass runs
+    at (None = the default pallas_sv geometry); the tall geometry trades
+    window width for pair capacity — the CNOT-chain lever."""
     gate_idx: Tuple[int, ...]
     positions: Tuple[Tuple[int, ...], ...]
     pair_bits: Tuple[int, ...] = ()
+    geometry: Tuple[int, int] = None
 
     @property
     def pair_bit(self) -> int:
@@ -151,7 +155,7 @@ MAX_ROTATION_QUBITS = 29  # above this, rotation temps exceed 16 GiB HBM:
                           # n=30), so plans go pair-bit-only instead
 
 
-def _items_to_plan(supports, items) -> List[object]:
+def _items_to_plan(supports, items, geometry=None) -> List[object]:
     """Rebuild KernelPass objects (with positions) from the native
     scheduler's compact records."""
     plan: List[object] = []
@@ -160,7 +164,8 @@ def _items_to_plan(supports, items) -> List[object]:
         plan.append(KernelPass(
             gate_idx=idx,
             positions=tuple(supports[i] for i in idx),
-            pair_bits=tuple(pairs)))
+            pair_bits=tuple(pairs),
+            geometry=geometry))
     return plan
 
 
@@ -169,7 +174,8 @@ def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
                     allow_rotations: bool = None,
                     max_pairs: int = None,
                     free: Sequence[bool] = None,
-                    anchors: Sequence[Tuple[int, ...]] = None
+                    anchors: Sequence[Tuple[int, ...]] = None,
+                    geometry: Tuple[int, int] = None
                     ) -> List[object]:
     """Schedule gates (1q or 2q, given by their qubit ``supports``) into
     KernelPass items covering ALL n qubits.
@@ -221,11 +227,16 @@ def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
             f"a gate has more out-of-window anchored qubits than max_pairs="
             f"{max_pairs} at reach={reach}: {supports}")
 
-    from ._native_planner import plan_layer_native
-    native = plan_layer_native(n, supports, reach, max_pairs,
-                               anchors=anchors)
-    if native is not None:
-        return _items_to_plan(supports, native)
+    from .pallas_sv import MAX_PAIR_GROUPS, _pair_groups
+
+    if max_pairs <= MAX_PAIR_GROUPS:
+        # <= 3 bits can never exceed 3 contiguous runs: the native
+        # scheduler (which doesn't know the group constraint) is safe
+        from ._native_planner import plan_layer_native
+        native = plan_layer_native(n, supports, reach, max_pairs,
+                                   anchors=anchors)
+        if native is not None:
+            return _items_to_plan(supports, native, geometry=geometry)
 
     pending = list(range(len(supports)))  # gate indices, original order
 
@@ -260,6 +271,15 @@ def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
                             for q in anchors[i] if q >= reach} - pairs)
             best, best_take = None, take
             for p in cands:
+                cand = sorted(pairs | {p})
+                gs = _pair_groups(cand)
+                if len(gs) > MAX_PAIR_GROUPS:
+                    continue  # would exceed the contiguous-run rank limit
+                if len(gs) > 1 and len(cand) > 5:
+                    # multi-group blocks unroll 2^k tile refs in-kernel;
+                    # only a SINGLE contiguous run merges into the tile
+                    # rows (O(gates) body) at larger k
+                    continue
                 t = scan(pairs | {p})
                 if len(t) > len(best_take):
                     best, best_take = p, t
@@ -274,7 +294,8 @@ def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
         plan.append(KernelPass(
             gate_idx=tuple(take),
             positions=tuple(supports[i] for i in take),
-            pair_bits=tuple(sorted(used))))
+            pair_bits=tuple(sorted(used)),
+            geometry=geometry))
         taken_set = set(take)
         pending = [i for i in pending if i not in taken_set]
     return plan
@@ -324,5 +345,7 @@ def execute_plan(re: jnp.ndarray, im: jnp.ndarray, plan: List[object],
             re, im = apply_fused_layer(re, im, specs, gm,
                                        pair_bits=item.pair_bits,
                                        real_flags=flags,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       geometry=getattr(item, "geometry",
+                                                        None))
     return re, im

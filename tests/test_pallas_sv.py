@@ -542,3 +542,211 @@ def test_qft_fuses_to_one_kernel_pass_and_matches(monkeypatch):
     np.testing.assert_allclose(np.asarray(jnp.imag(with_pallas)),
                                np.asarray(jnp.imag(plain)), atol=3e-6)
     clear_cache()
+
+
+def test_tall_geometry_five_pair_bits_one_group():
+    # tall geometry (col=10, tile=5): 4x smaller tiles buy 5 pair bits per
+    # pass; a contiguous run shares ONE size-32 block axis (rank-7 view)
+    from rocquantum_tpu.ops.pallas_sv import (TALL_GEOMETRY,
+                                              max_pair_bits_for)
+    assert max_pair_bits_for(*TALL_GEOMETRY) == 5
+    n = 22
+    state = rand_state(n, 91)
+    eye = np.eye(2, dtype=np.complex64)
+    # limit = 15 at tall geometry; chain over the paired run 15..19
+    specs = [("U", 14), ("U", 15), ("U", 16), ("U", 17), ("U", 18),
+             ("U", 19), ("CNOT", 14, 15), ("CNOT", 15, 16),
+             ("CNOT", 16, 17), ("CNOT", 17, 18), ("CNOT", 18, 19),
+             ("CNOT", 21, 3)]    # free (out-of-window, unpaired) control
+    mats = [_ry(0.1 * (i + 1)) for i in range(6)] + [eye] * 6
+    expected = reference_apply_specs(state, specs, mats)
+    re = jnp.real(jnp.asarray(state))
+    im = jnp.imag(jnp.asarray(state))
+    re, im = apply_fused_layer(re, im, specs,
+                               jnp.asarray(pack_gate_mats(mats)),
+                               pair_bits=(15, 16, 17, 18, 19),
+                               geometry=(10, 5), interpret=True)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_two_groups_mixed_sizes():
+    # two contiguous runs: {17,18} + {20}: two block axes (sizes 4 and 2)
+    n = 22
+    state = rand_state(n, 92)
+    eye = np.eye(2, dtype=np.complex64)
+    specs = [("U", 17), ("U", 18), ("U", 20), ("CNOT", 17, 18),
+             ("CNOT", 18, 20), ("CNOT", 20, 5)]
+    mats = [_ry(0.3), np.asarray(g.H), _ry(0.8)] + [eye] * 3
+    expected = reference_apply_specs(state, specs, mats)
+    re = jnp.real(jnp.asarray(state))
+    im = jnp.imag(jnp.asarray(state))
+    re, im = apply_fused_layer(re, im, specs,
+                               jnp.asarray(pack_gate_mats(mats)),
+                               pair_bits=(17, 18, 20), interpret=True)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_group_count_and_capacity_limits():
+    from rocquantum_tpu.ops.pallas_sv import MAX_PAIR_GROUPS
+    n = 26
+    state = rand_state(n, 3)
+    re = jnp.real(jnp.asarray(state))
+    im = jnp.imag(jnp.asarray(state))
+    eye = np.eye(2, dtype=np.complex64)
+    # 4 non-contiguous bits = 4 groups > MAX_PAIR_GROUPS
+    specs = [("U", 17), ("U", 19), ("U", 21), ("U", 23)]
+    mats = jnp.asarray(pack_gate_mats([eye] * 4))
+    with pytest.raises(ValueError):
+        apply_fused_layer(re, im, specs, mats,
+                          pair_bits=(17, 19, 21, 23), interpret=True)
+
+
+def test_ansatz_layer_selects_tall_geometry_and_matches(monkeypatch):
+    """At n=21 the RY+CNOT-ring layer's default-geometry plan needs >2
+    passes, so _run_pallas_specs must pick the tall-geometry plan (fewer
+    passes) and still match the dense engine end-to-end."""
+    monkeypatch.setenv("ROCQ_PALLAS_INTERPRET", "1")
+    import jax
+    from rocquantum_tpu.compiler.interpreter import clear_cache, execute
+    from rocquantum_tpu.compiler.ir import CircuitIR
+    from rocquantum_tpu.ops import statevec as sv
+    from rocquantum_tpu.ops.relabel import plan_full_layer
+    from rocquantum_tpu.ops.pallas_sv import (TALL_GEOMETRY,
+                                              max_kernel_qubit,
+                                              max_pair_bits_for)
+
+    # plan shapes at n=24 (where the chain spans 7+ high targets): the
+    # tall plan is strictly shorter than the default-geometry plan
+    def ring(n):
+        ir = CircuitIR(n)
+        for q in range(n):
+            ir.add("RY", [q], params=[0.1 * (q + 1)])
+        for q in range(n):
+            ir.add("CNOT", [(q + 1) % n], controls=[q])
+        return ir
+
+    def plans(n):
+        ir = ring(n)
+        supports = [tuple(op.controls) + tuple(op.targets) if op.controls
+                    else tuple(op.targets) for op in ir.ops]
+        kinds = ["U"] * n + ["CNOT"] * n
+
+        def mk_anchors(reach):
+            return [(s[1],) if k == "CNOT" and s[0] >= reach else tuple(s)
+                    for k, s in zip(kinds, supports)]
+
+        reach_def = max_kernel_qubit(n) + 1
+        tcol, ttile = TALL_GEOMETRY
+        reach_tall = min(tcol, n) + min(ttile, n - min(tcol, n))
+        p_def = plan_full_layer(n, supports, reach_def,
+                                anchors=mk_anchors(reach_def))
+        p_tall = plan_full_layer(n, supports, reach_tall,
+                                 anchors=mk_anchors(reach_tall),
+                                 max_pairs=max_pair_bits_for(tcol, ttile),
+                                 geometry=TALL_GEOMETRY)
+        return p_def, p_tall
+
+    p_def, p_tall = plans(24)
+    assert len(p_tall) < len(p_def), (len(p_tall), len(p_def))
+
+    # end-to-end numeric equivalence through execute() (n=21 keeps the
+    # interpret-mode run fast; the multi-pass pallas path still engages)
+    n = 21
+    ir = ring(n)
+    clear_cache()
+    with_pallas = jax.jit(lambda: execute(
+        sv.init_state(n), list(ir.ops), None))()
+    plain = jax.jit(lambda: execute(
+        sv.init_state(n), list(ir.ops), None, use_pallas=False))()
+    np.testing.assert_allclose(np.asarray(jnp.real(with_pallas)),
+                               np.asarray(jnp.real(plain)), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(jnp.imag(with_pallas)),
+                               np.asarray(jnp.imag(plain)), atol=3e-6)
+    clear_cache()
+
+
+def test_merged_group_kernel_thin_geometry():
+    # THIN geometry (col=8, tile=3): 9 contiguous pair bits merge into the
+    # tile rows (one (2^9 * 8, 256) tile) — the 2-passes-per-ansatz-layer
+    # regime. Mixed specs: window RYs, chain CNOTs into the group, a free
+    # control, and a D2 on a free bit.
+    from rocquantum_tpu.ops.pallas_sv import THIN_GEOMETRY
+    n = 23
+    state = rand_state(n, 13)
+    eye = np.eye(2, dtype=np.complex64)
+    d2 = np.diag([1.0, np.exp(0.4j)]).astype(np.complex64)  # CPHASE-like
+    group = tuple(range(11, 20))   # limit=11 at (8,3)
+    specs = ([("U", q) for q in (0, 5, 9, 10)]
+             + [("U", q) for q in group]
+             + [("CNOT", 10, 11), ("CNOT", 11, 12), ("CNOT", 18, 19)]
+             + [("CNOT", 21, 3)]          # free control -> lane target
+             + [("CNOT", 22, 15)])        # free control -> group target
+    mats = [_ry(0.1 * (i + 1)) for i in range(4 + len(group))] + [eye] * 5
+    expected = reference_apply_specs(state, specs, mats)
+    re = jnp.real(jnp.asarray(state))
+    im = jnp.imag(jnp.asarray(state))
+    re, im = apply_fused_layer(re, im, specs,
+                               jnp.asarray(pack_gate_mats(mats)),
+                               pair_bits=group, geometry=THIN_GEOMETRY,
+                               interpret=True)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_merged_group_kernel_d2_free_and_group_bits():
+    from rocquantum_tpu.ops.pallas_sv import THIN_GEOMETRY
+    from rocquantum_tpu.ops import statevec as svv
+    n = 22
+    state = rand_state(n, 14)
+    group = tuple(range(11, 16))
+    # D2 diag gate packed as the 2x2 of diagonal entries d[bit_a, bit_b]
+    ph = np.exp(0.7j)
+    d2_pack = np.array([[1, 1], [1, ph]], np.complex64)
+    specs = [("U", 12), ("D2", 20, 13), ("D2", 12, 2)]
+    mats = [_ry(0.5), d2_pack, d2_pack]
+    # reference: controlled-phase(a, b)
+    out = jnp.asarray(state)
+    out = sv.apply_matrix(out, jnp.asarray(_ry(0.5), jnp.complex64), [12])
+    cp = jnp.asarray(np.diag([1, 1, 1, ph]).astype(np.complex64))
+    out = sv.apply_matrix(out, cp, [13, 20])
+    out = sv.apply_matrix(out, cp, [2, 12])
+    expected = np.asarray(out)
+    re = jnp.real(jnp.asarray(state))
+    im = jnp.imag(jnp.asarray(state))
+    re, im = apply_fused_layer(re, im, specs,
+                               jnp.asarray(pack_gate_mats(mats)),
+                               pair_bits=group, geometry=THIN_GEOMETRY,
+                               interpret=True)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_merged_kernel_composes_same_bit_runs():
+    # multi-layer body: repeated RYs on the same group/row bits must
+    # compose into one slice gate each (and flush correctly around
+    # non-commuting CNOTs/D2s)
+    from rocquantum_tpu.ops.pallas_sv import TALL_GEOMETRY
+    n = 22
+    state = rand_state(n, 44)
+    eye = np.eye(2, dtype=np.complex64)
+    group = tuple(range(15, 20))
+    specs, mats = [], []
+    for layer in range(3):
+        for i, q in enumerate((15, 16, 17, 18, 19, 12, 3)):
+            specs.append(("U", q))
+            mats.append(_ry(0.1 * (layer * 7 + i + 1)))
+        specs.append(("CNOT", 14, 16))   # forces a flush of bit 16
+        mats.append(eye)
+        specs.append(("CNOT", 21, 18))   # free control -> flush of 18
+        mats.append(eye)
+    expected = reference_apply_specs(state, specs, mats)
+    re = jnp.real(jnp.asarray(state))
+    im = jnp.imag(jnp.asarray(state))
+    re, im = apply_fused_layer(re, im, specs,
+                               jnp.asarray(pack_gate_mats(mats)),
+                               pair_bits=group, geometry=TALL_GEOMETRY,
+                               interpret=True)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
