@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .qasm_parser import Cond, DynamicProgram, Measure, While
+from .qasm_parser import Cond, DynamicProgram, Measure, Switch, While
 from .interpreter import apply_op
 
 
@@ -36,15 +36,21 @@ def _apply_conditional(state_b: jnp.ndarray, flags: np.ndarray,
     return jax.jit(jax.vmap(one))(state_b, jnp.asarray(flags))
 
 
-def _flags_for(clbit, value, clbits: np.ndarray) -> np.ndarray:
-    """Per-shot condition mask: bit compare, or whole-register compare when
-    ``clbit`` is None (OpenQASM 2.0 'if (c == v)' semantics)."""
+def _reg_values(clbit, clbits: np.ndarray) -> np.ndarray:
+    """Per-shot classical value: one bit, or the packed register
+    (c[0] = LSB) when ``clbit`` is None."""
     if clbit is None:
         reg = np.zeros(clbits.shape[1], dtype=np.int64)
         for b in range(clbits.shape[0]):
             reg |= clbits[b] << b
-        return reg == value
-    return clbits[clbit] == value
+        return reg
+    return clbits[clbit]
+
+
+def _flags_for(clbit, value, clbits: np.ndarray) -> np.ndarray:
+    """Per-shot condition mask: bit compare, or whole-register compare when
+    ``clbit`` is None (OpenQASM 2.0 'if (c == v)' semantics)."""
+    return _reg_values(clbit, clbits) == value
 
 
 def _masked_measure(circ, clbits: np.ndarray, item: Measure,
@@ -90,6 +96,28 @@ def _exec_items(items, circ, clbits: np.ndarray,
                 flags = flags & mask
             if item.ops and flags.any():
                 circ._state = _apply_conditional(circ.state, flags, item.ops)
+        elif isinstance(item, Switch):
+            flush_pend()
+            circ.flush()
+            # arm bodies may measure/branch/loop: each runs via _exec_items
+            # with the mask of shots it matched; values are read ONCE up
+            # front so arm-body measurements cannot re-route later arms
+            vals = _reg_values(item.clbit, clbits).copy()
+            matched = np.zeros(clbits.shape[1], dtype=bool)
+            for case_vals, arm_items in item.cases:
+                flags = np.isin(vals, case_vals) & ~matched
+                matched |= flags
+                if mask is not None:
+                    flags = flags & mask
+                if arm_items and flags.any():
+                    _exec_items(arm_items, circ, clbits, flags)
+                    circ.flush()
+            flags = ~matched
+            if mask is not None:
+                flags = flags & mask
+            if item.default and flags.any():
+                _exec_items(item.default, circ, clbits, flags)
+                circ.flush()
         elif isinstance(item, While):
             flush_pend()
             circ.flush()

@@ -18,7 +18,13 @@ Covers the subset emitted by compiler/qasm.py plus, beyond the reference
 * ``def`` subroutines — ``def name(qubit a, float x) { ... }`` — bodies
   may contain gates, measurements, ``if``/``for``/``while``; expanded at
   call sites (``name(q[0], 0.5);``) with qubit and classical argument
-  substitution;
+  substitution; ``-> bit`` subroutines end with ``return measure <q>;``
+  and are called captured (``c[k] = name(...);`` — the return lowers to a
+  measurement into ``c[k]``);
+* ``switch`` statements — ``switch (c) { case 1 { } case 2, 3 { }
+  default { } }`` (also ``switch (c[k])``) — arm bodies are full
+  statement blocks (may measure/branch/loop), executed shot-batched with
+  one mask per matched arm;
 * gate modifiers — ``inv @``, ``pow(k) @`` (integer k), ``ctrl(n) @``,
   ``negctrl @`` — composable, including over user-defined gates.
 
@@ -62,8 +68,15 @@ _WHILE_RE = re.compile(
     r"^while\s*\(\s*c(?:\[(?P<bit>\d+)\])?\s*==\s*(?P<val>\d+)\s*\)\s*\{")
 _DEF_RE = re.compile(
     r"^def\s+(?P<name>[a-zA-Z_]\w*)\s*\((?P<args>[^)]*)\)\s*"
-    r"(?:->\s*[\w\[\]]+\s*)?\{")
+    r"(?:->\s*(?P<ret>[\w\[\]]+)\s*)?\{")
 _DEFCALL_RE = re.compile(r"^(?P<name>[a-zA-Z_]\w*)\s*\((?P<args>[^)]*)\)\s*;$")
+_DEFRETCALL_RE = re.compile(
+    r"^c\[(?P<c>[^\]]+)\]\s*=\s*(?P<name>[a-zA-Z_]\w*)\s*"
+    r"\((?P<args>[^)]*)\)\s*;$")
+_RETURN_RE = re.compile(r"^return\s+measure\s+(?P<q>\S+?)\s*;$")
+_SWITCH_RE = re.compile(r"^switch\s*\(\s*c(?:\[(?P<bit>\d+)\])?\s*\)\s*\{$")
+_CASE_RE = re.compile(r"^case\s+(?P<vals>\d+(?:\s*,\s*\d+)*)\s*\{$")
+_DEFAULT_RE = re.compile(r"^default\s*\{$")
 
 # Bounded unrolling for shot-batched ``while`` execution: each iteration
 # re-evaluates the per-shot condition mask; shots whose condition went
@@ -126,6 +139,18 @@ class While:
 
 
 @dataclasses.dataclass
+class Switch:
+    """OpenQASM 3 ``switch (c) { case v, ... { } default { } }``: the
+    first case whose value list contains the register (or single bit when
+    ``clbit`` is set) value runs; ``default`` (may be empty) catches the
+    rest. Executed shot-batched: every arm runs once with the mask of
+    shots it matched."""
+    clbit: Optional[int]
+    cases: List[Tuple[Tuple[int, ...], List[object]]]
+    default: List[object]
+
+
+@dataclasses.dataclass
 class GateDef:
     params: List[str]
     qargs: List[str]
@@ -135,9 +160,14 @@ class GateDef:
 @dataclasses.dataclass
 class SubDef:
     """An OpenQASM 3 ``def`` subroutine: typed args (kind "q" for qubit,
-    "c" for classical) + raw body statements, expanded at call sites."""
+    "c" for classical) + raw body statements, expanded at call sites.
+    ``returns`` marks a ``-> bit`` subroutine whose body ends with
+    ``return measure <qubit>;`` — the call site must capture it
+    (``c[k] = name(...);``), and the return lowers to a measurement into
+    that classical bit."""
     args: List[Tuple[str, str]]  # (kind, name)
     body: List[str]
+    returns: bool = False
 
 
 @dataclasses.dataclass
@@ -458,6 +488,41 @@ def _parse_def_args(text: str) -> List[Tuple[str, str]]:
     return out
 
 
+def _expand_def_call(sub: SubDef, name: str, args_text: str, st: _ProgState,
+                     env: Dict[str, float],
+                     ret_clbit: Optional[int] = None) -> None:
+    """Inline a ``def`` call: bind classical args into the environment,
+    substitute qubit formals with ``q[idx]`` tokens, rewrite a trailing
+    ``return measure <qubit>;`` into a measurement targeting ``ret_clbit``,
+    then parse the expanded body in place."""
+    call_args = [a.strip() for a in args_text.split(",") if a.strip()]
+    if len(call_args) != len(sub.args):
+        raise ValueError(f"{name} expects {len(sub.args)} args, got "
+                         f"{len(call_args)}")
+    sub_env = dict(env)
+    qmap: Dict[str, int] = {}
+    for (kind, formal), actual in zip(sub.args, call_args):
+        if kind == "q":
+            qs = _qubits_in(actual, env)
+            if len(qs) != 1:
+                raise ValueError(
+                    f"subroutine qubit arg must be one q[i]: {actual!r}")
+            qmap[formal] = qs[0]
+        else:
+            sub_env[formal] = _eval_param(actual, env)
+    body = []
+    for ln in sub.body:
+        for formal, idx in qmap.items():
+            ln = re.sub(rf"\b{re.escape(formal)}\b", f"q[{idx}]", ln)
+        rm = _RETURN_RE.match(ln)
+        if rm is not None:
+            if ret_clbit is None:
+                raise ValueError(f"{name}: 'return' outside a captured call")
+            ln = f"c[{ret_clbit}] = measure {rm.group('q')};"
+        body.append(ln)
+    _parse_stmts(body, st, sub_env)
+
+
 def _parse_stmts(lines: List[str], st: _ProgState,
                  env: Dict[str, float]) -> None:
     i = 0
@@ -504,8 +569,41 @@ def _parse_stmts(lines: List[str], st: _ProgState,
             if rest:
                 lines.insert(i, rest)
             body, i = _collect_block(lines, i)
+            returns = m.group("ret") is not None
+            if returns and not (body and _RETURN_RE.match(body[-1])):
+                raise ValueError(
+                    f"def {m.group('name')} declares a return type but its "
+                    "body does not end with 'return measure <qubit>;'")
             st.defs[m.group("name").lower()] = SubDef(
-                _parse_def_args(m.group("args")), body)
+                _parse_def_args(m.group("args")), body, returns=returns)
+            continue
+        m = _SWITCH_RE.match(line)
+        if m:
+            body, i = _collect_block(lines, i)
+            bit = int(m.group("bit")) if m.group("bit") is not None else None
+            cases: List[Tuple[Tuple[int, ...], List[object]]] = []
+            default: List[object] = []
+            j = 0
+            while j < len(body):
+                hdr = body[j]
+                j += 1
+                cm = _CASE_RE.match(hdr)
+                dm = _DEFAULT_RE.match(hdr) if cm is None else None
+                if cm is None and dm is None:
+                    raise ValueError(
+                        f"expected 'case <values> {{' or 'default {{' in "
+                        f"switch, got {hdr!r}")
+                arm, j = _collect_block(body, j)
+                saved = st.items
+                st.items = []
+                _parse_stmts(list(arm), st, env)
+                arm_items, st.items = st.items, saved
+                if cm is not None:
+                    vals = tuple(int(v) for v in cm.group("vals").split(","))
+                    cases.append((vals, arm_items))
+                else:
+                    default = arm_items
+            st.items.append(Switch(bit, cases, default))
             continue
         m = _WHILE_RE.match(line)
         if m:
@@ -550,34 +648,25 @@ def _parse_stmts(lines: List[str], st: _ProgState,
                 cond_ops.extend(ops)
             st.items.append(Cond(bit, value, cond_ops))
             continue
+        m = _DEFRETCALL_RE.match(line)
+        if m and m.group("name").lower() in st.defs:
+            sub = st.defs[m.group("name").lower()]
+            if not sub.returns:
+                raise ValueError(
+                    f"{m.group('name')} has no return value to assign")
+            dest = int(_eval_param(m.group("c"), env))
+            st.num_clbits = max(st.num_clbits, dest + 1)
+            _expand_def_call(sub, m.group("name"), m.group("args"), st, env,
+                             ret_clbit=dest)
+            continue
         m = _DEFCALL_RE.match(line)
         if m and m.group("name").lower() in st.defs:
             sub = st.defs[m.group("name").lower()]
-            call_args = [a.strip() for a in m.group("args").split(",")
-                         if a.strip()]
-            if len(call_args) != len(sub.args):
+            if sub.returns:
                 raise ValueError(
-                    f"{m.group('name')} expects {len(sub.args)} args, got "
-                    f"{len(call_args)}")
-            sub_env = dict(env)
-            qmap: Dict[str, int] = {}
-            for (kind, name), actual in zip(sub.args, call_args):
-                if kind == "q":
-                    qs = _qubits_in(actual, env)
-                    if len(qs) != 1:
-                        raise ValueError(
-                            f"subroutine qubit arg must be one q[i]: "
-                            f"{actual!r}")
-                    qmap[name] = qs[0]
-                else:
-                    sub_env[name] = _eval_param(actual, env)
-            # substitute qubit formal names with q[idx] tokens in the body
-            body = []
-            for ln in sub.body:
-                for formal, idx in qmap.items():
-                    ln = re.sub(rf"\b{re.escape(formal)}\b", f"q[{idx}]", ln)
-                body.append(ln)
-            _parse_stmts(body, st, sub_env)
+                    f"{m.group('name')} returns a bit; capture it with "
+                    f"'c[k] = {m.group('name')}(...);'")
+            _expand_def_call(sub, m.group("name"), m.group("args"), st, env)
             continue
         ops = _parse_gate_use(line, st.macros, env)
         if ops is not None:

@@ -464,3 +464,137 @@ class TestWhileMaxIterWarning:
         with _w.catch_warnings():
             _w.simplefilter("error", RuntimeWarning)
             run_dynamic(prog, shots=4, seed=0)
+
+
+class TestSwitch:
+    """OpenQASM 3 ``switch`` statements, shot-batched (reference scope:
+    classical control ran host-side per shot,
+    examples/dynamic_circuit_example.py)."""
+
+    def test_switch_parses(self):
+        from rocquantum_tpu.compiler.qasm_parser import Switch
+        qasm = """
+        OPENQASM 3.0;
+        qubit[2] q;
+        bit[2] c;
+        h q[0];
+        c[0] = measure q[0];
+        c[1] = measure q[1];
+        switch (c) {
+            case 1 { x q[1]; }
+            case 2, 3 { z q[1]; }
+            default { }
+        }
+        """
+        prog = parse_qasm3_program(qasm)
+        sw = prog.items[-1]
+        assert isinstance(sw, Switch)
+        assert sw.clbit is None
+        assert [vals for vals, _ in sw.cases] == [(1,), (2, 3)]
+        assert sw.default == []
+
+    def test_switch_register_routes_arms(self):
+        # q0 measured in superposition: c in {0, 1}; case 1 flips q1,
+        # default (c==0) leaves it — so afterwards q1 == c[0] always,
+        # and measuring q1 equals c[0] per shot
+        qasm = """
+        OPENQASM 3.0;
+        qubit[2] q;
+        bit[2] c;
+        h q[0];
+        c[0] = measure q[0];
+        switch (c) {
+            case 1 { x q[1]; }
+            default { }
+        }
+        c[1] = measure q[1];
+        """
+        prog = parse_qasm3_program(qasm)
+        counts = run_dynamic(prog, shots=64, seed=3)
+        # measured over all qubits: bitstring q1 q0 — equal bits always
+        assert set(counts) <= {"00", "11"}
+        assert sum(counts.values()) == 64
+
+    def test_switch_single_bit_and_case_priority(self):
+        # switch (c[0]): first matching case wins; arm bodies may measure
+        qasm = """
+        OPENQASM 3.0;
+        qubit[2] q;
+        bit[2] c;
+        x q[0];
+        c[0] = measure q[0];
+        switch (c[0]) {
+            case 1 { x q[1]; c[1] = measure q[1]; }
+            case 1, 0 { }
+        }
+        """
+        prog = parse_qasm3_program(qasm)
+        counts = run_dynamic(prog, shots=16, seed=0)
+        assert counts == {"11": 16}
+
+    def test_switch_bad_arm_raises(self):
+        qasm = """
+        OPENQASM 3.0;
+        qubit[1] q;
+        bit[1] c;
+        switch (c) { x q[0]; }
+        """
+        with pytest.raises(ValueError, match="case"):
+            parse_qasm3_program(qasm)
+
+
+class TestDefReturns:
+    def test_def_return_measure_captures(self):
+        # def -> bit: return measure lowers to a measurement into the
+        # capturing classical bit
+        qasm = """
+        OPENQASM 3.0;
+        qubit[2] q;
+        bit[2] c;
+        def flip_and_read(qubit a) -> bit {
+            x a;
+            return measure a;
+        }
+        c[1] = flip_and_read(q[0]);
+        """
+        prog = parse_qasm3_program(qasm)
+        meas = [it for it in prog.items if isinstance(it, Measure)]
+        assert len(meas) == 1 and meas[0].qubit == 0 and meas[0].clbit == 1
+        counts = run_dynamic(prog, shots=8, seed=0)
+        assert counts == {"01": 8}
+
+    def test_def_return_feeds_conditional(self):
+        qasm = """
+        OPENQASM 3.0;
+        qubit[2] q;
+        bit[1] c;
+        def coin(qubit a) -> bit {
+            h a;
+            return measure a;
+        }
+        c[0] = coin(q[0]);
+        if (c[0] == 1) { x q[1]; }
+        """
+        prog = parse_qasm3_program(qasm)
+        counts = run_dynamic(prog, shots=64, seed=5)
+        assert set(counts) <= {"00", "11"}
+
+    def test_uncaptured_return_call_raises(self):
+        qasm = """
+        OPENQASM 3.0;
+        qubit[1] q;
+        bit[1] c;
+        def coin(qubit a) -> bit { h a; return measure a; }
+        coin(q[0]);
+        """
+        with pytest.raises(ValueError, match="capture"):
+            parse_qasm3_program(qasm)
+
+    def test_missing_return_in_typed_def_raises(self):
+        qasm = """
+        OPENQASM 3.0;
+        qubit[1] q;
+        def coin(qubit a) -> bit { h a; }
+        """
+        with pytest.raises(ValueError, match="return measure"):
+            parse_qasm3_program(qasm)
