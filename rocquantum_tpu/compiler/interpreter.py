@@ -67,6 +67,12 @@ def _split_op(op: GateOp):
 def _base_matrix(op: GateOp, params: Optional[jnp.ndarray]) -> jnp.ndarray:
     """The (uncontrolled) unitary of ``op`` as a traced 2^m x 2^m array."""
     base, _, targets = _split_op(op)
+    if base == "D2M":
+        # matrix holds diagonal VALUES d[bit_t0, bit_t1], not a gate matrix
+        m = jnp.asarray(op.matrix, config.complex_dtype())
+        if op.is_adjoint:
+            m = jnp.conj(m)
+        return jnp.diag(jnp.stack([m[0, 0], m[1, 0], m[0, 1], m[1, 1]]))
     if op.matrix is not None:
         mat = jnp.asarray(op.matrix, dtype=config.complex_dtype())
     else:
@@ -124,6 +130,19 @@ def _apply_diag_block(state: jnp.ndarray, block: DiagBlock,
     n = sv.num_qubits_of(state)
     for op in block.ops:
         base, controls, targets = _split_op(op)
+        if base == "D2M":
+            m = jnp.asarray(op.matrix, config.complex_dtype())
+            if op.is_adjoint:
+                m = jnp.conj(m)
+            # d2 axes follow DESCENDING qubit order below
+            d2 = m if targets[0] > targets[1] else m.T
+            desc = sorted(targets, reverse=True)
+            dims = sv._exposed_view_dims(n, desc)
+            bshape = [1] * len(dims)
+            bshape[1] = bshape[3] = 2
+            state = (state.reshape(dims) * d2.reshape(bshape)).reshape(
+                state.shape)
+            continue
         if base == "RZZ":
             # two-target diagonal: factor d[b0, b1] over both target axes
             (theta,) = _resolve_params(op, params)
@@ -184,7 +203,10 @@ _REAL_1Q = {"X", "H", "RY", "Z", "I", "ID"}
 
 def _has_real_matrix(op: GateOp) -> bool:
     if op.matrix is not None:
-        return bool(np.allclose(np.imag(np.asarray(op.matrix)), 0.0))
+        try:
+            return bool(np.allclose(np.imag(np.asarray(op.matrix)), 0.0))
+        except Exception:  # traced matrix (adjoint-grad): unknown -> False
+            return False
     return op.name.upper() in _REAL_1Q
 
 
@@ -203,7 +225,17 @@ def pallas_block_specs(block: PallasBlock, params):
     ones = jnp.ones((2,), config.complex_dtype())
     for op in block.ops:
         base, controls, targets = _split_op(op)
-        if base == "X" and len(controls) == 1 and op.matrix is None:
+        if base == "D2M":
+            # generic 2q diagonal: matrix holds d[bit_t0, bit_t1] directly
+            m = jnp.asarray(op.matrix, config.complex_dtype())
+            if op.is_adjoint:
+                m = jnp.conj(m)
+            kinds.append("D2")
+            supports.append((targets[0], targets[1]))
+            mats.append(jnp.stack([jnp.real(m), jnp.imag(m)], axis=-1)
+                        .astype(jnp.float32))
+            real_flags.append(_has_real_matrix(op))
+        elif base == "X" and len(controls) == 1 and op.matrix is None:
             kinds.append("CNOT")
             supports.append((controls[0], targets[0]))
             mats.append(eye)  # placeholder, unused by the CNOT path
@@ -242,6 +274,18 @@ def pallas_block_specs(block: PallasBlock, params):
             mats.append(jnp.stack([jnp.real(m), jnp.imag(m)], axis=-1)
                         .astype(jnp.float32))
             real_flags.append(False)
+        elif len(controls) == 1 and len(targets) == 1:
+            # controlled dense 1q (CRX/CRY/controlled-matrix/Kraus-channel
+            # factor): kind "CU" — the 2x2 applies where the control bit is
+            # 1; an out-of-window control is FREE (grid/pair-resolved), so
+            # only the target anchors (the reference runs these through
+            # apply_controlled_matrix, bindings.cpp:429)
+            m = _base_matrix(op, params)
+            kinds.append("CU")
+            supports.append((controls[0], targets[0]))
+            mats.append(jnp.stack([jnp.real(m), jnp.imag(m)], axis=-1)
+                        .astype(jnp.float32))
+            real_flags.append(_has_real_matrix(op))
         else:
             m = _base_matrix(op, params)
             kinds.append("U")
@@ -260,7 +304,7 @@ def _spec_anchors(kinds, supports, limit):
     for k, s in zip(kinds, supports):
         if k == "D2":
             anchors.append(())
-        elif k == "CNOT" and s[0] >= limit:
+        elif k in ("CNOT", "CU") and s[0] >= limit:
             anchors.append((s[1],))
         else:
             anchors.append(tuple(s))

@@ -94,20 +94,32 @@ def fuse_pallas_runs(items: List[object], max_qubit: int,
     def _sup(op):
         """Qubit support of an eligible op (2q forms: (control, target))."""
         name = op.name.upper()
-        if name == "RZZ":
+        if name in ("RZZ", "D2M"):
             return (op.targets[0], op.targets[1])
-        if name in ("CNOT", "CX", "CZ", "CRZ"):
+        if name in ("CNOT", "CX", "CZ", "CRZ", "CRX", "CRY"):
             if op.controls:
                 return (op.controls[0], op.targets[0])
             return (op.targets[0], op.targets[1])
-        if op.controls:  # controlled diagonal (P/RZ/... with one control)
+        if op.controls:  # controlled 1q (diagonal -> "D2", dense -> "CU")
             return (op.controls[0], op.targets[0])
         return (op.targets[0],)
 
     def eligible(item):
-        if not isinstance(item, GateOp) or item.matrix is not None:
+        if not isinstance(item, GateOp):
             return False
         name = item.name.upper()
+        if item.matrix is not None:
+            if name == "D2M":  # generic 2q diagonal: rides as "D2"
+                s = _sup(item)
+                return len(s) == 2 and all(q <= max_qubit for q in s)
+            # dense 2x2 matrix gates ride as "U" / "CU" (one control);
+            # traced matrices (adjoint-grad embeds tracers) are fine — the
+            # kernel takes gate matrices as runtime inputs
+            if getattr(item.matrix, "shape", None) != (2, 2):
+                return False
+            if len(item.targets) != 1 or len(item.controls) > 1:
+                return False
+            return all(q <= max_qubit for q in _sup(item))
         if name in ("CNOT", "CX"):
             ok = ((len(item.controls) == 1 and len(item.targets) == 1)
                   or (not item.controls and len(item.targets) == 2))
@@ -120,6 +132,11 @@ def fuse_pallas_runs(items: List[object], max_qubit: int,
             nq = len(item.controls) + len(item.targets)
             return (nq <= 2 and len(s) == nq
                     and all(q <= max_qubit for q in s))
+        if name in ("CRX", "CRY") or (len(item.controls) == 1
+                                      and len(item.targets) == 1):
+            # controlled dense 1q -> kernel kind "CU" (free high controls)
+            s = _sup(item)
+            return len(s) == 2 and all(q <= max_qubit for q in s)
         return (not item.controls and len(item.targets) == 1
                 and name not in ("SWAP_BITS", "SWAP")
                 and item.targets[0] <= max_qubit)
@@ -134,8 +151,11 @@ def fuse_pallas_runs(items: List[object], max_qubit: int,
         def _anchor(op, s):
             if is_diagonal(op):
                 return ()
-            if (op.name.upper() in ("CNOT", "CX") and len(s) == 2
-                    and s[0] >= relabel_reach):
+            # every eligible non-diagonal 2q form is (control, target) —
+            # CNOT/CX and the CU family both resolve an out-of-window
+            # control from the grid/pair position, so only the target
+            # anchors
+            if len(s) == 2 and s[0] >= relabel_reach:
                 return (s[1],)
             return s
 
@@ -206,6 +226,10 @@ _DIAGONAL_NAMES = {"Z", "S", "SDG", "T", "TDG", "RZ", "P", "PHASE",
 
 
 def is_diagonal(op: GateOp) -> bool:
+    if op.name.upper() == "D2M":
+        # generic 2q diagonal: op.matrix holds the 2x2 of diagonal VALUES
+        # d[bit_t0, bit_t1] (diagonal channel superops lower to this)
+        return True
     return (op.matrix is None and op.name.upper() in _DIAGONAL_NAMES)
 
 

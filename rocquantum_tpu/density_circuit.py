@@ -230,22 +230,32 @@ class DensityCircuit(_GateMethods):
                                                   list(ctrl), list(vals),
                                                   adjoint=adj)
                     elif kind == "channel":
-                        # one superoperator matrix per target qubit: rides
-                        # the SAME fused interpreter stream as the gates
-                        # (no drain, no per-Kraus-term passes)
+                        # channels ride the SAME fused interpreter stream as
+                        # the gates: factored into kernel-native ops
+                        # (CNOT/U/CU or one D2 diagonal) when the
+                        # superoperator block-diagonalizes — so a whole
+                        # noise layer fuses into the surrounding Pallas
+                        # passes — else one dense 4x4 per target
                         _, channel, prob, tgt = item
                         ks = dmops.CHANNELS[channel.lower()](prob)
                         s = dmops.kraus_superoperator(ks, xp=np)
                         for q in tgt:
-                            pending2n.append(GateOp(
-                                "UNITARY", (q, q + n), (), (), s))
+                            fops = dmops.superop_kernel_ops(s, q, q + n)
+                            pending2n.extend(fops if fops is not None else
+                                             [GateOp("UNITARY", (q, q + n),
+                                                     (), (), s)])
                     else:  # kraus
                         _, mats, tgt = item
                         ks = [np.frombuffer(b, np.complex128).reshape(shape)
                               for b, shape in mats]
                         s = dmops.kraus_superoperator(ks, xp=np)
-                        pos = tuple(tgt) + tuple(q + n for q in tgt)
-                        pending2n.append(GateOp("UNITARY", pos, (), (), s))
+                        fops = dmops.superop_kernel_ops(
+                            s, tgt[0], tgt[0] + n) if len(tgt) == 1 else None
+                        if fops is not None:
+                            pending2n.extend(fops)
+                        else:
+                            pos = tuple(tgt) + tuple(q + n for q in tgt)
+                            pending2n.append(GateOp("UNITARY", pos, (), (), s))
                 return drain(rho)
 
             fn = jax.jit(run, donate_argnums=(0,))
@@ -287,12 +297,30 @@ class DensityCircuit(_GateMethods):
                 pseudo.extend((row, col))
             elif kind == "channel":
                 _, channel, prob, tgt = item
+                ks = dmops.CHANNELS[channel.lower()](prob)
+                s = dmops.kraus_superoperator(ks, xp=np)
                 for q in tgt:
+                    fops = dmops.superop_kernel_ops(s, q, q + n)
+                    if fops is not None:
+                        # factored channels are ordinary gates/diagonals:
+                        # they ride the locality scheduler (and D2 factors
+                        # are comm-free on global bits) instead of forcing
+                        # a drain + positional Kraus apply
+                        pseudo.extend(fops)
+                        continue
                     idx = len(kraus_table)
                     kraus_table.append(("channel", channel, prob, 1))
                     pseudo.append(GateOp(f"__KRAUS_{idx}__", (q + n, q)))
             else:  # kraus
                 _, mats, tgt = item
+                ks = [np.frombuffer(b, np.complex128).reshape(shape)
+                      for b, shape in mats]
+                s = dmops.kraus_superoperator(ks, xp=np)
+                fops = dmops.superop_kernel_ops(
+                    s, tgt[0], tgt[0] + n) if len(tgt) == 1 else None
+                if fops is not None:
+                    pseudo.extend(fops)
+                    continue
                 idx = len(kraus_table)
                 kraus_table.append(("mats", mats, None, len(tgt)))
                 pseudo.append(GateOp(

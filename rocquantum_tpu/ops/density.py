@@ -156,6 +156,69 @@ def apply_kraus_at(rho2n: jnp.ndarray, kraus_ops: List[jnp.ndarray],
     return sv.apply_matrix(rho2n, s, list(col_pos) + list(row_pos))
 
 
+_CNOT01 = np.zeros((4, 4))
+_CNOT01[[0, 3, 2, 1], [0, 1, 2, 3]] = 1.0  # ctrl = bit0, tgt = bit1
+
+
+def superop_kernel_ops(s, q: int, qn: int):
+    """Factor a 1q-channel superoperator S (4x4 on flat bits (q, qn),
+    q = LSB) into fused-kernel ops instead of one dense 2q matrix:
+
+        S = C . (|0><0|_qn (x) A0  +  |1><1|_qn (x) A1) . C,
+        C = CNOT(ctrl=q, tgt=qn)
+
+    which lowers to  [CNOT, U(q, A0), CU(qn -> q, A1 A0^-1), CNOT]  — all
+    kernel kinds, so a whole channel layer fuses into the SAME single-pass
+    Pallas stream as the gates around it (the dense 4x4 forced one XLA
+    einsum pass per channel; the reference looped Kraus terms + accumulate,
+    hipDensityMat.cpp:23-72). Every S = sum K (x) conj(K) block-
+    diagonalizes this way iff each Kraus term's (K (x) conj(K)) preserves
+    the bit-parity grading — true for all built-in channels. Returns the
+    GateOp list, or None when S doesn't factor (fall back to the dense
+    matrix path)."""
+    from ..compiler.ir import GateOp
+
+    s = np.asarray(s, np.complex128)
+    if s.shape != (4, 4):
+        return None
+    if np.allclose(s, np.diag(np.diag(s)), atol=1e-14):
+        # diagonal superop (phase-flip family): ONE comm-free "D2" masked
+        # multiply — needs no pairing at any qubit and zero collectives
+        # under sharding
+        v = np.diag(s)
+        return [GateOp("D2M", (q, qn), (), (),
+                       np.array([[v[0], v[2]], [v[1], v[3]]]))]
+    m = s.reshape(2, 2, 2, 2).transpose(0, 2, 1, 3).reshape(4, 4)
+    u_, sig, vt = np.linalg.svd(m)
+    if sig[1] < 1e-12 * max(sig[0], 1e-30):
+        # operator-Schmidt rank 1: S = A (x) B — two plain 1q kernel ops
+        # (a unitary channel [single Kraus term])
+        a = u_[:, 0].reshape(2, 2) * np.sqrt(sig[0])
+        b = vt[0].reshape(2, 2) * np.sqrt(sig[0])
+        return [GateOp("UNITARY", (q,), (), (), b),
+                GateOp("UNITARY", (qn,), (), (), a)]
+    sp = _CNOT01 @ s @ _CNOT01
+    scale = max(np.max(np.abs(sp)), 1e-30)
+    eq, df = np.ix_([0, 1], [0, 1]), np.ix_([2, 3], [2, 3])
+    off = max(np.max(np.abs(sp[np.ix_([0, 1], [2, 3])])),
+              np.max(np.abs(sp[np.ix_([2, 3], [0, 1])])))
+    if off > 1e-12 * scale:
+        return None
+    a0, a1 = sp[eq], sp[df]
+    cnot = GateOp("X", (qn,), (q,))
+    ops = [cnot]
+    if not np.allclose(a0, np.eye(2), atol=1e-14):
+        ops.append(GateOp("UNITARY", (q,), (), (), a0))
+    if not np.allclose(a1, a0, atol=1e-14):
+        det = np.linalg.det(a0)
+        if abs(det) < 1e-6 * scale * scale:
+            return None  # A0 not invertible: keep the dense superop
+        b = a1 @ np.linalg.inv(a0)
+        ops.append(GateOp("UNITARY", (q,), (qn,), (), b))
+    ops.append(cnot)
+    return ops
+
+
 def _chan(mats):
     return [np.asarray(m, dtype=np.complex128) for m in mats]
 

@@ -119,6 +119,21 @@ def _cnot_roll(re, im, c, t, is_one_cache, col_qubits, tile_rows,
     return jnp.where(m_c, p_re, re), jnp.where(m_c, p_im, im)
 
 
+def _cu_roll(re, im, c, t, is_one_cache, coeffs, col_qubits, tile_rows,
+             m_c=None, real_mat=False):
+    """Controlled dense 1q gate (CRX/CRY/controlled-matrix/channel factors)
+    with control+target both in-tile: the target update applies only where
+    the control bit is 1. ``m_c`` overrides the control mask — a
+    grid-resolved SCALAR for out-of-window (free) controls, exactly like
+    _cnot_roll. The matrix need not be unitary (Kraus-channel factors ride
+    this path)."""
+    if m_c is None:
+        m_c = is_one_cache(c)
+    g_re, g_im = _roll_gate(re, im, t, is_one_cache, coeffs, col_qubits,
+                            tile_rows, real_mat=real_mat)
+    return jnp.where(m_c, g_re, re), jnp.where(m_c, g_im, im)
+
+
 def _d2_mul(re, im, sel_a, sel_b, coeffs, real_mat=False):
     """Two-qubit DIAGONAL gate (controlled-phase family): multiply each
     amplitude by d(bit_a, bit_b) — no partner fetch at all. ``coeffs`` is
@@ -256,6 +271,12 @@ def _compose_lane_matrix(gm_ref, idxs, specs, real_flags, pair_bits=(),
                 if limit and spec[1] >= limit else None
             m_re, m_im = _cnot_roll(m_re, m_im, spec[1], spec[2], is_one,
                                     LANE_QUBITS, L, m_c=m_c)
+        elif spec[0] == "CU":
+            m_c = _free_bit_sel(spec[1], pair_bits, limit) \
+                if limit and spec[1] >= limit else None
+            m_re, m_im = _cu_roll(m_re, m_im, spec[1], spec[2], is_one,
+                                  _coeffs(gm_ref, k), LANE_QUBITS, L,
+                                  m_c=m_c, real_mat=is_real and real_flags[k])
         elif spec[0] == "D2":
             # R' = R @ D scales R's columns by the diagonal
             m_re, m_im = _d2_mul(m_re, m_im, is_one(spec[1]),
@@ -289,6 +310,16 @@ def _compose_row_matrix(gm_ref, idxs, specs, real_flags, col_qubits,
             a_re, a_im = _cnot_roll(a_re, a_im, c_t,
                                     t_log2 + spec[2] - col_qubits, is_one,
                                     t_log2, tile_rows, m_c=m_c)
+        elif spec[0] == "CU":
+            if limit and spec[1] >= limit:
+                m_c = _free_bit_sel(spec[1], pair_bits, limit)
+                c_t = t_log2  # unused (mask overridden)
+            else:
+                m_c, c_t = None, t_log2 + spec[1] - col_qubits
+            a_re, a_im = _cu_roll(a_re, a_im, c_t,
+                                  t_log2 + spec[2] - col_qubits, is_one,
+                                  _coeffs(gm_ref, k), t_log2, tile_rows,
+                                  m_c=m_c, real_mat=is_real and real_flags[k])
         elif spec[0] == "D2":
             # A' = D @ A scales A's rows by the diagonal
             a_re, a_im = _d2_mul(a_re, a_im,
@@ -376,6 +407,20 @@ def _compose_pair_matrix(gm_ref, idxs, specs, real_flags, bitpos,
                 a_re, a_im = _cnot_roll(a_re, a_im, k + bitpos[spec[1]],
                                         k + bitpos[spec[2]], is_one, k,
                                         size)
+        elif spec[0] == "CU":
+            rm = is_real and real_flags[i]
+            if spec[1] not in bitpos:  # free control: scalar-masked gate
+                sel_c = _free_bit_sel(spec[1], pair_bits, limit)
+                g_re, g_im = _roll_gate(a_re, a_im, k + bitpos[spec[2]],
+                                        is_one, _coeffs(gm_ref, i), k, size,
+                                        real_mat=rm)
+                a_re = jnp.where(sel_c, g_re, a_re)
+                a_im = jnp.where(sel_c, g_im, a_im)
+            else:
+                a_re, a_im = _cu_roll(a_re, a_im, k + bitpos[spec[1]],
+                                      k + bitpos[spec[2]], is_one,
+                                      _coeffs(gm_ref, i), k, size,
+                                      real_mat=rm)
         elif spec[0] == "D2":
             a_re, a_im = _d2_mul(a_re, a_im, psel(spec[1]), psel(spec[2]),
                                  _coeffs(gm_ref, i),
@@ -523,9 +568,9 @@ def _plan_mxu_items(specs, pair_bits, col_qubits, tile_rows):
                 pair_pend.append(k)
                 continue
             items.append(("spec", k))
-        else:  # CNOT (a permutation) / D2 (a diagonal): composable when both
-            # qubits are in one dot region; otherwise a barrier for the
-            # regions they touch
+        else:  # CNOT (a permutation) / CU (a controlled 2x2) / D2 (a
+            # diagonal): composable when both qubits are in one dot region;
+            # otherwise a barrier for the regions they touch
             qs = spec[1:]
             if all(is_lane(q) for q in qs):
                 lane_pend.append(k)
@@ -539,7 +584,7 @@ def _plan_mxu_items(specs, pair_bits, col_qubits, tile_rows):
             if all(is_pair(q) for q in qs):
                 pair_pend.append(k)
                 continue
-            if spec[0] == "CNOT" and is_freebit(qs[0]):
+            if spec[0] in ("CNOT", "CU") and is_freebit(qs[0]):
                 # free control (grid-resolved scalar): the TARGET's region
                 # decides the group
                 t = qs[1]
@@ -615,6 +660,13 @@ def _kernel(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
             m_c = _free_bit_sel(c, (), limit) if c >= limit else None
             re, im = _cnot_roll(re, im, c, spec[2], is_one,
                                 col_qubits, tile_rows, m_c=m_c)
+        elif spec[0] == "CU":
+            c = spec[1]
+            limit = col_qubits + (tile_rows.bit_length() - 1)
+            m_c = _free_bit_sel(c, (), limit) if c >= limit else None
+            re, im = _cu_roll(re, im, c, spec[2], is_one, _coeffs(gm_ref, k),
+                              col_qubits, tile_rows, m_c=m_c,
+                              real_mat=real_flags[k])
         elif spec[0] == "D2":
             limit = col_qubits + (tile_rows.bit_length() - 1)
 
@@ -794,6 +846,23 @@ def _kernel_merged(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
             else:
                 re, im = _cnot_roll(re, im, spec[1], spec[2], is_one,
                                     col_qubits, rows, m_c=m_c)
+        elif spec[0] == "CU":
+            c_real = specs[k][1]
+            free_c = is_free(c_real)
+            m_c = _free_bit_sel(c_real, pair_bits, limit) if free_c \
+                else is_one(vbit(c_real))
+            flush([b for b in ((spec[2],) if free_c
+                               else (spec[1], spec[2])) if b in pending])
+            cs = _coeffs(gm_ref, k)
+            if spec[2] >= col_qubits:
+                g_re, g_im = _slice_gate_rows(re, im, spec[2], col_qubits,
+                                              cs, real_mat=real_flags[k])
+            else:
+                g_re, g_im = _roll_gate(re, im, spec[2], is_one, cs,
+                                        col_qubits, rows,
+                                        real_mat=real_flags[k])
+            re = jnp.where(m_c, g_re, re)
+            im = jnp.where(m_c, g_im, im)
         elif spec[0] == "D2":
             flush([b for j, b in ((1, spec[1]), (2, spec[2]))
                    if not is_free(specs[k][j]) and b in pending])
@@ -966,6 +1035,56 @@ def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
                 tiles = [_cnot_roll(re, im, c, tq, is_one, col_qubits,
                                     tile_rows) for (re, im) in tiles]
             continue
+        if spec[0] == "CU":
+            c, tq = spec[1], spec[2]
+            limit = col_qubits + (tile_rows.bit_length() - 1)
+            c_pair, t_pair = c in bitpos, tq in bitpos
+            cs = _coeffs(gm_ref, k)
+            rm = real_flags[k]
+            # control mask: per-combo constant (pair), grid-resolved scalar
+            # (free), or in-tile boolean array
+            m_c = None if c_pair else (
+                _free_bit_sel(c, pair_bits, limit) if c >= limit
+                else is_one(c))
+            if t_pair:
+                (a_re, a_im), (b_re, b_im), (c_re, c_im), (d_re, d_im) = cs
+                new = []
+                for combo, (re, im) in enumerate(tiles):
+                    if c_pair and not pair_is_one(combo, c):
+                        new.append((re, im))
+                        continue
+                    p_re, p_im = tiles[pair_partner(combo, tq)]
+                    if pair_is_one(combo, tq):
+                        x0_re, x0_im, x1_re, x1_im = p_re, p_im, re, im
+                        u_re, u_im, v_re, v_im = c_re, c_im, d_re, d_im
+                    else:
+                        x0_re, x0_im, x1_re, x1_im = re, im, p_re, p_im
+                        u_re, u_im, v_re, v_im = a_re, a_im, b_re, b_im
+                    if rm:
+                        n_re = u_re * x0_re + v_re * x1_re
+                        n_im = u_re * x0_im + v_re * x1_im
+                    else:
+                        n_re = (u_re * x0_re - u_im * x0_im
+                                + v_re * x1_re - v_im * x1_im)
+                        n_im = (u_re * x0_im + u_im * x0_re
+                                + v_re * x1_im + v_im * x1_re)
+                    if c_pair:
+                        new.append((n_re, n_im))
+                    else:
+                        new.append((jnp.where(m_c, n_re, re),
+                                    jnp.where(m_c, n_im, im)))
+                tiles = new
+            elif c_pair:
+                tiles = [
+                    _roll_gate(re, im, tq, is_one, cs, col_qubits,
+                               tile_rows, real_mat=rm)
+                    if pair_is_one(combo, c) else (re, im)
+                    for combo, (re, im) in enumerate(tiles)]
+            else:
+                tiles = [_cu_roll(re, im, c, tq, is_one, cs, col_qubits,
+                                  tile_rows, m_c=m_c, real_mat=rm)
+                         for (re, im) in tiles]
+            continue
         q = spec[1]
         cs = _coeffs(gm_ref, k)
         if q in bitpos:
@@ -1083,7 +1202,7 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
     for spec in specs:
         if spec[0] == "D2":
             continue
-        if spec[0] == "CNOT":
+        if spec[0] in ("CNOT", "CU"):
             paired_qubits.append(spec[2])
             if spec[1] < limit:
                 paired_qubits.append(spec[1])

@@ -62,8 +62,8 @@ class TestPallasRunCollection:
         out = fuse_pallas_runs(ops, max_qubit=17, min_gates=6)
         assert len(out) == 1 and isinstance(out[0], PallasBlock)
         assert len(out[0].ops) == 13
-        # controlled DIAGONALS (CRZ/CZ/controlled-P) now join as "D2"
-        # masked multiplies; non-diagonal controlled gates (CRY) stay out
+        # controlled DIAGONALS (CRZ/CZ/controlled-P) join as "D2" masked
+        # multiplies; controlled DENSE 1q gates (CRY/CRX) join as "CU"
         ops_d = [g("H", [q]) for q in range(6)] + \
                 [g("CRZ", [1], [0], [0.3])] + [g("H", [q]) for q in range(6)]
         out_d = fuse_pallas_runs(ops_d, max_qubit=17, min_gates=6)
@@ -71,7 +71,15 @@ class TestPallasRunCollection:
         ops_c = [g("H", [q]) for q in range(6)] + \
                 [g("CRY", [1], [0], [0.3])] + [g("H", [q]) for q in range(6)]
         out_c = fuse_pallas_runs(ops_c, max_qubit=17, min_gates=6)
-        assert any(isinstance(o, GateOp) and o.name == "CRY" for o in out_c)
+        assert len(out_c) == 1 and isinstance(out_c[0], PallasBlock)
+        # multi-controlled gates still stay out
+        ops_m = [g("H", [q]) for q in range(6)] + \
+                [GateOp("UNITARY", (2,), (0, 1), (),
+                        np.eye(2, dtype=np.complex128))] + \
+                [g("H", [q]) for q in range(6)]
+        out_m = fuse_pallas_runs(ops_m, max_qubit=17, min_gates=6)
+        assert any(isinstance(o, GateOp) and o.controls == (0, 1)
+                   for o in out_m)
         # gate above the kernel range never joins
         out2 = fuse_pallas_runs([g("H", [20])] * 7, max_qubit=17)
         assert all(isinstance(o, GateOp) for o in out2)

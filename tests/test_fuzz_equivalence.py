@@ -168,7 +168,7 @@ def test_pallas_paths_match_plain_engine_fuzz(seed, monkeypatch):
     ir = CircuitIR(n)
     k = 0
     for _ in range(40):
-        kind = rng.integers(0, 4)
+        kind = rng.integers(0, 5)
         q = int(rng.integers(0, n))
         q2 = int((q + 1 + rng.integers(0, n - 1)) % n)
         if kind == 0:
@@ -178,6 +178,11 @@ def test_pallas_paths_match_plain_engine_fuzz(seed, monkeypatch):
             ir.add(str(rng.choice(["H", "X", "S", "T", "Y"])), [q])
         elif kind == 2:
             ir.add("CNOT", [q2], controls=[q])
+        elif kind == 3:
+            # controlled dense 1q -> the kernel's "CU" path (free/pair
+            # controls included: q spans the full range)
+            ir.add(str(rng.choice(["CRY", "CRX"])), [q2], controls=[q],
+                   params=[float(rng.normal())])
         else:
             # controlled-phase family + RZZ -> the kernel's "D2" path
             name = str(rng.choice(["CZ", "CRZ", "P", "RZZ"]))

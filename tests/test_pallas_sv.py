@@ -750,3 +750,164 @@ def test_merged_kernel_composes_same_bit_runs():
                                interpret=True)
     got = np.asarray(re) + 1j * np.asarray(im)
     np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+class TestControlledU:
+    """Kernel kind "CU" (controlled dense 1q — CRX/CRY/controlled-matrix/
+    Kraus-channel factors; reference: apply_controlled_matrix,
+    bindings.cpp:429): every control/target region combination must match
+    the dense reference, including non-unitary matrices."""
+
+    @staticmethod
+    def _ref_apply(state, specs, mats):
+        n = state.size.bit_length() - 1
+        s = state.copy()
+        for (spec, m) in zip(specs, mats):
+            v = s.reshape([2] * n)
+            if spec[0] == "U":
+                ax = n - 1 - spec[1]
+                v = np.moveaxis(np.tensordot(
+                    m, np.moveaxis(v, ax, 0), axes=(1, 0)), 0, ax)
+            elif spec[0] == "CU":
+                axc, axt = n - 1 - spec[1], n - 1 - spec[2]
+                v = np.moveaxis(v, (axc, axt), (0, 1))
+                out = v.copy()
+                out[1] = np.tensordot(m, v[1], axes=(1, 0))
+                v = np.moveaxis(out, (0, 1), (axc, axt))
+            elif spec[0] == "CNOT":
+                axc, axt = n - 1 - spec[1], n - 1 - spec[2]
+                v = np.moveaxis(v, (axc, axt), (0, 1))
+                out = v.copy()
+                out[1, 0], out[1, 1] = v[1, 1], v[1, 0]
+                v = np.moveaxis(out, (0, 1), (axc, axt))
+            s = v.reshape(-1)
+        return s
+
+    def _run(self, n, specs, mats, pair_bits=None, geometry=None):
+        from rocquantum_tpu.ops.pallas_sv import (apply_fused_layer,
+                                                  pack_gate_mats)
+        rng = np.random.default_rng(7)
+        state = rng.normal(size=2 ** n) + 1j * rng.normal(size=2 ** n)
+        state /= np.linalg.norm(state)
+        re = jnp.asarray(state.real, jnp.float32)
+        im = jnp.asarray(state.imag, jnp.float32)
+        gm = jnp.asarray(pack_gate_mats(mats))
+        rf = tuple(bool(np.allclose(m.imag, 0)) for m in mats)
+        o_re, o_im = apply_fused_layer(re, im, specs, gm, real_flags=rf,
+                                       pair_bits=pair_bits,
+                                       geometry=geometry, interpret=True)
+        got = np.asarray(o_re) + 1j * np.asarray(o_im)
+        exp = self._ref_apply(state.astype(np.complex64), specs, mats)
+        np.testing.assert_allclose(got, exp, atol=2e-5)
+
+    def _u(self, seed=3):
+        rng = np.random.default_rng(seed)
+        return rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+
+    @pytest.mark.parametrize("c,t", [(2, 4), (8, 9), (13, 14), (3, 13),
+                                     (14, 5), (18, 4), (17, 13)])
+    def test_cu_regions_unpaired(self, c, t):
+        # lane/mid/row targets with in-window and free (out-of-window)
+        # controls at n=19 (window = 17 bits)
+        self._run(19, (("CU", c, t),), [self._u()])
+
+    def test_cu_pair_target_and_pair_control(self):
+        u1, u2 = self._u(1), self._u(2)
+        self._run(19, (("CU", 3, 18),), [u1], pair_bits=(18,))
+        self._run(19, (("CU", 18, 3), ("U", 18)), [u1, u2], pair_bits=(18,))
+        self._run(19, (("CU", 17, 18), ("U", 17)), [u1, u2],
+                  pair_bits=(17, 18))
+
+    def test_cu_mixed_with_cnot_multi_pair(self):
+        u1, u2, u3 = self._u(1), self._u(2), self._u(3)
+        self._run(19, (("U", 0), ("CU", 18, 4), ("CNOT", 17, 3),
+                       ("CU", 2, 17), ("U", 18)),
+                  [u1, u2, np.eye(2), u3, u1], pair_bits=(17, 18))
+
+    def test_cu_merged_group_kernel(self):
+        # contiguous run of 4+ pair bits -> _kernel_merged CU branch
+        u1, u2, u3 = self._u(1), self._u(2), self._u(3)
+        self._run(22, (("CU", 21, 17), ("CU", 3, 18), ("U", 19),
+                       ("CU", 20, 13), ("CNOT", 18, 19)),
+                  [u1, u2, u3, u1, np.eye(2)], pair_bits=(17, 18, 19, 20))
+
+    def test_cu_tall_geometry(self):
+        from rocquantum_tpu.ops.pallas_sv import TALL_GEOMETRY
+        u1, u2, u3 = self._u(1), self._u(2), self._u(3)
+        self._run(22, (("CU", 20, 3), ("CU", 2, 16), ("U", 15)),
+                  [u1, u2, u3], pair_bits=(15, 16, 17, 18, 19, 20),
+                  geometry=TALL_GEOMETRY)
+
+    def test_cu_claimed_by_pallas_runs(self):
+        # CRY/CRX/controlled-matrix ops fuse into ONE PallasBlock
+        from rocquantum_tpu.compiler.ir import CircuitIR
+        from rocquantum_tpu.compiler.passes import fuse_pallas_runs
+        from rocquantum_tpu.ops.pallas_sv import max_kernel_qubit
+        n = 18
+        ir = CircuitIR(n)
+        for q in range(n):
+            ir.add("RY", [q], params=[0.1 * (q + 1)])
+        ir.add("CRX", [2], controls=[17], params=[0.7])
+        ir.add("CRY", [16], controls=[3], params=[0.4])
+        q_, _ = np.linalg.qr(self._u())
+        ir.add("UNITARY", [5], controls=[15], matrix=q_)
+        items = fuse_pallas_runs(list(ir.ops), n - 1, num_qubits=n,
+                                 relabel_reach=max_kernel_qubit(n) + 1)
+        assert [type(i).__name__ for i in items] == ["PallasBlock"]
+
+
+class TestChannelFactorization:
+    """superop_kernel_ops: built-in channels factor into kernel-native ops
+    (the dense 4x4 forced one einsum pass per channel)."""
+
+    @pytest.mark.parametrize("name,maker,p", [
+        ("bit_flip", "bit_flip_kraus", 0.1),
+        ("phase_flip", "phase_flip_kraus", 0.15),
+        ("depolarizing", "depolarizing_kraus", 0.08),
+        ("amplitude_damping", "amplitude_damping_kraus", 0.2),
+    ])
+    def test_builtin_channels_factor(self, name, maker, p):
+        from rocquantum_tpu.ops import density as dmops
+        ks = getattr(dmops, maker)(p)
+        s = dmops.kraus_superoperator(ks, xp=np)
+        ops = dmops.superop_kernel_ops(s, 0, 1)
+        assert ops is not None
+        if name == "phase_flip":
+            assert [o.name for o in ops] == ["D2M"]  # comm-free diagonal
+
+    def test_factored_channel_matches_dense(self):
+        # end-to-end on the density circuit: factored channels == the
+        # direct superoperator application
+        import rocquantum_tpu as rocq
+        from rocquantum_tpu.density_circuit import DensityCircuit
+        from rocquantum_tpu.ops import density as dmops
+        n = 3
+        dc = DensityCircuit(n, rocq.Simulator())
+        for q in range(n):
+            dc.ry(0.3 + 0.1 * q, q)
+        dc.apply_channel("depolarizing", 0.05, [0, 1, 2])
+        dc.apply_channel("amplitude_damping", 0.1, [1])
+        dc.apply_channel("phase_flip", 0.2, [2])
+        dc.cx(0, 1)
+        dc.flush()
+        got = np.asarray(dmops.to_matrix(dc.state))
+
+        rho = jax.jit(lambda: dmops.init_density(n))()
+        for q in range(n):
+            rho = dmops.apply_gate_dm(rho, "RY", [q], [], [0.3 + 0.1 * q])
+        rho = dmops.apply_channel(rho, "depolarizing", 0.05, [0, 1, 2])
+        rho = dmops.apply_channel(rho, "amplitude_damping", 0.1, [1])
+        rho = dmops.apply_channel(rho, "phase_flip", 0.2, [2])
+        rho = dmops.apply_gate_dm(rho, "CNOT", [1], [0])
+        exp = np.asarray(dmops.to_matrix(rho))
+        np.testing.assert_allclose(got, exp, atol=2e-6)
+
+    def test_unitary_kraus_factors_separably(self):
+        from rocquantum_tpu.ops import density as dmops
+        q_, _ = np.linalg.qr(np.random.default_rng(0).normal(size=(2, 2))
+                             + 1j * np.random.default_rng(1).normal(
+                                 size=(2, 2)))
+        s = dmops.kraus_superoperator([q_], xp=np)
+        ops = dmops.superop_kernel_ops(s, 2, 7)
+        assert ops is not None and len(ops) == 2
+        assert all(o.name == "UNITARY" and not o.controls for o in ops)
