@@ -6,8 +6,10 @@ Methodology notes (this environment's axon relay backend):
   * ``block_until_ready`` does NOT synchronize — timings must be forced by
     a data-dependent scalar transfer;
   * remote compiles are slow and high-variance — the whole measurement is
-    ONE jitted program (a lax.fori_loop over gate layers ending in a scalar
-    norm read), compiled once, timed end-to-end on the second call;
+    ONE jitted program (UNROLLED gate-layer bodies ending in a scalar norm
+    read; a fori_loop carry costs a full-state copy per iteration around
+    the aliased pallas custom-call), compiled once, timed on the second
+    call;
   * sizes are probed largest-first in timeout-guarded subprocesses so
     bench.py always terminates.
 
@@ -78,23 +80,17 @@ def bench_at(n):
     @jax.jit
     def program(params):
         # float-pair carry: half the working set of complex64 + conversion,
-        # which is what fits n=30 (8 GiB of amplitudes) on one 16 GiB chip
+        # which is what fits n=30 (8 GiB of amplitudes) on one 16 GiB chip.
+        # UNROLLED (never lax.fori_loop): XLA's copy-insertion around the
+        # aliased pallas custom-call inside a while body inserts a
+        # full-state copy per iteration — measured 215 vs 600 GB/s on the
+        # same pass (and the loop carry is double-buffered: 2 x 8 GiB was
+        # the n=30 OOM of record). Straight-line code chains passes
+        # in place, exactly like compiled Circuit segments.
         re, im = init_pair(n)
-
-        def body(_, c):
-            return execute_pair(c[0], c[1], ops, params, low_width=low_w,
-                                high_width=high_w)
-
-        if n >= 30:
-            # unrolled: a fori_loop carry is double-buffered by XLA
-            # (2 x 8 GiB = the observed 258 MiB-over OOM); straight-line
-            # code lets buffer assignment chain the passes in place
-            c = (re, im)
-            for i in range(LAYERS // reps):
-                c = body(i, c)
-            re, im = c
-        else:
-            re, im = jax.lax.fori_loop(0, LAYERS // reps, body, (re, im))
+        for _ in range(LAYERS // reps):
+            re, im = execute_pair(re, im, ops, params, low_width=low_w,
+                                  high_width=high_w)
         # scalar output forces real synchronization on transfer
         return jnp.sum(re * re + im * im)
 
@@ -142,13 +138,12 @@ def bench_ansatz(n):
 
     @jax.jit
     def program(params):
+        # unrolled — see bench_at: a fori_loop body costs a full-state
+        # copy per iteration (aliased-custom-call copy-insertion)
         re, im = init_pair(n)
-
-        def body(_, c):
-            return execute_pair(c[0], c[1], ops, params, low_width=low_w,
-                                high_width=high_w)
-
-        re, im = jax.lax.fori_loop(0, layers // body_layers, body, (re, im))
+        for _ in range(layers // body_layers):
+            re, im = execute_pair(re, im, ops, params, low_width=low_w,
+                                  high_width=high_w)
         return jnp.sum(re * re + im * im)
 
     params = jnp.asarray(np.linspace(0.1, 1.0, n), jnp.float32)
@@ -170,21 +165,18 @@ def run_ansatz(n):
 
 
 def probe_ansatz(n):
-    script = os.path.abspath(__file__)
-    try:
-        out = subprocess.run([sys.executable, script, "--ansatz", str(n)],
-                             capture_output=True, text=True,
-                             timeout=PER_SIZE_TIMEOUT_S)
-    except subprocess.TimeoutExpired:
-        return None
-    if out.returncode != 0:
-        return None
-    for line in out.stdout.splitlines():
-        try:
-            rec = json.loads(line)
-        except json.JSONDecodeError:
-            continue
-        if "ansatz_gates_per_sec" in rec:
+    """Deepest pass-sharing body that fits the compile budget wins: body=8
+    reaches the 3-passes/layer steady state (the dependency-aware planner
+    packs cross-layer), but its cold compile can blow the per-probe budget
+    — fall back to shallower bodies (warm .jax_cache makes 8 cheap)."""
+    bodies = ([os.environ["ROCQ_ANSATZ_BODY"]]
+              if os.environ.get("ROCQ_ANSATZ_BODY") else ["8", "4", "2"])
+    for body in bodies:
+        rec = _probe_subprocess(["--ansatz", str(n)],
+                                "ansatz_gates_per_sec",
+                                timeout=PER_SIZE_TIMEOUT_S,
+                                env_extra={"ROCQ_ANSATZ_BODY": body})
+        if rec is not None:
             return rec
     return None
 
@@ -286,30 +278,27 @@ FP64_REPS = 2
 
 
 def bench_fp64(n):
-    """Double-precision (complex128) gate throughput on the einsum path —
-    the ROCQ_PRECISION_DOUBLE analog (reference hipStateVec.h:7-15). The
-    Pallas kernels are float32-only (Mosaic has no f64), so this records
-    the chemistry-accuracy regime's real number."""
+    """Double-precision gate throughput — the ROCQ_PRECISION_DOUBLE analog
+    (reference hipStateVec.h:7-15) — on the float-PAIR f64 path: the TPU
+    x64 rewriter cannot compile c128 programs (ops/pairsim.py docstring),
+    so fp64 ships real-arithmetic einsums (RY is real: 2 passes/gate)."""
     import jax
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     _enable_compile_cache()
     from rocquantum_tpu import config
     config.set_precision("double")
-    from rocquantum_tpu.compiler.ir import CircuitIR, ParamRef
-    from rocquantum_tpu.compiler.interpreter import execute
-    from rocquantum_tpu.ops import statevec as sv
-
-    ir = CircuitIR(n)
-    for _ in range(FP64_REPS):
-        for q in range(n):
-            ir.add("RY", [q], params=[ParamRef(q)])
+    from rocquantum_tpu.ops import pairsim
+    from rocquantum_tpu.ops.gates import ry_parts
 
     @jax.jit
     def prog(params):
-        s = sv.init_state(n)
-        s = execute(s, list(ir.ops), params)
-        return jnp.sum(jnp.abs(s) ** 2).real
+        re, im = pairsim.init_pair(n)
+        for _ in range(FP64_REPS):
+            for q in range(n):
+                m_re, _ = ry_parts(params[q])
+                re, im = pairsim.apply_matrix_pair(re, im, m_re, None, [q])
+        return pairsim.norm2_pair(re, im)
 
     params = jnp.asarray(np.linspace(0.1, 1.0, n))
     norm = float(prog(params))

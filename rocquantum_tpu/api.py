@@ -65,7 +65,7 @@ class Simulator:
         re = jnp.asarray(m.real, dtype=config.real_dtype())
         im = jnp.asarray(m.imag, dtype=config.real_dtype())
         return jax.jit(
-            lambda r, i: (r + 1j * i).astype(config.complex_dtype()))(re, im)
+            lambda r, i: config.complex_from_parts(r, i))(re, im)
 
 
 class _GateMethods:
@@ -865,6 +865,24 @@ def make_energy_fn(kernel_func: Callable, num_qubits: int,
     terms_key = tuple(tuple(ops) for ops, _ in hamiltonian.terms)
     coeffs = np.asarray([c for _, c in hamiltonian.terms], dtype=float)
     func = getattr(kernel_func, "__wrapped__", kernel_func)
+
+    if config.get_precision() == "double":
+        # fp64: float-PAIR simulation (real arithmetic only). The TPU x64
+        # rewriter emulates c128 and aborts on several ops (see
+        # ops/pairsim.py docstring), so the chemistry-accuracy path never
+        # materializes complex values. jax.grad through the pair program is
+        # the same adjoint differentiation, all-f64.
+        from .ops import pairsim
+
+        def energy_pair(param_vec):
+            rec = _Recorder(num_qubits)
+            func(rec, *[param_vec[i] for i in range(num_params)])
+            re, im = pairsim.init_pair(num_qubits)
+            for op in rec.ops:
+                re, im = pairsim.apply_op_pair(re, im, op)
+            return pairsim.expval_terms_pair(re, im, terms_key, coeffs)
+
+        return energy_pair
 
     if reversible is None or reversible:
         try:

@@ -390,7 +390,7 @@ def _apply_pallas_block_sharded(state: jnp.ndarray, block: PallasBlock,
         im = jnp.imag(s).astype(jnp.float32)
         re, im = _run_pallas_specs(re, im, kinds, supports, g, real_flags,
                                    interpret=interpret)
-        return (re + 1j * im).astype(s.dtype)
+        return config.complex_from_parts(re, im, s.dtype)
 
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
     # annotation; the kernel is purely local (no collectives), so the
@@ -421,7 +421,7 @@ def _apply_pallas_block(state: jnp.ndarray, block: PallasBlock,
     im = jnp.imag(state).astype(jnp.float32)
     re, im = _apply_pallas_block_pair(re, im, block, params,
                                       interpret=interpret)
-    return (re + 1j * im).astype(state.dtype)
+    return config.complex_from_parts(re, im, state.dtype)
 
 
 def apply_op(state: jnp.ndarray, op: GateOp,
@@ -660,7 +660,7 @@ def execute_pair(re: jnp.ndarray, im: jnp.ndarray, ops: Sequence,
             re, im = _apply_pallas_block_pair(re, im, item, params,
                                               interpret=_pallas_interpret())
             continue
-        state = (re + 1j * im).astype(config.complex_dtype())
+        state = config.complex_from_parts(re, im)
         if isinstance(item, DiagBlock):
             state = _apply_diag_block(state, item, params)
         elif isinstance(item, FusedBlock):

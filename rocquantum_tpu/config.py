@@ -62,3 +62,18 @@ def real_dtype():
 
 def eps() -> float:
     return _CONFIG.eps
+
+
+def complex_from_parts(re, im, dtype=None):
+    """Combine (real, imag) arrays into a complex array via ``lax.complex``.
+
+    NEVER use ``(re + 1j*im).astype(...)`` on a possibly-f64 pair: the TPU
+    x64 rewriter aborts on ``convert f64 -> c128`` (libtpu x64_rewriter.cc
+    "Unsupported CVT X64 expansion"), which killed the fp64 chemistry path.
+    ``lax.complex`` lowers to ``stablehlo.complex`` and is supported.
+    """
+    if dtype is None:
+        dtype = _CONFIG.complex_dtype
+    rdt = jnp.finfo(dtype).dtype
+    return jax.lax.complex(jnp.asarray(re).astype(rdt),
+                           jnp.asarray(im).astype(rdt))

@@ -14,6 +14,7 @@ reference's generic-matrix kernel convention
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .. import config
@@ -52,56 +53,97 @@ PAULI = {"I": I, "X": X, "Y": Y, "Z": Z}
 # Parameterized gates. Return jnp arrays; `theta` may be a tracer.
 # ---------------------------------------------------------------------------
 
-def rx(theta):
+def _cplx(re, im):
+    """Combine real/imag parts with ``lax.complex`` — NEVER a dtype cast:
+    the TPU x64 rewriter aborts on scalar ``convert f64[] -> c128[]``
+    (libtpu x64_rewriter.cc "Unsupported CVT X64 expansion"), so the fp64
+    chemistry path must build complex values from explicit parts."""
+    return jax.lax.complex(re, im)
+
+
+def rx_parts(theta):
+    """(re, im) parts of RX; see _cplx for why parts are first-class."""
     theta = jnp.asarray(theta, dtype=config.real_dtype())
     c = jnp.cos(theta / 2)
     s = jnp.sin(theta / 2)
-    return jnp.stack(
-        [jnp.stack([c, -1j * s]), jnp.stack([-1j * s, c])]
-    ).astype(config.complex_dtype())
+    z = jnp.zeros_like(c)
+    return (jnp.stack([jnp.stack([c, z]), jnp.stack([z, c])]),
+            jnp.stack([jnp.stack([z, -s]), jnp.stack([-s, z])]))
+
+
+def rx(theta):
+    return _cplx(*rx_parts(theta))
+
+
+def ry_parts(theta):
+    theta = jnp.asarray(theta, dtype=config.real_dtype())
+    c = jnp.cos(theta / 2)
+    s = jnp.sin(theta / 2)
+    return jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])]), None
 
 
 def ry(theta):
+    re, _ = ry_parts(theta)
+    return _cplx(re, jnp.zeros_like(re))
+
+
+def rz_parts(theta):
     theta = jnp.asarray(theta, dtype=config.real_dtype())
-    c = jnp.cos(theta / 2).astype(config.complex_dtype())
-    s = jnp.sin(theta / 2).astype(config.complex_dtype())
-    return jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])])
+    c = jnp.cos(theta / 2)
+    s = jnp.sin(theta / 2)
+    z = jnp.zeros_like(c)
+    return (jnp.stack([jnp.stack([c, z]), jnp.stack([z, c])]),
+            jnp.stack([jnp.stack([-s, z]), jnp.stack([z, s])]))
 
 
 def rz(theta):
-    theta = jnp.asarray(theta, dtype=config.real_dtype())
-    em = jnp.exp(-0.5j * theta).astype(config.complex_dtype())
-    ep = jnp.exp(0.5j * theta).astype(config.complex_dtype())
-    zero = jnp.zeros((), config.complex_dtype())
-    return jnp.stack([jnp.stack([em, zero]), jnp.stack([zero, ep])])
+    return _cplx(*rz_parts(theta))
+
+
+def phase_parts(lam):
+    lam = jnp.asarray(lam, dtype=config.real_dtype())
+    one = jnp.ones((), config.real_dtype())
+    z = jnp.zeros((), config.real_dtype())
+    return (jnp.stack([jnp.stack([one, z]), jnp.stack([z, jnp.cos(lam)])]),
+            jnp.stack([jnp.stack([z, z]), jnp.stack([z, jnp.sin(lam)])]))
 
 
 def phase(lam):
-    lam = jnp.asarray(lam, dtype=config.real_dtype())
-    one = jnp.ones((), config.complex_dtype())
-    zero = jnp.zeros((), config.complex_dtype())
-    return jnp.stack([jnp.stack([one, zero]),
-                      jnp.stack([zero, jnp.exp(1j * lam).astype(config.complex_dtype())])])
+    return _cplx(*phase_parts(lam))
+
+
+def rzz_parts(theta):
+    theta = jnp.asarray(theta, dtype=config.real_dtype())
+    c = jnp.cos(theta / 2)
+    s = jnp.sin(theta / 2)
+    return (jnp.diag(jnp.stack([c, c, c, c])),
+            jnp.diag(jnp.stack([-s, s, s, -s])))
 
 
 def rzz(theta):
     """exp(-i theta/2 Z@Z): the native two-qubit diagonal entangler (QAOA's
     cost-layer term without the CNOT sandwich). targets[0] is the matrix
     LSB; the diagonal is [e^-, e^+, e^+, e^-] over (b1, b0)."""
+    return _cplx(*rzz_parts(theta))
+
+
+def u3_parts(theta, phi, lam):
     theta = jnp.asarray(theta, dtype=config.real_dtype())
-    em = jnp.exp(-0.5j * theta).astype(config.complex_dtype())
-    ep = jnp.exp(0.5j * theta).astype(config.complex_dtype())
-    return jnp.diag(jnp.stack([em, ep, ep, em]))
+    phi = jnp.asarray(phi, dtype=config.real_dtype())
+    lam = jnp.asarray(lam, dtype=config.real_dtype())
+    c = jnp.cos(theta / 2)
+    s = jnp.sin(theta / 2)
+    z = jnp.zeros_like(c)
+    # [[c, -e^{i lam} s], [e^{i phi} s, e^{i (phi+lam)} c]]
+    re = jnp.stack([jnp.stack([c, -jnp.cos(lam) * s]),
+                    jnp.stack([jnp.cos(phi) * s, jnp.cos(phi + lam) * c])])
+    im = jnp.stack([jnp.stack([z, -jnp.sin(lam) * s]),
+                    jnp.stack([jnp.sin(phi) * s, jnp.sin(phi + lam) * c])])
+    return re, im
 
 
 def u3(theta, phi, lam):
-    theta = jnp.asarray(theta, dtype=config.real_dtype())
-    c = jnp.cos(theta / 2).astype(config.complex_dtype())
-    s = jnp.sin(theta / 2).astype(config.complex_dtype())
-    ephi = jnp.exp(1j * jnp.asarray(phi)).astype(config.complex_dtype())
-    elam = jnp.exp(1j * jnp.asarray(lam)).astype(config.complex_dtype())
-    return jnp.stack([jnp.stack([c, -elam * s]),
-                      jnp.stack([ephi * s, ephi * elam * c])])
+    return _cplx(*u3_parts(theta, phi, lam))
 
 
 # Registry: name -> (num_targets, num_params, builder). Controlled named gates
@@ -114,6 +156,13 @@ FIXED = {
 PARAMETERIZED = {
     "RX": rx, "RY": ry, "RZ": rz, "P": phase, "PHASE": phase, "U3": u3,
     "RZZ": rzz,
+}
+
+# (re, im)-part builders for the float-pair engines (ops/pairsim.py);
+# im=None marks a REAL matrix (half the apply passes).
+PARAMETERIZED_PARTS = {
+    "RX": rx_parts, "RY": ry_parts, "RZ": rz_parts, "P": phase_parts,
+    "PHASE": phase_parts, "U3": u3_parts, "RZZ": rzz_parts,
 }
 
 

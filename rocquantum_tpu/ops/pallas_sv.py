@@ -247,6 +247,19 @@ _MIN_MID_DOT = 2
 _MIN_PAIR_DOT = 2
 
 
+def _dot_precision():
+    """MXU dot precision for the in-kernel region dots. HIGHEST (6-pass
+    bf16) reproduces fp32 exactly (rel err ~1e-7/pass); ROCQ_DOT_PRECISION=
+    high selects the 3-pass variant — ~2x dot throughput at ~1e-6/pass,
+    still inside the engine's f32 tolerance. Knob for the compute-bound
+    window passes (the stream-bound chain passes don't care)."""
+    import os
+    v = os.environ.get("ROCQ_DOT_PRECISION", "highest").lower()
+    return {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[v]
+
+
 def _mxu_enabled() -> bool:
     import os
     return not os.environ.get("ROCQ_DISABLE_MXU")
@@ -359,7 +372,7 @@ def _apply_mid_dot(re, im, a_re, a_im, is_real):
     x_im = im.reshape(T, M, L)
     dn = (((2,), (1,)), ((0,), (0,)))
     dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
-                            precision=jax.lax.Precision.HIGHEST,
+                            precision=_dot_precision(),
                             preferred_element_type=jnp.float32)
     ab_re = jnp.broadcast_to(a_re, (T, M, M))
     if is_real:
@@ -440,7 +453,7 @@ def _apply_pair_dot(tiles, a_re, a_im, is_real):
     x_im = jnp.stack([t[1] for t in tiles])
     dn = (((1,), (0,)), ((), ()))
     dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
-                            precision=jax.lax.Precision.HIGHEST,
+                            precision=_dot_precision(),
                             preferred_element_type=jnp.float32)
     if is_real:
         o_re = dot(a_re, x_re)
@@ -459,7 +472,7 @@ def _apply_lane_dot(re, im, m_re, m_im, is_real):
     x_im = im.reshape(T, C // L, L)
     dn = (((2,), (0,)), ((), ()))
     dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
-                            precision=jax.lax.Precision.HIGHEST,
+                            precision=_dot_precision(),
                             preferred_element_type=jnp.float32)
     if is_real:
         o_re = dot(x_re, m_re)
@@ -474,7 +487,7 @@ def _apply_row_dot(re, im, a_re, a_im, is_real):
     """x' = A @ x over the row axis of a (T, C) tile."""
     dn = (((1,), (0,)), ((), ()))
     dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
-                            precision=jax.lax.Precision.HIGHEST,
+                            precision=_dot_precision(),
                             preferred_element_type=jnp.float32)
     if is_real:
         return dot(a_re, re), dot(a_re, im)
@@ -1363,4 +1376,4 @@ def fused_layer_complex(state: jnp.ndarray, qubits: Sequence[int],
     im = jnp.imag(state).astype(jnp.float32)
     re, im = apply_fused_1q_layer(re, im, qubits, gate_mats,
                                   interpret=interpret)
-    return (re + 1j * im).astype(state.dtype)
+    return jax.lax.complex(re, im).astype(state.dtype)

@@ -37,6 +37,15 @@ import jax
 import jax.numpy as jnp
 
 from .. import config
+
+
+def _abs2(z: jnp.ndarray) -> jnp.ndarray:
+    """|z|^2 as re^2 + im^2 — NOT jnp.abs(z)**2: the TPU x64 rewriter has
+    no expansion for abs(c128) (libtpu x64_rewriter.cc Check failure), so
+    the fp64 path must avoid complex abs entirely (and this also skips the
+    sqrt+square round-trip)."""
+    return jnp.real(z) ** 2 + jnp.imag(z) ** 2
+
 from . import gates as _g
 
 
@@ -334,7 +343,7 @@ def prob_one(state: jnp.ndarray, qubit: int) -> jnp.ndarray:
     (measurement_kernels.hip:103-247), here a single XLA reduction."""
     n = num_qubits_of(state)
     st = state.reshape((1 << (n - 1 - qubit), 2, 1 << qubit))
-    return jnp.sum(jnp.abs(st[:, 1, :]) ** 2).astype(config.real_dtype())
+    return jnp.sum(_abs2(st[:, 1, :])).astype(config.real_dtype())
 
 
 def collapse(state: jnp.ndarray, qubit: int, outcome: int) -> jnp.ndarray:
@@ -344,8 +353,11 @@ def collapse(state: jnp.ndarray, qubit: int, outcome: int) -> jnp.ndarray:
     n = num_qubits_of(state)
     st = state.reshape((1 << (n - 1 - qubit), 2, 1 << qubit))
     keep = st[:, outcome, :]
-    norm = jnp.sqrt(jnp.sum(jnp.abs(keep) ** 2))
-    keep = keep / jnp.maximum(norm, jnp.asarray(config.eps(), norm.dtype)).astype(state.dtype)
+    norm = jnp.sqrt(jnp.sum(_abs2(keep)))
+    # real-scalar rescale via parts: a real->complex astype is a scalar
+    # CVT the TPU x64 rewriter cannot expand (see _abs2)
+    inv = 1.0 / jnp.maximum(norm, jnp.asarray(config.eps(), norm.dtype))
+    keep = jax.lax.complex(jnp.real(keep) * inv, jnp.imag(keep) * inv)
     out = jnp.zeros_like(st).at[:, outcome, :].set(keep)
     return out.reshape(state.shape)
 
@@ -359,9 +371,9 @@ def collapse_dyn(state: jnp.ndarray, qubit: int,
     st = state.reshape((1 << (n - 1 - qubit), 2, 1 << qubit))
     outcome = jnp.asarray(outcome, jnp.int32)
     keep = jax.lax.dynamic_index_in_dim(st, outcome, axis=1, keepdims=False)
-    norm = jnp.sqrt(jnp.sum(jnp.abs(keep) ** 2))
-    keep = keep / jnp.maximum(norm, jnp.asarray(config.eps(), norm.dtype)
-                              ).astype(state.dtype)
+    norm = jnp.sqrt(jnp.sum(_abs2(keep)))
+    inv = 1.0 / jnp.maximum(norm, jnp.asarray(config.eps(), norm.dtype))
+    keep = jax.lax.complex(jnp.real(keep) * inv, jnp.imag(keep) * inv)
     zero = jnp.zeros_like(st)
     out = jax.lax.dynamic_update_index_in_dim(zero, keep, outcome, axis=1)
     return out.reshape(state.shape)
@@ -376,7 +388,7 @@ def marginal_probs(state: jnp.ndarray, qubits: Sequence[int]) -> jnp.ndarray:
     k = len(qubits)
     desc = sorted(qubits, reverse=True)
     dims = _exposed_view_dims(n, desc)
-    probs = (jnp.abs(state) ** 2).reshape(dims)
+    probs = _abs2(state).reshape(dims)
     # Sum out the grouping axes (even positions); keep the exposed qubit axes.
     marg = probs.sum(axis=tuple(range(0, len(dims), 2)))
     # marg axes now correspond to desc order; reorder so axis j is
@@ -415,7 +427,7 @@ def expval_pauli_product_z(state: jnp.ndarray, qubits: Sequence[int]) -> jnp.nda
     n = num_qubits_of(state)
     desc = sorted(set(qubits), reverse=True)
     dims = _exposed_view_dims(n, desc)
-    probs = (jnp.abs(state) ** 2).reshape(dims)
+    probs = _abs2(state).reshape(dims)
     sign = jnp.asarray([1.0, -1.0], dtype=probs.dtype)
     for i in range(len(desc)):
         shape = [1] * len(dims)
@@ -476,7 +488,7 @@ def state_to_parts(state: jnp.ndarray):
 
 
 def parts_to_state(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
-    return (re + 1j * im).astype(config.complex_dtype())
+    return config.complex_from_parts(re, im)
 
 
 # ---------------------------------------------------------------------------

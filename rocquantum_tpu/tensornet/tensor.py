@@ -46,7 +46,7 @@ class Tensor:
         re = jnp.asarray(np.ascontiguousarray(array.real), dtype=rdt)
         im = jnp.asarray(np.ascontiguousarray(array.imag), dtype=rdt)
         data = jax.jit(
-            lambda r, i: (r + 1j * i).astype(dtype))(re, im)
+            lambda r, i: config.complex_from_parts(r, i, dtype))(re, im)
         return cls(data, tuple(labels))
 
     @property
