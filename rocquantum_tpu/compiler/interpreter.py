@@ -357,7 +357,29 @@ def _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
                 continue
             if len(geo_plan) < len(plan):
                 plan = geo_plan
-    return execute_plan(re, im, plan, gm, n, kinds=kinds,
+    # Mixed-geometry relief: a pass with NO pair bits doesn't need the tall
+    # tiles (they exist to buy pair capacity) — and tall WINDOW passes pay
+    # ~2x in grid overhead (16384 steps of 128 KiB tiles vs 4096 of
+    # 512 KiB; measured 37 vs ~31 ms unrolled, stream floor 14.3). Demote
+    # pair-free passes whose anchors fit the default window back to the
+    # default geometry; chain passes keep the tall tiles.
+    import dataclasses
+    relieved = []
+    for item in plan:
+        if (getattr(item, "geometry", None) is not None
+                and not getattr(item, "pair_bits", ())):
+            ok = True
+            for spec_kind, pos in zip((kinds[i] for i in item.gate_idx),
+                                      item.positions):
+                anch = (pos[1:] if spec_kind in ("CNOT", "CU")
+                        and pos[0] >= limit else pos)
+                if spec_kind != "D2" and any(q >= limit for q in anch):
+                    ok = False
+                    break
+            if ok:
+                item = dataclasses.replace(item, geometry=None)
+        relieved.append(item)
+    return execute_plan(re, im, relieved, gm, n, kinds=kinds,
                         real_flags=real_flags, interpret=interpret)
 
 

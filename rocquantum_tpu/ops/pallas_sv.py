@@ -508,13 +508,20 @@ def _plan_mxu_items(specs, pair_bits, col_qubits, tile_rows):
     # middle column bits [LANE_QUBITS, col_qubits): only dot them at the
     # full 32-wide region (smaller M underfills the fp32 sublane tile)
     mid_on = col_qubits - LANE_QUBITS == COL_QUBITS - LANE_QUBITS
+    # ROCQ_LANE_DOT_WIDTH caps the lane dot at 2^W x 2^W (gates on lane
+    # bits >= W take the roll path): the full 128x128 fp32-HIGHEST dot
+    # costs 128 MAC/amplitude regardless of how few gates composed into it
+    # — a knob for trading MXU FLOPs vs VPU rolls on compute-heavy passes
+    import os
+    lane_w = min(int(os.environ.get("ROCQ_LANE_DOT_WIDTH", LANE_QUBITS)),
+                 LANE_QUBITS)
 
     def is_freebit(q):
         # out-of-window, unpaired: reachable by D2 only (grid-resolved)
         return q >= row_hi and q not in pair_set
 
     def is_lane(q):
-        return q < LANE_QUBITS and q not in pair_set
+        return q < lane_w and q not in pair_set
 
     def is_mid(q):
         return mid_on and LANE_QUBITS <= q < col_qubits and q not in pair_set
