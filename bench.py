@@ -319,7 +319,8 @@ def run_fp64(n):
     return 0
 
 
-TN_DIM = 4096
+TN_DIM = 8192  # 4.4 TFLOP of GEMM: ~10x the 35 ms transfer floor, so
+          # the timing is stable (d=4096 measured at the floor, 2x swings)
 TN_SLICES = 4
 
 

@@ -9,9 +9,11 @@ simulation in explicit real arithmetic: a gate is
 
     re' = M_re @ re - M_im @ im      im' = M_re @ im + M_im @ re
 
-(each ``@`` one :func:`statevec.apply_matrix` einsum on a REAL array, so
-every fast path — roll-select, low/high contiguous matmuls — is reused
-verbatim; real matrices skip the two ``M_im`` passes). This is also what
+where each ``@`` is a scatter-free slice-multiply-add over the exposed
+target axes (NEVER a dot/einsum: TPU f64 DOTS silently run at ~f32
+accuracy; elementwise f64 keeps double-single precision — and never a
+transpose: moveaxis materialized ~17 GiB of layout copies at n=26). Real
+matrices skip the two ``M_im`` passes. This is also what
 the reference's ``ROCQ_PRECISION_DOUBLE`` kernels ultimately execute:
 explicit real FMA pairs (hipStateVec.h:7-15, single_qubit_kernels.hip:49-71).
 
@@ -64,23 +66,37 @@ def _apply_real_elementwise(vec: jnp.ndarray, mat: jnp.ndarray,
     desc = sorted(targets, reverse=True)
     dims = sv._exposed_view_dims(n, desc)
     v = vec.reshape(dims)
-    # move the target size-2 axes to the front, matrix-LSB (targets[0]) LAST
-    # so the flattened leading index equals the matrix index
+    # slice out the 2^m basis combinations by fixed indices on the size-2
+    # axes (NO transposes — a moveaxis here materialized ~17 GiB of
+    # layout-change copies at n=26), combine elementwise, and restore the
+    # axes by nested stacks innermost-first.
     ax_of = {q: 2 * i + 1 for i, q in enumerate(desc)}
-    front = [ax_of[q] for q in reversed(targets)]
-    v = jnp.moveaxis(v, front, range(m))
-    rest = v.shape[m:]
-    vf = v.reshape((1 << m,) + rest)
-    # scatter-free assembly: elementwise scalar*slice FMAs + one stack
-    outs = []
+    slices = []
+    for k in range(1 << m):
+        idx = [slice(None)] * len(dims)
+        for j, q in enumerate(targets):  # targets[0] = LSB of matrix index
+            idx[ax_of[q]] = (k >> j) & 1
+        slices.append(v[tuple(idx)])
+    outs = {}
     for r in range(1 << m):
         acc = None
         for k in range(1 << m):
-            term = mat[r, k] * vf[k]
+            term = mat[r, k] * slices[k]
             acc = term if acc is None else acc + term
-        outs.append(acc)
-    out = jnp.stack(outs, axis=0).reshape((2,) * m + rest)
-    out = jnp.moveaxis(out, range(m), front)
+        outs[r] = acc
+    # restore removed axes: descending view position (innermost target
+    # first); at step i the reduced array keeps axes {0, 2, .., 2i} of the
+    # view below position 2i+1, so the restored axis lands at index i+1
+    for i in range(m - 1, -1, -1):
+        j = targets.index(desc[i])
+        nxt = {}
+        for r, arr in outs.items():
+            if (r >> j) & 1:
+                continue
+            hi = outs[r | (1 << j)]
+            nxt[r] = jnp.stack([arr, hi], axis=i + 1)
+        outs = nxt
+    (out,) = outs.values()
     return out.reshape(vec.shape)
 
 
@@ -122,12 +138,17 @@ def apply_op_pair(re: jnp.ndarray, im: jnp.ndarray, op,
     pvals = tuple(op.params) if params_resolved is None \
         else tuple(params_resolved)
     if op.matrix is not None:
-        m = jnp.asarray(op.matrix)
-        m_re = jnp.real(m).astype(re.dtype)
-        m_im_arr = jnp.imag(m).astype(re.dtype)
-        is_real = (isinstance(op.matrix, np.ndarray)
-                   and np.allclose(np.imag(op.matrix), 0.0))
-        m_im = None if is_real else m_im_arr
+        if isinstance(op.matrix, np.ndarray):
+            # split on HOST — a complex constant embedded in the traced
+            # program would reintroduce c128 into the fp64 pipeline
+            mh = np.asarray(op.matrix)
+            m_re = jnp.asarray(np.real(mh), re.dtype)
+            m_im = None if np.allclose(np.imag(mh), 0.0) \
+                else jnp.asarray(np.imag(mh), re.dtype)
+        else:  # traced matrix (adjoint-grad embeds tracers)
+            m = jnp.asarray(op.matrix)
+            m_re = jnp.real(m).astype(re.dtype)
+            m_im = jnp.imag(m).astype(re.dtype)
     else:
         m_re, m_im = gate_parts(op.name, pvals)
     if op.is_adjoint:
