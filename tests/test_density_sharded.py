@@ -112,3 +112,34 @@ class TestShardedDensity:
         txt = jax.jit(run).lower(rho0).compile().as_text()
         assert "all-gather" not in txt
         assert len(_re.findall("all-to-all", txt)) > 0
+
+    def test_factored_phase_flip_comm_free_on_global_qubit(self):
+        # a phase-flip channel factors to ONE "D2M" diagonal
+        # (density.superop_kernel_ops); diagonals need no relabeling, so
+        # the channel on a device-selecting qubit compiles with ZERO
+        # collectives in the sharded density engine
+        import re as _re
+        from rocquantum_tpu.compiler.sharded_schedule import (
+            schedule_for_sharding)
+        from rocquantum_tpu.compiler.interpreter import execute
+        from rocquantum_tpu.parallel import num_global_qubits, state_sharding
+        from rocquantum_tpu.ops import density as dmops
+
+        n = 6
+        mesh = make_mesh(8)
+        sharding = state_sharding(mesh)
+        s = dmops.kraus_superoperator(dmops.phase_flip_kraus(0.2), xp=np)
+        fops = dmops.superop_kernel_ops(s, n - 1, 2 * n - 1)
+        assert fops is not None and [o.name for o in fops] == ["D2M"]
+        sched, _ = schedule_for_sharding(fops, 2 * n,
+                                         num_global_qubits(mesh))
+
+        def run(rho):
+            out = execute(rho, sched, None, sharding=sharding)
+            return jax.lax.with_sharding_constraint(out, sharding)
+
+        rho0 = jax.jit(lambda: dmops.init_density(n),
+                       out_shardings=sharding)()
+        txt = jax.jit(run).lower(rho0).compile().as_text()
+        assert not _re.findall("all-gather|all-to-all|collective-permute",
+                               txt)
