@@ -177,14 +177,43 @@ class DensityCircuit(_GateMethods):
             return jax.jit(lambda: dmops.init_density(n))()
         return jax.jit(lambda: dmops.init_density(n), out_shardings=sh)()
 
+    # Per-program op budget: gates expand to 2 ops on the 2n view and a
+    # factored channel to ~4, and one >300-op jitted program OOM-kills the
+    # remote XLA compile service — so a long queue flushes as a CHAIN of
+    # programs (same rule as Circuit's 96-item segments).
+    _SEGMENT_OPS = 90
+
     def flush(self):
         if not self._queue:
             if self._rho is None:
                 self._rho = self._init_rho()
             return
+        queue, self._queue = list(self._queue), []
+
+        def cost(item):
+            k = item[0]
+            if k == "gate":
+                return 2
+            if k == "channel":
+                return 4 * len(item[3])
+            return 4  # kraus
+        chunks, cur, acc = [], [], 0
+        for item in queue:
+            c = cost(item)
+            if cur and acc + c > self._SEGMENT_OPS:
+                chunks.append(cur)
+                cur, acc = [], 0
+            cur.append(item)
+            acc += c
+        if cur:
+            chunks.append(cur)
+        for chunk in chunks:
+            self._flush_items(chunk)
+
+    def _flush_items(self, queue):
         # split angles into a runtime vector for structure-keyed caching
         key_items, values = [], []
-        for item in self._queue:
+        for item in queue:
             if item[0] == "gate" and item[4]:
                 slots = tuple(range(len(values), len(values) + len(item[4])))
                 values.extend(item[4])
@@ -264,7 +293,6 @@ class DensityCircuit(_GateMethods):
             self._rho = self._init_rho()
         params = jnp.asarray(values, dtype=config.real_dtype())
         self._rho = fn(self._rho, params)
-        self._queue.clear()
 
     def _flush_sharded(self, key_items, values):
         """Sharded flush: schedule the segment's 2n-qubit ops through the
@@ -374,7 +402,6 @@ class DensityCircuit(_GateMethods):
         params = jnp.asarray(values, dtype=config.real_dtype())
         self._rho = fn(self._rho, params)
         self._layout2n = list(new_layout)
-        self._queue.clear()
 
     def _restore_layout(self):
         """Undo the locality relabeling so readbacks address logical bits."""

@@ -66,37 +66,36 @@ def _apply_real_elementwise(vec: jnp.ndarray, mat: jnp.ndarray,
     desc = sorted(targets, reverse=True)
     dims = sv._exposed_view_dims(n, desc)
     v = vec.reshape(dims)
-    # slice out the 2^m basis combinations by fixed indices on the size-2
-    # axes (NO transposes — a moveaxis here materialized ~17 GiB of
-    # layout-change copies at n=26), combine elementwise, and restore the
-    # axes by nested stacks innermost-first.
+    # XOR-flip formulation:  out = sum_d flip_d(v) * C_d  where flip_d
+    # reverses the size-2 axes in the bit-mask d (the partner permutation)
+    # and C_d[r] = mat[r, r ^ d] broadcast over the target axes. Pure
+    # fused elementwise — no slices, stacks or transposes (slice/stack and
+    # moveaxis assemblies both blew HBM at n=26: ~17 GiB of materialized
+    # temporaries; this form keeps peak at ~2 states).
     ax_of = {q: 2 * i + 1 for i, q in enumerate(desc)}
-    slices = []
-    for k in range(1 << m):
-        idx = [slice(None)] * len(dims)
-        for j, q in enumerate(targets):  # targets[0] = LSB of matrix index
-            idx[ax_of[q]] = (k >> j) & 1
-        slices.append(v[tuple(idx)])
-    outs = {}
-    for r in range(1 << m):
-        acc = None
-        for k in range(1 << m):
-            term = mat[r, k] * slices[k]
-            acc = term if acc is None else acc + term
-        outs[r] = acc
-    # restore removed axes: descending view position (innermost target
-    # first); at step i the reduced array keeps axes {0, 2, .., 2i} of the
-    # view below position 2i+1, so the restored axis lands at index i+1
-    for i in range(m - 1, -1, -1):
-        j = targets.index(desc[i])
-        nxt = {}
-        for r, arr in outs.items():
-            if (r >> j) & 1:
-                continue
-            hi = outs[r | (1 << j)]
-            nxt[r] = jnp.stack([arr, hi], axis=i + 1)
-        outs = nxt
-    (out,) = outs.values()
+    rows = np.arange(1 << m)
+    # view-axis bit order: position 2i+1 holds qubit desc[i]; r's bit j is
+    # targets[j] — permutation from view multi-index to matrix index r
+    view_to_r = np.zeros(1 << m, dtype=np.int64)
+    for vi in range(1 << m):
+        r = 0
+        for i in range(m):
+            if (vi >> (m - 1 - i)) & 1:  # axis order: desc[0] outermost
+                r |= 1 << targets.index(desc[i])
+        view_to_r[vi] = r
+    cshape = [1] * len(dims)
+    for i in range(m):
+        cshape[2 * i + 1] = 2
+    out = None
+    for d in range(1 << m):
+        c = mat[rows, rows ^ d]          # XOR-diagonal of the matrix
+        c = c[view_to_r].reshape(cshape)  # broadcast over non-target axes
+        term = v
+        for i in range(m):
+            if (d >> targets.index(desc[i])) & 1:
+                term = jnp.flip(term, axis=2 * i + 1)
+        term = term * c
+        out = term if out is None else out + term
     return out.reshape(vec.shape)
 
 

@@ -114,3 +114,30 @@ class TestFusedGateRuns:
         assert abs(np.trace(with_pallas) - 1.0) < 1e-5
         np.testing.assert_allclose(with_pallas,
                                    with_pallas.conj().T, atol=1e-5)
+
+
+def test_long_queue_flush_segments_into_chained_programs():
+    """A queue past the per-program op budget flushes as a CHAIN of jitted
+    programs (one >300-op program OOM-kills the remote compile service) and
+    matches the reference computed directly on rho."""
+    import jax
+    import rocquantum_tpu as rocq
+    from rocquantum_tpu.density_circuit import DensityCircuit
+    from rocquantum_tpu.ops import density as dmops
+
+    n = 3
+    dc = DensityCircuit(n, rocq.Simulator())
+    rho = jax.jit(lambda: dmops.init_density(n))()
+    rng = np.random.default_rng(0)
+    for i in range(120):  # gates cost 2, channels 4: ~10 segments
+        q = int(rng.integers(0, n))
+        th = float(rng.normal())
+        dc.ry(th, q)
+        rho = dmops.apply_gate_dm(rho, "RY", [q], [], [th])
+        if i % 5 == 0:
+            dc.apply_channel("depolarizing", 0.02, [q])
+            rho = dmops.apply_channel(rho, "depolarizing", 0.02, [q])
+    dc.flush()
+    got = np.asarray(dmops.to_matrix(dc.state))
+    want = np.asarray(dmops.to_matrix(rho))
+    np.testing.assert_allclose(got, want, atol=1e-5)
