@@ -35,16 +35,16 @@ LAYERS = 32
 
 
 def reps_for(n: int) -> int:
-    """Layers per fori_loop body: the multi-pair planner packs all REPS
+    """Layers per unrolled body: the multi-pair planner packs all REPS
     layers' gates into shared kernel passes (the window pass carries every
     layer's in-window gates), so HBM passes per layer shrink as REPS grows.
-    Measured n=29: REPS 2/4/8/16/32 -> 544/678/795/870/934 gates/s
-    (n=30: 8 -> 426, 16 -> 446); compile time also grows, so default to
-    the knee (16)."""
+    Measured (unrolled bodies): n=30 REPS 16 -> 2577, 32 -> 3486 gates/s;
+    n=29 REPS 32 -> 6662. Default 32 (= the whole measurement as ONE
+    body); the probe falls back 16 -> 8 on cold-compile timeouts."""
     env = os.environ.get("ROCQ_BENCH_REPS")
     if env:
         return int(env)
-    return 16
+    return 32
 SIZES = (30, 29, 28, 26, 24)
 PER_SIZE_TIMEOUT_S = 480
 QFT_TIMEOUT_S = 480
@@ -289,15 +289,16 @@ def bench_fp64(n):
     from rocquantum_tpu import config
     config.set_precision("double")
     from rocquantum_tpu.ops import pairsim
-    from rocquantum_tpu.ops.gates import ry_parts
 
     @jax.jit
     def prog(params):
         re, im = pairsim.init_pair(n)
         for _ in range(FP64_REPS):
             for q in range(n):
-                m_re, _ = ry_parts(params[q])
-                re, im = pairsim.apply_matrix_pair(re, im, m_re, None, [q])
+                # scalar ROWS, never a small stacked matrix (this stack
+                # silently rounds small f64 arrays to f32 — pairsim notes)
+                rows, _ = pairsim.gate_rows("RY", (params[q],))
+                re, im = pairsim.apply_matrix_pair(re, im, rows, None, [q])
         return pairsim.norm2_pair(re, im)
 
     params = jnp.asarray(np.linspace(0.1, 1.0, n))
@@ -419,11 +420,14 @@ def probe():
         rec = _probe_subprocess(["--size", str(n)], "gates_per_sec",
                                 timeout=PER_SIZE_TIMEOUT_S)
         if rec is None and not os.environ.get("ROCQ_BENCH_REPS"):
-            # auto-tuned REPS fallback: a cold-cache compile at REPS=16 can
-            # blow the per-size budget; halve the program size and retry
-            rec = _probe_subprocess(["--size", str(n)], "gates_per_sec",
-                                    timeout=PER_SIZE_TIMEOUT_S,
-                                    env_extra={"ROCQ_BENCH_REPS": "8"})
+            # auto-tuned REPS fallback: a cold-cache compile at REPS=32 can
+            # blow the per-size budget; shrink the program and retry
+            for reps in ("16", "8"):
+                rec = _probe_subprocess(["--size", str(n)], "gates_per_sec",
+                                        timeout=PER_SIZE_TIMEOUT_S,
+                                        env_extra={"ROCQ_BENCH_REPS": reps})
+                if rec is not None:
+                    break
         if rec is not None:
             return rec["n"], rec["gates_per_sec"]
     return None, None

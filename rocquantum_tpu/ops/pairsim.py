@@ -9,11 +9,12 @@ simulation in explicit real arithmetic: a gate is
 
     re' = M_re @ re - M_im @ im      im' = M_re @ im + M_im @ re
 
-where each ``@`` is a scatter-free slice-multiply-add over the exposed
-target axes (NEVER a dot/einsum: TPU f64 DOTS silently run at ~f32
-accuracy; elementwise f64 keeps double-single precision — and never a
-transpose: moveaxis materialized ~17 GiB of layout copies at n=26). Real
-matrices skip the two ``M_im`` passes. This is also what
+where each ``@`` is a strictly FLAT roll+mask formulation (NEVER a
+dot/einsum — TPU f64 DOTS run at ~f32 accuracy even at
+Precision.HIGHEST — and never a multi-dim view: 2-D f64 elementwise
+drifts at f32 grade and f64 axis-reductions are broken outright on this
+stack; see _apply_real_elementwise). Real matrices skip the two
+``M_im`` passes. This is also what
 the reference's ``ROCQ_PRECISION_DOUBLE`` kernels ultimately execute:
 explicit real FMA pairs (hipStateVec.h:7-15, single_qubit_kernels.hip:49-71).
 
@@ -31,7 +32,7 @@ import jax.numpy as jnp
 
 from .. import config
 from . import gates as G
-from . import statevec as sv
+
 
 
 def init_pair(n: int, dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -41,61 +42,77 @@ def init_pair(n: int, dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return re, jnp.zeros((1 << n,), dt)
 
 
-def _controlled_parts(m_re, m_im, m: int, c: int):
-    """Embed a 2^m x 2^m gate-part pair into the 2^(m+c) controlled matrix
-    (controls = HIGH matrix-index bits, the engine's convention): identity
-    everywhere except the all-controls-one block."""
+def _controlled_rows(m_re, m_im, m: int, c: int):
+    """Embed 2^m x 2^m gate-part SCALAR ROWS into the 2^(m+c) controlled
+    matrix (controls = HIGH matrix-index bits): identity everywhere except
+    the all-controls-one block. Rows stay nested Python lists of scalars —
+    materializing a small f64 array on this TPU stack silently rounds its
+    values to f32 (measured c^2+s^2-1 ~ -7.5e-9 per RY matrix)."""
     dim = 1 << (m + c)
     sub = 1 << m
-    eye = jnp.eye(dim, dtype=m_re.dtype)
-    full_re = eye.at[dim - sub:, dim - sub:].set(m_re)
-    full_im = jnp.zeros((dim, dim), m_re.dtype).at[
-        dim - sub:, dim - sub:].set(m_im) if m_im is not None else None
+    full_re = [[1.0 if i == j else 0.0 for j in range(dim)]
+               for i in range(dim)]
+    full_im = None if m_im is None else         [[0.0] * dim for _ in range(dim)]
+    for i in range(sub):
+        for j in range(sub):
+            full_re[dim - sub + i][dim - sub + j] = m_re[i][j]
+            if m_im is not None:
+                full_im[dim - sub + i][dim - sub + j] = m_im[i][j]
     return full_re, full_im
 
 
-def _apply_real_elementwise(vec: jnp.ndarray, mat: jnp.ndarray,
+def _apply_real_elementwise(vec: jnp.ndarray, mat,
                             targets: Sequence[int]) -> jnp.ndarray:
-    """Apply a real 2^m x 2^m matrix to a real vector via explicit
-    slice-multiply-add — NEVER einsum/dot_general: TPU f64 is emulated and
-    its DOTS silently run at ~f32 accuracy (measured 4e-7 norm drift over
-    52 RY einsums at n=26), while elementwise f64 keeps double-single
-    accuracy. 2^m scalar*slice FMAs per output slice; m is small (<=4)."""
+    """Apply a real 2^m x 2^m matrix to a real vector via flat roll+mask
+    arithmetic — NEVER einsum/dot_general (TPU f64 DOTS run at ~f32
+    accuracy: measured 4e-7 norm drift over 52 RY einsums at n=26, even
+    at Precision.HIGHEST); m is small (<=4)."""
     n = vec.size.bit_length() - 1
     m = len(targets)
-    desc = sorted(targets, reverse=True)
-    dims = sv._exposed_view_dims(n, desc)
-    v = vec.reshape(dims)
-    # XOR-flip formulation:  out = sum_d flip_d(v) * C_d  where flip_d
-    # reverses the size-2 axes in the bit-mask d (the partner permutation)
-    # and C_d[r] = mat[r, r ^ d] broadcast over the target axes. Pure
-    # fused elementwise — no slices, stacks or transposes (slice/stack and
-    # moveaxis assemblies both blew HBM at n=26: ~17 GiB of materialized
-    # temporaries; this form keeps peak at ~2 states).
-    ax_of = {q: 2 * i + 1 for i, q in enumerate(desc)}
-    rows = np.arange(1 << m)
-    # view-axis bit order: position 2i+1 holds qubit desc[i]; r's bit j is
-    # targets[j] — permutation from view multi-index to matrix index r
-    view_to_r = np.zeros(1 << m, dtype=np.int64)
-    for vi in range(1 << m):
-        r = 0
-        for i in range(m):
-            if (vi >> (m - 1 - i)) & 1:  # axis order: desc[0] outermost
-                r |= 1 << targets.index(desc[i])
-        view_to_r[vi] = r
-    cshape = [1] * len(dims)
-    for i in range(m):
-        cshape[2 * i + 1] = 2
+    # STRICTLY FLAT 1-D formulation. Measured on this TPU stack's f64
+    # emulation: flat elementwise ops and flat reductions are exact, but
+    # (a) exposing qubits as size-2 axes pads every buffer 4-512x (17 GiB
+    # budgeted for FOUR n=26 gates), (b) 2-D elementwise f64 views drift
+    # at ~f32 grade (2.2e-8 norm loss per gate), and (c) f64 AXIS
+    # reductions are outright broken (9e-2 error on a unit norm). So: the
+    # partner amplitude x[idx ^ 2^q] is two flat rolls + a bit-mask
+    # select, and  out = sum_d partner_d(x) * coef_d  with coef_d the
+    # mask-selected XOR-diagonal mat[r, r ^ d] — pure fused 1-D math.
+    x = vec
+    iota = jax.lax.iota(jnp.int32, 1 << n)
+
+    def bitmask(q):
+        return ((iota >> q) & 1).astype(bool)
+
+    def partner(arr, q):
+        s = 1 << q
+        return jnp.where(bitmask(q), jnp.roll(arr, s),
+                         jnp.roll(arr, -s))
+
+    tmasks = [bitmask(q) for q in targets]
+
+    def coef(d):
+        # nested mask-select over the target bits: value mat[r][r ^ d]
+        def rec(j, r):
+            if j == m:
+                return mat[r][r ^ d]
+            return jnp.where(tmasks[j], rec(j + 1, r | (1 << j)),
+                             rec(j + 1, r))
+        return rec(0, 0)
+
     out = None
     for d in range(1 << m):
-        c = mat[rows, rows ^ d]          # XOR-diagonal of the matrix
-        c = c[view_to_r].reshape(cshape)  # broadcast over non-target axes
-        term = v
-        for i in range(m):
-            if (d >> targets.index(desc[i])) & 1:
-                term = jnp.flip(term, axis=2 * i + 1)
-        term = term * c
+        if all(isinstance(mat[r][r ^ d], float) and mat[r][r ^ d] == 0.0
+               for r in range(1 << m)):
+            continue  # structurally-zero XOR-diagonal (e.g. diagonal gates)
+        term = x
+        for j in range(m):
+            if (d >> j) & 1:
+                term = partner(term, targets[j])
+        term = term * coef(d)
         out = term if out is None else out + term
+    if out is None:
+        out = jnp.zeros_like(x)
     return out.reshape(vec.shape)
 
 
@@ -113,21 +130,91 @@ def apply_matrix_pair(re: jnp.ndarray, im: jnp.ndarray,
     return a - c, b + d
 
 
-def gate_parts(name: str, params=()):
-    """(re, im) parts of a named gate's matrix; ``im`` is None for real
-    matrices. Traced params supported (the energy-fn path)."""
+def _rows_from_numpy(mh):
+    """Nested scalar rows (re, im|None) from a host complex matrix —
+    Python floats, never a device array (see _controlled_rows)."""
+    dim = mh.shape[0]
+    re_rows = [[float(mh[i, j].real) for j in range(dim)]
+               for i in range(dim)]
+    if np.allclose(np.imag(mh), 0.0):
+        return re_rows, None
+    im_rows = [[float(mh[i, j].imag) for j in range(dim)]
+               for i in range(dim)]
+    return re_rows, im_rows
+
+
+def _ry_rows(theta):
+    theta = jnp.asarray(theta, config.real_dtype())
+    c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
+    return [[c, -s], [s, c]], None
+
+
+def _rx_rows(theta):
+    theta = jnp.asarray(theta, config.real_dtype())
+    c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
+    return [[c, 0.0], [0.0, c]], [[0.0, -s], [-s, 0.0]]
+
+
+def _rz_rows(theta):
+    theta = jnp.asarray(theta, config.real_dtype())
+    c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
+    return [[c, 0.0], [0.0, c]], [[-s, 0.0], [0.0, s]]
+
+
+def _p_rows(lam):
+    lam = jnp.asarray(lam, config.real_dtype())
+    return ([[1.0, 0.0], [0.0, jnp.cos(lam)]],
+            [[0.0, 0.0], [0.0, jnp.sin(lam)]])
+
+
+def _rzz_rows(theta):
+    theta = jnp.asarray(theta, config.real_dtype())
+    c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
+    re = [[0.0] * 4 for _ in range(4)]
+    im = [[0.0] * 4 for _ in range(4)]
+    for k, sg in enumerate((-1.0, 1.0, 1.0, -1.0)):
+        re[k][k] = c
+        im[k][k] = sg * s
+    return re, im
+
+
+def _u3_rows(theta, phi, lam):
+    theta = jnp.asarray(theta, config.real_dtype())
+    phi = jnp.asarray(phi, config.real_dtype())
+    lam = jnp.asarray(lam, config.real_dtype())
+    c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
+    re = [[c, -jnp.cos(lam) * s],
+          [jnp.cos(phi) * s, jnp.cos(phi + lam) * c]]
+    im = [[0.0, -jnp.sin(lam) * s],
+          [jnp.sin(phi) * s, jnp.sin(phi + lam) * c]]
+    return re, im
+
+
+_ROWS_BUILDERS = {"RX": _rx_rows, "RY": _ry_rows, "RZ": _rz_rows,
+                  "P": _p_rows, "PHASE": _p_rows, "U3": _u3_rows,
+                  "RZZ": _rzz_rows}
+
+
+def gate_rows(name: str, params=()):
+    """(re, im) SCALAR ROWS of a named gate's matrix; ``im`` is None for
+    real matrices. Traced params supported (the energy-fn path)."""
     key = name.upper()
     if key in ("CNOT", "CX"):
         key = "X"
+    if key in _ROWS_BUILDERS:
+        return _ROWS_BUILDERS[key](*params)
     if key in G.FIXED:
-        m = np.asarray(G.FIXED[key])
-        re = jnp.asarray(m.real, config.real_dtype())
-        if np.allclose(m.imag, 0.0):
-            return re, None
-        return re, jnp.asarray(m.imag, config.real_dtype())
-    if key in G.PARAMETERIZED_PARTS:
-        return G.PARAMETERIZED_PARTS[key](*params)
+        return _rows_from_numpy(np.asarray(G.FIXED[key]))
     raise ValueError(f"Unknown gate name: {name}")
+
+
+def _rows_adjoint(m_re, m_im):
+    dim = len(m_re)
+    re_t = [[m_re[j][i] for j in range(dim)] for i in range(dim)]
+    if m_im is None:
+        return re_t, None
+    im_t = [[-m_im[j][i] for j in range(dim)] for i in range(dim)]
+    return re_t, im_t
 
 
 def apply_op_pair(re: jnp.ndarray, im: jnp.ndarray, op,
@@ -138,26 +225,25 @@ def apply_op_pair(re: jnp.ndarray, im: jnp.ndarray, op,
         else tuple(params_resolved)
     if op.matrix is not None:
         if isinstance(op.matrix, np.ndarray):
-            # split on HOST — a complex constant embedded in the traced
-            # program would reintroduce c128 into the fp64 pipeline
-            mh = np.asarray(op.matrix)
-            m_re = jnp.asarray(np.real(mh), re.dtype)
-            m_im = None if np.allclose(np.imag(mh), 0.0) \
-                else jnp.asarray(np.imag(mh), re.dtype)
-        else:  # traced matrix (adjoint-grad embeds tracers)
+            m_re, m_im = _rows_from_numpy(
+                np.asarray(op.matrix, np.complex128))
+        else:  # traced matrix (adjoint-grad embeds tracers); entries
+            # extracted as scalars — the array itself may already be
+            # f32-rounded on this stack (fp32-path only)
             m = jnp.asarray(op.matrix)
-            m_re = jnp.real(m).astype(re.dtype)
-            m_im = jnp.imag(m).astype(re.dtype)
+            dim = m.shape[0]
+            m_re = [[jnp.real(m[i, j]).astype(re.dtype)
+                     for j in range(dim)] for i in range(dim)]
+            m_im = [[jnp.imag(m[i, j]).astype(re.dtype)
+                     for j in range(dim)] for i in range(dim)]
     else:
-        m_re, m_im = gate_parts(op.name, pvals)
+        m_re, m_im = gate_rows(op.name, pvals)
     if op.is_adjoint:
-        m_re = m_re.T
-        m_im = None if m_im is None else -m_im.T
+        m_re, m_im = _rows_adjoint(m_re, m_im)
     tgts = list(op.targets)
     if op.controls:
-        m = len(tgts)
-        c = len(op.controls)
-        m_re, m_im = _controlled_parts(m_re, m_im, m, c)
+        m_re, m_im = _controlled_rows(m_re, m_im, len(tgts),
+                                      len(op.controls))
         tgts = tgts + list(op.controls)
     return apply_matrix_pair(re, im, m_re, m_im, tgts)
 
@@ -168,23 +254,21 @@ def norm2_pair(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
 
 def expval_pauli_product_z_pair(re: jnp.ndarray, im: jnp.ndarray,
                                 qubits: Sequence[int]) -> jnp.ndarray:
-    """<Z...Z> on the pair state (parity-weighted probabilities)."""
+    """<Z...Z> on the pair state: parity-weighted probabilities via
+    bit-mask sign flips, strictly FLAT (multi-dim f64 views/reductions are
+    broken on this TPU stack — see _apply_real_elementwise)."""
     n = re.size.bit_length() - 1
-    desc = sorted(set(int(q) for q in qubits), reverse=True)
-    dims = sv._exposed_view_dims(n, desc)
-    probs = (re * re + im * im).reshape(dims)
-    sign = jnp.asarray([1.0, -1.0], dtype=probs.dtype)
-    for i in range(len(desc)):
-        shape = [1] * len(dims)
-        shape[2 * i + 1] = 2
-        probs = probs * sign.reshape(shape)
-    return jnp.sum(probs)
+    s = re * re + im * im
+    iota = jax.lax.iota(jnp.int32, 1 << n)
+    for q in sorted(set(int(q) for q in qubits)):
+        s = jnp.where(((iota >> q) & 1).astype(bool), -s, s)
+    return jnp.sum(s)
 
 
-_PAULI_PARTS = {
-    "X": (np.array([[0.0, 1.0], [1.0, 0.0]]), None),
-    "Y": (None, np.array([[0.0, -1.0], [1.0, 0.0]])),
-    "Z": (np.array([[1.0, 0.0], [0.0, -1.0]]), None),
+_PAULI_ROWS = {
+    "X": ([[0.0, 1.0], [1.0, 0.0]], None),
+    "Y": (None, [[0.0, -1.0], [1.0, 0.0]]),
+    "Z": ([[1.0, 0.0], [0.0, -1.0]], None),
 }
 
 
@@ -197,13 +281,10 @@ def expval_pauli_string_pair(re: jnp.ndarray, im: jnp.ndarray,
         return expval_pauli_product_z_pair(re, im, zs) if zs \
             else norm2_pair(re, im)
     pre, pim = re, im
-    dt = re.dtype
     for ch, q in ops:
         if ch == "I":
             continue
-        mr, mi = _PAULI_PARTS[ch]
-        mr = None if mr is None else jnp.asarray(mr, dt)
-        mi = None if mi is None else jnp.asarray(mi, dt)
+        mr, mi = _PAULI_ROWS[ch]
         if mr is None:
             # purely imaginary matrix (Y): (re+i im)(i Mi) -> parts swap
             a = _apply_real_elementwise(pim, mi, [q])
