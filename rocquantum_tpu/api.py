@@ -284,8 +284,27 @@ class Circuit(_GateMethods):
         dp = BATCH_AXIS if BATCH_AXIS in self.mesh.axis_names else None
         return NamedSharding(self.mesh, P(dp, SV_AXIS))
 
+    def _use_pair(self) -> bool:
+        """fp64 circuits run the float-PAIR engine (ops/pairsim.py): the TPU
+        x64 rewriter cannot execute complex128 programs, so double precision
+        ships (re, im) f64 arrays and strictly-real arithmetic. Sharded and
+        batched fp64 circuits stay on the complex path (CPU-only). Sticky
+        once the state exists (precision flips don't re-type live states)."""
+        if self._state is not None:
+            return isinstance(self._state, tuple)
+        return (config.get_precision() == "double" and self.mesh is None
+                and self.batch_size == 1)
+
     def _init_fn(self):
         n, b = self.num_qubits, self.batch_size
+        if self._use_pair():
+            from .ops import pairsim
+            key = (n, "pair", config.get_precision())
+            fn = _INIT_CACHE.get(key)
+            if fn is None:
+                fn = jax.jit(lambda: pairsim.init_pair(n))
+                _INIT_CACHE[key] = fn
+            return fn
         sharding = self._sharding()
         bsharding = self._batch_sharding()
         key = (n, b, sharding, bsharding, config.get_precision())
@@ -320,6 +339,7 @@ class Circuit(_GateMethods):
         self._gate_queue.clear()
         self._is_dirty = False
         self._layout = list(range(self.num_qubits))
+        self._state = None  # re-decide pair-vs-complex for the new state
         self._state = self._init_fn()()
 
     def _phys(self, qubit: int) -> int:
@@ -332,6 +352,16 @@ class Circuit(_GateMethods):
             return
         from .compiler.sharded_schedule import unpermute_ops
         ops = unpermute_ops(self._layout)
+        if self._use_pair():
+            # pair engine: an index-bit swap on one device IS a SWAP gate
+            from .ops import pairsim
+            ops = [GateOp("SWAP", op.targets) for op in ops]
+            fn = pairsim.compile_pair_ir(CircuitIR(self.num_qubits, ops))
+            re, im = fn(*self._state,
+                        jnp.zeros((0,), dtype=config.real_dtype()))
+            self._state = (re, im)
+            self._layout = list(range(self.num_qubits))
+            return
         ir = CircuitIR(self.num_qubits, ops)
         fn = compile_ir(ir, fuse=False, sharding=self._sharding(),
                         batched=self.batch_size > 1,
@@ -372,6 +402,22 @@ class Circuit(_GateMethods):
             else jnp.zeros((0,), dtype=config.real_dtype())
         state = self.state
         from .compiler.interpreter import segment_ops
+        if self._use_pair():
+            # fp64: sequential exact pair programs (no fusion/Pallas — those
+            # kernels compute in f32); still segmented for the compile
+            # service, params stay runtime inputs
+            from .ops import pairsim
+            re, im = state
+            for segment in segment_ops(ops, self.num_qubits,
+                                       max_items=MAX_SEGMENT_OPS,
+                                       fuse=False):
+                fn = pairsim.compile_pair_ir(
+                    CircuitIR(self.num_qubits, segment))
+                re, im = fn(re, im, params)
+            self._state = (re, im)
+            self._gate_queue.clear()
+            self._is_dirty = False
+            return
         n_global = 0
         if self.mesh is not None:
             from .parallel.sharded import num_global_qubits
@@ -413,6 +459,13 @@ class Circuit(_GateMethods):
                 lambda s, o: sv.collapse_dyn(s, phys, o)))(
                     self.state, jnp.asarray(outcomes))
             return outcomes, probs
+        if self._use_pair():
+            from .ops import pairsim
+            p1 = float(pairsim.prob_one_pair_jit(*self.state, phys))
+            outcome = 1 if self.simulator.host_random() < p1 else 0
+            self._state = pairsim.collapse_pair_jit(*self.state, phys,
+                                                    outcome)
+            return outcome, (p1 if outcome == 1 else 1.0 - p1)
         p1 = float(sv.prob_one_jit(self.state, phys))
         outcome = 1 if self.simulator.host_random() < p1 else 0
         prob = p1 if outcome == 1 else 1.0 - p1
@@ -438,6 +491,12 @@ class Circuit(_GateMethods):
                 lambda s, k: sv.sample(s, qubits, num_shots, k)))(
                     self.state, keys)
             return np.asarray(out)
+        if self._use_pair():
+            from .ops import pairsim
+            out = pairsim.sample_pair_jit(*self.state, qubits=qubits,
+                                          shots=num_shots,
+                                          key=self.simulator.next_key())
+            return np.asarray(out)
         out = sv.sample_jit(self.state, qubits=qubits,
                             shots=num_shots, key=self.simulator.next_key())
         return np.asarray(out)
@@ -459,7 +518,10 @@ class Circuit(_GateMethods):
         TPU, so the transfer is a (real, imag) pair."""
         self.flush()
         self._restore_identity_layout()
-        re, im = sv.state_to_parts_jit(self.state)
+        if self._use_pair():
+            re, im = self.state
+        else:
+            re, im = sv.state_to_parts_jit(self.state)
         # batch_size > 1 returns the (batch, 2^n) array, one row per element
         return np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
 
@@ -470,7 +532,10 @@ class Circuit(_GateMethods):
         if start < 0 or size <= 0 or start + size > (1 << self.num_qubits):
             raise ValueError("slice out of range")
         self._restore_identity_layout()
-        if self.batch_size > 1:
+        if self._use_pair():
+            from .ops import pairsim
+            re, im = pairsim.slice_pair_jit(*self.state, start, size)
+        elif self.batch_size > 1:
             re, im = jax.jit(jax.vmap(
                 lambda s: sv.state_slice_parts(s, start, size)))(self.state)
         else:
@@ -481,6 +546,10 @@ class Circuit(_GateMethods):
         self.flush()
         qubits = list(qubits) if qubits is not None else list(range(self.num_qubits))
         phys = tuple(self._phys(q) for q in qubits)
+        if self._use_pair():
+            from .ops import pairsim
+            return np.asarray(pairsim.marginal_probs_pair_jit(
+                *self.state, qubits=phys)).astype(np.float64)
         if self.batch_size > 1:
             return np.asarray(jax.jit(jax.vmap(
                 lambda s: sv.marginal_probs(s, phys)))(self.state))
@@ -495,6 +564,12 @@ class Circuit(_GateMethods):
         self.flush()
         terms = [([(p, self._phys(q)) for p, q in ops], coeff)
                  for ops, coeff in pauli_operator.terms]
+        if self._use_pair():
+            from .ops import pairsim
+            terms_key = tuple(tuple(ops) for ops, _ in terms)
+            coeffs = tuple(float(c) for _, c in terms)
+            return float(pairsim.expval_terms_pair_jit(
+                *self.state, terms=terms_key, coeffs=coeffs))
         return expval_on_state(self.state, terms)
 
     def __del__(self):

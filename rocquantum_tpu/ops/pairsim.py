@@ -217,12 +217,23 @@ def _rows_adjoint(m_re, m_im):
     return re_t, im_t
 
 
-def apply_op_pair(re: jnp.ndarray, im: jnp.ndarray, op,
-                  params_resolved: Sequence = None):
-    """Apply one CircuitIR GateOp to the pair state. ``params_resolved``
-    overrides ``op.params`` (already-resolved traced values)."""
+def op_rows_targets(op, params_resolved: Sequence = None, dtype=None):
+    """Resolve a CircuitIR GateOp to ``(m_re, m_im|None, targets)`` scalar
+    rows with controls EMBEDDED (controls = high matrix-index bits appended
+    to targets). ``params_resolved`` overrides ``op.params`` (already-
+    resolved traced values). Implicitly-controlled names (CNOT/CZ/CRX/...
+    /CSWAP, incl. the DSL form carrying the control in ``targets``)
+    normalize exactly like the complex interpreter's _split_op."""
+    from ..compiler.interpreter import _split_op
+    base, ctrls, tgts0 = _split_op(op)
+    if (base, tuple(ctrls), tuple(tgts0)) != \
+            (op.name.upper(), tuple(op.controls), tuple(op.targets)):
+        import dataclasses as _dc
+        op = _dc.replace(op, name=base, targets=tuple(tgts0),
+                         controls=tuple(ctrls))
     pvals = tuple(op.params) if params_resolved is None \
         else tuple(params_resolved)
+    rdt = dtype or config.real_dtype()
     if op.matrix is not None:
         if isinstance(op.matrix, np.ndarray):
             m_re, m_im = _rows_from_numpy(
@@ -232,9 +243,9 @@ def apply_op_pair(re: jnp.ndarray, im: jnp.ndarray, op,
             # f32-rounded on this stack (fp32-path only)
             m = jnp.asarray(op.matrix)
             dim = m.shape[0]
-            m_re = [[jnp.real(m[i, j]).astype(re.dtype)
+            m_re = [[jnp.real(m[i, j]).astype(rdt)
                      for j in range(dim)] for i in range(dim)]
-            m_im = [[jnp.imag(m[i, j]).astype(re.dtype)
+            m_im = [[jnp.imag(m[i, j]).astype(rdt)
                      for j in range(dim)] for i in range(dim)]
     else:
         m_re, m_im = gate_rows(op.name, pvals)
@@ -245,6 +256,13 @@ def apply_op_pair(re: jnp.ndarray, im: jnp.ndarray, op,
         m_re, m_im = _controlled_rows(m_re, m_im, len(tgts),
                                       len(op.controls))
         tgts = tgts + list(op.controls)
+    return m_re, m_im, tgts
+
+
+def apply_op_pair(re: jnp.ndarray, im: jnp.ndarray, op,
+                  params_resolved: Sequence = None):
+    """Apply one CircuitIR GateOp to the pair state."""
+    m_re, m_im, tgts = op_rows_targets(op, params_resolved, dtype=re.dtype)
     return apply_matrix_pair(re, im, m_re, m_im, tgts)
 
 
@@ -306,3 +324,154 @@ def expval_terms_pair(re: jnp.ndarray, im: jnp.ndarray, terms, coeffs):
             ev = expval_pauli_string_pair(re, im, term)
         total = total + jnp.asarray(c, re.dtype) * ev
     return total
+
+
+# ---------------------------------------------------------------------------
+# Dynamics: measurement / collapse / sampling on the pair state
+# ---------------------------------------------------------------------------
+# Same discipline as gate application: strictly FLAT f64 arithmetic where
+# the result feeds the STATE (collapse norms, single-qubit probabilities —
+# flat elementwise + flat full reductions are the two f64 forms this TPU
+# stack executes exactly). Marginal histograms only feed sampling draws and
+# host readback, so they downcast the exactly-computed |amp|^2 vector to
+# f32 and use the ordinary view machinery (rocsvSample / rocsvMeasure
+# semantics, hipStateVec.h:327+; measurement_kernels.hip:37-247).
+
+def probs_pair(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    """|amplitude|^2 vector — one exact flat f64 elementwise pass."""
+    return re * re + im * im
+
+
+def prob_one_pair(re: jnp.ndarray, im: jnp.ndarray, qubit: int):
+    """P(qubit = 1): bit-masked flat reduction (exact in f64)."""
+    n = re.size.bit_length() - 1
+    iota = jax.lax.iota(jnp.int32, 1 << n)
+    bit = ((iota >> qubit) & 1).astype(re.dtype)
+    return jnp.sum((re * re + im * im) * bit)
+
+
+def collapse_pair(re: jnp.ndarray, im: jnp.ndarray, qubit: int, outcome):
+    """Project onto ``qubit = outcome`` (0/1, static or traced) and
+    renormalize — flat mask + flat norm reduction, all exact f64."""
+    n = re.size.bit_length() - 1
+    iota = jax.lax.iota(jnp.int32, 1 << n)
+    bit = (iota >> qubit) & 1
+    keep = bit == jnp.asarray(outcome, jnp.int32)
+    re = jnp.where(keep, re, jnp.zeros((), re.dtype))
+    im = jnp.where(keep, im, jnp.zeros((), im.dtype))
+    norm = jnp.sqrt(jnp.sum(re * re + im * im))
+    inv = 1.0 / jnp.maximum(norm, jnp.asarray(config.eps(), norm.dtype))
+    return re * inv, im * inv
+
+
+def _marginal_view_f32(re: jnp.ndarray, im: jnp.ndarray,
+                       qubits: Sequence[int]) -> jnp.ndarray:
+    """Marginal via the ordinary axis-sum view machinery on the f32
+    downcast of the exact |amp|^2 (f64 axis reductions are broken on this
+    stack): histogram-bin grade, for sampling draws only."""
+    from . import statevec as sv
+    qubits = list(qubits)
+    n = re.size.bit_length() - 1
+    k = len(qubits)
+    p = probs_pair(re, im).astype(jnp.float32)
+    desc = sorted(qubits, reverse=True)
+    dims = sv._exposed_view_dims(n, desc)
+    marg = p.reshape(dims).sum(axis=tuple(range(0, len(dims), 2)))
+    cur_pos = {q: i for i, q in enumerate(desc)}
+    perm = [cur_pos[qubits[k - 1 - j]] for j in range(k)]
+    return marg.transpose(perm).reshape((-1,))
+
+
+# above this many outcomes the exact path's one-reduction-per-bin cost
+# stops being worth it for anything but full-register reads
+_EXACT_MARGINAL_BINS = 256
+
+
+def marginal_probs_pair(re: jnp.ndarray, im: jnp.ndarray,
+                        qubits: Sequence[int]) -> jnp.ndarray:
+    """Marginal probability vector over ``qubits`` (qubits[0] = LSB of the
+    outcome index, statevec.marginal_probs convention) at FULL f64
+    accuracy where feasible: the full-register identity read is the exact
+    |amp|^2 vector itself, and small marginals (<= 256 outcomes) use one
+    exact flat masked f64 reduction per outcome. Larger partial marginals
+    fall back to the f32 view path (they feed histograms, not state)."""
+    qubits = list(qubits)
+    n = re.size.bit_length() - 1
+    k = len(qubits)
+    if qubits == list(range(n)):
+        return probs_pair(re, im)
+    if (1 << k) <= _EXACT_MARGINAL_BINS:
+        p64 = probs_pair(re, im)
+        iota = jax.lax.iota(jnp.int32, 1 << n)
+        zero = jnp.zeros((), p64.dtype)
+        outs = []
+        for out in range(1 << k):
+            keep = None
+            for j, q in enumerate(qubits):
+                m = ((iota >> q) & 1) == ((out >> j) & 1)
+                keep = m if keep is None else (keep & m)
+            outs.append(jnp.sum(jnp.where(keep, p64, zero)))
+        return jnp.stack(outs)
+    return _marginal_view_f32(re, im, qubits)
+
+
+def sample_pair(re: jnp.ndarray, im: jnp.ndarray, qubits: Sequence[int],
+                shots: int, key) -> jnp.ndarray:
+    """Draw ``shots`` outcomes from the marginal over ``qubits`` (Gumbel
+    categorical, like statevec.sample). Bins feed draws, not state — the
+    cheap f32 view marginal is enough."""
+    marg = _marginal_view_f32(re, im, qubits)
+    logits = jnp.log(jnp.maximum(marg, 1e-38))
+    return jax.random.categorical(key, logits, shape=(shots,)).astype(
+        jnp.int32)
+
+
+def slice_pair(re: jnp.ndarray, im: jnp.ndarray, start: int, size: int):
+    """(re, im) of amplitudes [start, start+size) — the
+    rocsvGetStateVectorSlice analog on the pair state."""
+    return (jax.lax.dynamic_slice(re, (start,), (size,)),
+            jax.lax.dynamic_slice(im, (start,), (size,)))
+
+
+# Jitted host entry points (static circuit metadata, dynamic state).
+slice_pair_jit = jax.jit(slice_pair, static_argnums=(2, 3))
+prob_one_pair_jit = jax.jit(prob_one_pair, static_argnums=(2,))
+collapse_pair_jit = jax.jit(collapse_pair, static_argnums=(2, 3))
+probs_pair_jit = jax.jit(probs_pair)
+marginal_probs_pair_jit = jax.jit(
+    marginal_probs_pair, static_argnames=("qubits",))
+sample_pair_jit = jax.jit(sample_pair, static_argnames=("qubits", "shots"))
+expval_terms_pair_jit = jax.jit(
+    expval_terms_pair, static_argnames=("terms", "coeffs"))
+
+
+# ---------------------------------------------------------------------------
+# Compiled pair programs (the fp64 Circuit.flush path)
+# ---------------------------------------------------------------------------
+
+from ..utils.cache import BoundedCache  # noqa: E402
+
+_PAIR_EXEC_CACHE = BoundedCache()
+
+
+def compile_pair_ir(ir):
+    """A jitted ``f(re, im, params) -> (re, im)`` for a CircuitIR, cached by
+    structural key (the fp64 twin of interpreter.compile_ir: no fusion or
+    Pallas — those kernels compute in f32 — just the exact sequential pair
+    ops; params stay runtime inputs so executables are reused across
+    parameter updates)."""
+    key = ("pair", ir.structural_key())
+    fn = _PAIR_EXEC_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from ..compiler.interpreter import _resolve_params
+    ops = list(ir.ops)
+
+    def run(re, im, params):
+        for op in ops:
+            re, im = apply_op_pair(re, im, op, _resolve_params(op, params))
+        return re, im
+
+    fn = jax.jit(run, donate_argnums=(0, 1))
+    _PAIR_EXEC_CACHE[key] = fn
+    return fn

@@ -26,11 +26,16 @@ def _to_parts(device_array: jax.Array):
     return np.asarray(re), np.asarray(im)
 
 
-def save_state(path: str, state: jax.Array, metadata: Optional[dict] = None):
-    """Write a (possibly sharded) complex device array to ``path`` (.npz)."""
-    re, im = _to_parts(state)
+def save_state(path: str, state, metadata: Optional[dict] = None):
+    """Write a (possibly sharded) complex device array — or an fp64
+    ``(re, im)`` float-pair state (Circuit pair mode) — to ``path`` (.npz).
+    Both forms produce the same on-disk pair format."""
+    if isinstance(state, tuple):
+        re, im = np.asarray(state[0]), np.asarray(state[1])
+    else:
+        re, im = _to_parts(state)
     meta = dict(metadata or {})
-    meta["shape"] = list(state.shape)
+    meta["shape"] = list(re.shape)
     np.savez(path, re=re, im=im, meta=json.dumps(meta))
 
 
@@ -83,4 +88,12 @@ def restore_circuit_checkpoint(path: str, circuit) -> None:
             f"{circuit.num_qubits}")
     circuit._gate_queue.clear()
     circuit._is_dirty = False
-    circuit._state = load_state(path, mesh=circuit.mesh)
+    circuit._state = None
+    if circuit._use_pair():
+        data = np.load(path if path.endswith(".npz") or os.path.exists(path)
+                       else path + ".npz", allow_pickle=False)
+        rdt = config.real_dtype()
+        circuit._state = (jnp.asarray(data["re"], dtype=rdt),
+                          jnp.asarray(data["im"], dtype=rdt))
+    else:
+        circuit._state = load_state(path, mesh=circuit.mesh)

@@ -111,6 +111,103 @@ def test_pair_expectations_match(double_precision):
         assert abs(want - got) < 1e-12, (string, want, got)
 
 
+class TestPairCircuit:
+    """fp64 Circuits run the pair engine end to end (flush, measurement,
+    sampling, readback) — the path TPU's x64 rewriter forces (c128
+    programs abort libtpu; see ops/pairsim.py)."""
+
+    def _make(self, seed=3):
+        sim = rocq.Simulator(seed=seed)
+        c = rocq.Circuit(3, sim)
+        c.h(0)
+        c.cx(0, 1)
+        c.rz(0.3, 2)
+        c.ry(1.1, 1)
+        c.swap(1, 2)
+        return c
+
+    def test_flush_runs_pair_engine(self, double_precision):
+        c = self._make()
+        psi = c.get_statevector()
+        assert isinstance(c._state, tuple)
+        assert c._state[0].dtype == jnp.float64
+        assert psi.dtype == np.complex128
+        # reference: same ops through the complex engine (fine on CPU)
+        ops = [("H", [0], [], []), ("CNOT", [1], [0], []),
+               ("RZ", [2], [], [0.3]), ("RY", [1], [], [1.1]),
+               ("SWAP", [1, 2], [], [])]
+        ir = CircuitIR(3)
+        for name, tg, ct, ps in ops:
+            ir.add(name, tg, controls=ct, params=ps)
+        want = jax.jit(lambda: execute(sv.init_state(3), list(ir.ops), None,
+                                       use_pallas=False))()
+        np.testing.assert_allclose(psi, np.asarray(want), atol=1e-12)
+
+    def test_measure_collapse_and_sample(self, double_precision):
+        sim = rocq.Simulator(seed=0)
+        c = rocq.Circuit(2, sim)
+        c.h(0)
+        c.cx(0, 1)
+        outcome, prob = c.measure(0)
+        assert outcome in (0, 1)
+        assert abs(prob - 0.5) < 1e-12
+        # Bell state collapsed: qubit 1 must equal qubit 0 in every shot
+        shots = c.sample([0, 1], 64)
+        assert set(np.asarray(shots).tolist()) == {0 if outcome == 0 else 3}
+        probs = c.get_probabilities()
+        want = np.zeros(4)
+        want[outcome * 3] = 1.0
+        np.testing.assert_allclose(probs, want, atol=1e-12)
+
+    def test_expval_and_slice(self, double_precision):
+        c = self._make()
+        h = rocq.PauliOperator({"Z0": 0.7, "X0 X1": 0.25, "Y1 Z2": -0.4,
+                                "I": 0.1})
+        ev = c.expval(h)
+        psi = c.get_statevector()
+        # dense reference on host
+        import functools
+        Ms = {"I": np.eye(2), "X": np.array([[0, 1], [1, 0]]),
+              "Y": np.array([[0, -1j], [1j, 0]]),
+              "Z": np.diag([1.0, -1.0])}
+        def dense(string):
+            chars = ["I"] * 3
+            for p, q in string:
+                chars[q] = p
+            # qubit 0 = LSB -> rightmost kron factor
+            return functools.reduce(np.kron,
+                                    [Ms[ch] for ch in reversed(chars)])
+        want = 0.0
+        for string, coeff in h.terms:
+            want += coeff * np.real(psi.conj() @ dense(string) @ psi)
+        assert abs(ev - want) < 1e-12
+        sl = c.get_statevector_slice(2, 4)
+        np.testing.assert_allclose(sl, psi[2:6], atol=1e-15)
+
+    def test_checkpoint_roundtrip(self, double_precision, tmp_path):
+        from rocquantum_tpu.utils.checkpoint import (
+            restore_circuit_checkpoint, save_circuit_checkpoint)
+        c = self._make()
+        psi = c.get_statevector()
+        path = str(tmp_path / "pair_ckpt.npz")
+        save_circuit_checkpoint(path, c)
+        c2 = rocq.Circuit(3, rocq.Simulator(seed=9))
+        restore_circuit_checkpoint(path, c2)
+        assert isinstance(c2._state, tuple)
+        np.testing.assert_allclose(c2.get_statevector(), psi, atol=1e-15)
+
+    def test_single_precision_unaffected(self):
+        assert config.get_precision() == "single"
+        sim = rocq.Simulator(seed=1)
+        c = rocq.Circuit(2, sim)
+        c.h(0)
+        c.cx(0, 1)
+        c.flush()
+        assert not isinstance(c._state, tuple)
+        psi = c.get_statevector()
+        assert abs(abs(psi[0]) - 2 ** -0.5) < 1e-6
+
+
 def test_energy_fn_pair_mode_gradients(double_precision):
     """make_energy_fn under double precision: the pair program's jax.grad
     matches parameter-shift and the complex-path rocq.grad to 1e-9."""
