@@ -170,8 +170,19 @@ class DensityCircuit(_GateMethods):
 
     # -- execution --------------------------------------------------------------
 
+    def _use_pair(self) -> bool:
+        """fp64 density circuits run the float-pair engine (ops/pairdm.py):
+        complex128 programs abort this TPU stack's x64 rewriter. Sharded
+        fp64 stays on the complex path (CPU-only). Sticky once rho exists."""
+        if self._rho is not None:
+            return isinstance(self._rho, tuple)
+        return config.get_precision() == "double" and self.mesh is None
+
     def _init_rho(self):
         n = self.num_qubits
+        if self._use_pair():
+            from .ops import pairdm
+            return jax.jit(lambda: pairdm.init_density_pair(n))()
         sh = self._sharding()
         if sh is None:
             return jax.jit(lambda: dmops.init_density(n))()
@@ -223,6 +234,8 @@ class DensityCircuit(_GateMethods):
         key_items = tuple(key_items)
         if self.mesh is not None:
             return self._flush_sharded(key_items, values)
+        if self._use_pair():
+            return self._flush_items_pair(key_items, values)
         cache_key = (self.num_qubits, key_items, config.get_precision())
         fn = _DM_RUN_CACHE.get(cache_key)
         if fn is None:
@@ -293,6 +306,52 @@ class DensityCircuit(_GateMethods):
             self._rho = self._init_rho()
         params = jnp.asarray(values, dtype=config.real_dtype())
         self._rho = fn(self._rho, params)
+
+    def _flush_items_pair(self, key_items, values):
+        """fp64 float-pair twin of the run loop: exact sequential pair ops
+        (no fused interpreter / superop factorization — those compute in
+        f32); params stay runtime inputs for structure-keyed caching."""
+        from .compiler.ir import GateOp
+        from .ops import pairdm
+
+        cache_key = ("pair", self.num_qubits, key_items)
+        fn = _DM_RUN_CACHE.get(cache_key)
+        if fn is None:
+            n = self.num_qubits
+
+            def run(re, im, params):
+                for item in key_items:
+                    kind = item[0]
+                    if kind == "gate":
+                        _, name, tgt, ctrl, vals, mat_key, adj = item
+                        if vals and vals[0] == "slots":
+                            vals = tuple(params[i] for i in vals[1:])
+                        mat = None
+                        if mat_key is not None:
+                            mat = np.frombuffer(
+                                mat_key[0], np.complex128).reshape(mat_key[1])
+                        op = GateOp(name, tuple(tgt), tuple(ctrl), (), mat,
+                                    adj)
+                        re, im = pairdm.apply_op_pair_dm(
+                            re, im, op, n, params_resolved=tuple(vals))
+                    elif kind == "channel":
+                        _, channel, prob, tgt = item
+                        re, im = pairdm.apply_channel_pair_dm(
+                            re, im, channel, prob, list(tgt), n)
+                    else:  # kraus
+                        _, mats, tgt = item
+                        ks = [np.frombuffer(b, np.complex128).reshape(shape)
+                              for b, shape in mats]
+                        re, im = pairdm.apply_kraus_pair_dm(
+                            re, im, ks, list(tgt), n)
+                return re, im
+
+            fn = jax.jit(run, donate_argnums=(0, 1))
+            _DM_RUN_CACHE[cache_key] = fn
+        if self._rho is None:
+            self._rho = self._init_rho()
+        params = jnp.asarray(values, dtype=config.real_dtype())
+        self._rho = fn(*self._rho, params)
 
     def _flush_sharded(self, key_items, values):
         """Sharded flush: schedule the segment's 2n-qubit ops through the
@@ -431,6 +490,7 @@ class DensityCircuit(_GateMethods):
     def reset(self):
         self._queue.clear()
         self._layout2n = list(range(2 * self.num_qubits))
+        self._rho = None  # re-decide pair-vs-complex for the new state
         self._rho = self._init_rho()
 
     # -- measurement / readback ----------------------------------------------
@@ -439,6 +499,14 @@ class DensityCircuit(_GateMethods):
         self.flush()
         self._restore_layout()
         self._validate_qubit_index(qubit)
+        if self._use_pair():
+            from .ops import pairdm
+            n = self.num_qubits
+            p1 = float(pairdm.prob_one_pair_dm_jit(self._rho[0], qubit, n))
+            outcome = 1 if self.simulator.host_random() < p1 else 0
+            self._rho = pairdm.collapse_pair_dm_jit(*self._rho, qubit,
+                                                    outcome, n)
+            return outcome, (p1 if outcome == 1 else 1.0 - p1)
         p1 = float(dmops.prob_one_dm_jit(self._rho, qubit))
         outcome = 1 if self.simulator.host_random() < p1 else 0
         prob = p1 if outcome == 1 else 1.0 - p1
@@ -448,6 +516,12 @@ class DensityCircuit(_GateMethods):
     def sample(self, measured_qubits: List[int], num_shots: int) -> np.ndarray:
         self.flush()
         self._restore_layout()
+        if self._use_pair():
+            from .ops import pairdm
+            out = pairdm.sample_pair_dm_jit(
+                self._rho[0], qubits=tuple(measured_qubits),
+                shots=num_shots, key=self.simulator.next_key())
+            return np.asarray(out)
         out = dmops.sample_dm_jit(self._rho, qubits=tuple(measured_qubits),
                                   shots=num_shots,
                                   key=self.simulator.next_key())
@@ -456,6 +530,11 @@ class DensityCircuit(_GateMethods):
     def get_density_matrix(self) -> np.ndarray:
         self.flush()
         self._restore_layout()
+        dim = 1 << self.num_qubits
+        if self._use_pair():
+            re, im = self._rho
+            return (np.asarray(re).reshape(dim, dim).astype(np.complex128)
+                    + 1j * np.asarray(im).reshape(dim, dim))
         mat = dmops.to_matrix(self._rho)
         re, im = jax.jit(lambda r: (jnp.real(r), jnp.imag(r)))(mat)
         return np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
@@ -463,6 +542,9 @@ class DensityCircuit(_GateMethods):
     def purity(self) -> float:
         self.flush()
         # purity is basis-independent: no layout restore needed
+        if self._use_pair():
+            from .ops import pairdm
+            return float(pairdm.purity_pair_dm_jit(*self._rho))
         return float(jax.jit(dmops.purity)(self._rho))
 
     def expval(self, pauli_operator: PauliOperator) -> float:
@@ -470,6 +552,13 @@ class DensityCircuit(_GateMethods):
             raise TypeError("Input must be a PauliOperator object.")
         self.flush()
         self._restore_layout()
+        if self._use_pair():
+            from .ops import pairdm
+            terms_key = tuple(tuple(ops) for ops, _ in pauli_operator.terms)
+            coeffs = tuple(float(c) for _, c in pauli_operator.terms)
+            return float(pairdm.expval_terms_pair_dm_jit(
+                *self._rho, terms=terms_key, coeffs=coeffs,
+                n=self.num_qubits))
         total = 0.0
         for ops, coeff in pauli_operator.terms:
             if not ops:

@@ -38,13 +38,29 @@ class DensityMatrixState:
         self._rho = None
         self._queue: List[tuple] = []
 
+    def _use_pair(self) -> bool:
+        """fp64 density states run the float-pair engine (ops/pairdm.py):
+        complex128 programs abort this TPU stack's x64 rewriter. Sticky
+        once the state exists."""
+        if self._rho is not None:
+            return isinstance(self._rho, tuple)
+        return config.get_precision() == "double"
+
     def _flush(self):
         if self._rho is None:
             n = self.num_qubits
-            self._rho = jax.jit(lambda: dmops.init_density(n))()
+            if self._use_pair():
+                from .ops import pairdm
+                self._rho = jax.jit(lambda: pairdm.init_density_pair(n))()
+            else:
+                self._rho = jax.jit(lambda: dmops.init_density(n))()
         if not self._queue:
             return
         queue = tuple(self._queue)
+        if self._use_pair():
+            self._rho = self._run_pair(queue)(*self._rho)
+            self._queue.clear()
+            return
 
         def run(rho):
             for item in queue:
@@ -74,6 +90,42 @@ class DensityMatrixState:
 
         self._rho = jax.jit(run, donate_argnums=(0,))(self._rho)
         self._queue.clear()
+
+    def _run_pair(self, queue):
+        """Jitted fp64 pair-engine twin of the queue run loop."""
+        from .compiler.ir import GateOp
+        from .ops import pairdm
+        n = self.num_qubits
+
+        def run(re, im):
+            for item in queue:
+                kind = item[0]
+                if kind == "matrix":
+                    _, mat_bytes, shape, targets, adjoint = item
+                    mat = np.frombuffer(mat_bytes,
+                                        np.complex128).reshape(shape)
+                    re, im = pairdm.apply_op_pair_dm(
+                        re, im, GateOp("UNITARY", tuple(targets), (), (),
+                                       mat, bool(adjoint)), n)
+                elif kind == "cmatrix":
+                    _, mat_bytes, shape, controls, targets = item
+                    mat = np.frombuffer(mat_bytes,
+                                        np.complex128).reshape(shape)
+                    re, im = pairdm.apply_op_pair_dm(
+                        re, im, GateOp("UNITARY", tuple(targets),
+                                       tuple(controls), (), mat), n)
+                elif kind == "gate":
+                    _, name, targets, controls, params = item
+                    re, im = pairdm.apply_op_pair_dm(
+                        re, im, GateOp(name.upper(), tuple(targets),
+                                       tuple(controls), tuple(params)), n)
+                else:  # channel
+                    _, channel, prob, targets = item
+                    re, im = pairdm.apply_channel_pair_dm(
+                        re, im, channel, prob, list(targets), n)
+            return re, im
+
+        return jax.jit(run, donate_argnums=(0, 1))
 
     # -- binding-parity API --------------------------------------------------
 
@@ -138,6 +190,16 @@ class DensityMatrixState:
         """<P_q> = Tr(P_q rho) (py_hip_density_mat.cpp:82)."""
         self._flush()
         p = pauli.value if isinstance(pauli, Pauli) else str(pauli).upper()
+        if self._use_pair():
+            from .ops import pairdm
+            n = self.num_qubits
+            if p == "I":
+                return float(pairdm.trace_pair_dm_jit(self._rho[0], n))
+            if p == "Z":
+                return float(pairdm.expval_z_pair_dm_jit(
+                    self._rho[0], qubit, n))
+            return float(pairdm.expval_pauli_string_pair_dm_jit(
+                *self._rho, ops=((p, qubit),), n=n))
         if p == "I":
             return float(dmops.trace_dm(self._rho))
         if p == "Z":
@@ -148,16 +210,29 @@ class DensityMatrixState:
     def _compute_z_product_expectation(self, z_indices: Sequence[int]) -> float:
         """(py_hip_density_mat.cpp:87)"""
         self._flush()
+        if self._use_pair():
+            from .ops import pairdm
+            return float(pairdm.expval_pauli_product_z_pair_dm_jit(
+                self._rho[0], qubits=tuple(z_indices), n=self.num_qubits))
         return float(dmops.expval_pauli_product_z_dm_jit(
             self._rho, qubits=tuple(z_indices)))
 
     def compute_pauli_string_expectation(self, ops: Sequence[tuple]) -> float:
         self._flush()
+        if self._use_pair():
+            from .ops import pairdm
+            return float(pairdm.expval_pauli_string_pair_dm_jit(
+                *self._rho, ops=tuple(ops), n=self.num_qubits))
         return float(dmops.expval_pauli_string_dm_jit(
             self._rho, ops=tuple(ops)))
 
     def get_density_matrix(self) -> np.ndarray:
         self._flush()
+        dim = 1 << self.num_qubits
+        if self._use_pair():
+            re, im = self._rho
+            return (np.asarray(re).reshape(dim, dim).astype(np.complex128)
+                    + 1j * np.asarray(im).reshape(dim, dim))
         mat = dmops.to_matrix(self._rho)
         re, im = jax.jit(lambda r: (jnp.real(r), jnp.imag(r)))(mat)
         return np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
