@@ -287,22 +287,30 @@ class Circuit(_GateMethods):
     def _use_pair(self) -> bool:
         """fp64 circuits run the float-PAIR engine (ops/pairsim.py): the TPU
         x64 rewriter cannot execute complex128 programs, so double precision
-        ships (re, im) f64 arrays and strictly-real arithmetic. Sharded and
-        batched fp64 circuits stay on the complex path (CPU-only). Sticky
-        once the state exists (precision flips don't re-type live states)."""
+        ships (re, im) f64 arrays and strictly-real arithmetic — including
+        SHARDED circuits (both parts sharded over 'sv'; relabels stay
+        all-to-all transposes). Batched fp64 stays on the complex path
+        (CPU-only). Sticky once the state exists (precision flips don't
+        re-type live states)."""
         if self._state is not None:
             return isinstance(self._state, tuple)
-        return (config.get_precision() == "double" and self.mesh is None
-                and self.batch_size == 1)
+        return (config.get_precision() == "double" and self.batch_size == 1)
 
     def _init_fn(self):
         n, b = self.num_qubits, self.batch_size
         if self._use_pair():
             from .ops import pairsim
-            key = (n, "pair", config.get_precision())
+            sharding = self._sharding()
+            key = (n, "pair", sharding, config.get_precision())
             fn = _INIT_CACHE.get(key)
             if fn is None:
-                fn = jax.jit(lambda: pairsim.init_pair(n))
+                def mk_pair():
+                    re, im = pairsim.init_pair(n)
+                    if sharding is not None:
+                        re = jax.lax.with_sharding_constraint(re, sharding)
+                        im = jax.lax.with_sharding_constraint(im, sharding)
+                    return re, im
+                fn = jax.jit(mk_pair)
                 _INIT_CACHE[key] = fn
             return fn
         sharding = self._sharding()
@@ -353,10 +361,14 @@ class Circuit(_GateMethods):
         from .compiler.sharded_schedule import unpermute_ops
         ops = unpermute_ops(self._layout)
         if self._use_pair():
-            # pair engine: an index-bit swap on one device IS a SWAP gate
+            # pair engine: on one device an index-bit swap IS a SWAP gate
+            # (exact roll+mask, no transpose materialization); sharded, the
+            # SWAP_BITS relabels go through the all-to-all transpose path
             from .ops import pairsim
-            ops = [GateOp("SWAP", op.targets) for op in ops]
-            fn = pairsim.compile_pair_ir(CircuitIR(self.num_qubits, ops))
+            if self.mesh is None:
+                ops = [GateOp("SWAP", op.targets) for op in ops]
+            fn = pairsim.compile_pair_ir(CircuitIR(self.num_qubits, ops),
+                                         sharding=self._sharding())
             re, im = fn(*self._state,
                         jnp.zeros((0,), dtype=config.real_dtype()))
             self._state = (re, im)
@@ -405,14 +417,16 @@ class Circuit(_GateMethods):
         if self._use_pair():
             # fp64: sequential exact pair programs (no fusion/Pallas — those
             # kernels compute in f32); still segmented for the compile
-            # service, params stay runtime inputs
+            # service, params stay runtime inputs. Sharded pair circuits
+            # were already scheduled above (relabels -> SWAP_BITS).
             from .ops import pairsim
             re, im = state
             for segment in segment_ops(ops, self.num_qubits,
                                        max_items=MAX_SEGMENT_OPS,
                                        fuse=False):
                 fn = pairsim.compile_pair_ir(
-                    CircuitIR(self.num_qubits, segment))
+                    CircuitIR(self.num_qubits, segment),
+                    sharding=self._sharding())
                 re, im = fn(re, im, params)
             self._state = (re, im)
             self._gate_queue.clear()

@@ -454,22 +454,44 @@ from ..utils.cache import BoundedCache  # noqa: E402
 _PAIR_EXEC_CACHE = BoundedCache()
 
 
-def compile_pair_ir(ir):
+def compile_pair_ir(ir, sharding=None):
     """A jitted ``f(re, im, params) -> (re, im)`` for a CircuitIR, cached by
     structural key (the fp64 twin of interpreter.compile_ir: no fusion or
     Pallas — those kernels compute in f32 — just the exact sequential pair
     ops; params stay runtime inputs so executables are reused across
-    parameter updates)."""
-    key = ("pair", ir.structural_key())
+    parameter updates).
+
+    With ``sharding`` (flat-state NamedSharding over the 'sv' mesh axis,
+    both parts identically sharded), SWAP_BITS relabels run as constrained
+    rank-5 transposes (XLA lowers them to the ICI all-to-all, exactly like
+    the complex engine) and everything else stays the strictly-flat pair
+    math: rolls touch only scheduled-local target bits, so XLA partitions
+    them as thin edge exchanges, and controls/diagonals are pure
+    elementwise masks — comm-free on device-selecting bits."""
+    key = ("pair", ir.structural_key(), sharding)
     fn = _PAIR_EXEC_CACHE.get(key)
     if fn is not None:
         return fn
     from ..compiler.interpreter import _resolve_params
+    from ..compiler.sharded_schedule import SWAP_BITS
+    from . import statevec as sv
     ops = list(ir.ops)
 
     def run(re, im, params):
         for op in ops:
-            re, im = apply_op_pair(re, im, op, _resolve_params(op, params))
+            if op.name == SWAP_BITS:
+                # always the transpose form: the einsum form would run an
+                # f64 dot (inexact on this stack); transposes are pure data
+                # movement. Only the sharded scheduler emits SWAP_BITS.
+                a, b = op.targets
+                re = sv.swap_index_bits(re, a, b, use_transpose=True)
+                im = sv.swap_index_bits(im, a, b, use_transpose=True)
+            else:
+                re, im = apply_op_pair(re, im, op,
+                                       _resolve_params(op, params))
+            if sharding is not None:
+                re = jax.lax.with_sharding_constraint(re, sharding)
+                im = jax.lax.with_sharding_constraint(im, sharding)
         return re, im
 
     fn = jax.jit(run, donate_argnums=(0, 1))

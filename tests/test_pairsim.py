@@ -208,6 +208,105 @@ class TestPairCircuit:
         assert abs(abs(psi[0]) - 2 ** -0.5) < 1e-6
 
 
+requires_multi = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+@requires_multi
+class TestShardedPairCircuit:
+    """fp64 pair circuits over a device mesh: both parts sharded over 'sv',
+    relabels as all-to-all transposes, diagonals comm-free — the sharded
+    statevector semantics (MULTI_GPU_GUIDE.md:44-78) at chemistry
+    accuracy."""
+
+    def _build(self, mesh, n=9):
+        sim = rocq.Simulator(seed=0)
+        c = rocq.Circuit(n, sim, mesh=mesh)
+        c.h(n - 1)              # global qubit -> relabel
+        c.cx(n - 1, 0)          # global control, local target
+        c.ry(0.4, n - 2)        # global target
+        c.rz(0.7, n - 1)        # diagonal on a global qubit: comm-free
+        c.swap(1, n - 1)        # cross local<->global swap
+        for q in range(n):
+            c.ry(0.05 * (q + 1), q)
+        return c
+
+    def test_matches_unsharded_pair_run(self, double_precision):
+        from rocquantum_tpu.parallel import make_mesh
+        n = 9
+        c_sh = self._build(make_mesh(8), n)
+        c_un = self._build(None, n)
+        psi_sh = c_sh.get_statevector()
+        assert isinstance(c_sh._state, tuple)
+        assert c_sh._state[0].dtype == jnp.float64
+        assert len(c_sh._state[0].sharding.device_set) == 8
+        np.testing.assert_allclose(psi_sh, c_un.get_statevector(),
+                                   atol=1e-12)
+        h = rocq.PauliOperator({"Z0": 0.5, f"Z{n-1}": -0.3,
+                                "X1 X2": 0.25, "I": 0.1})
+        assert abs(c_sh.expval(h) - c_un.expval(h)) < 1e-12
+
+    def test_measure_and_sample_sharded(self, double_precision):
+        from rocquantum_tpu.parallel import make_mesh
+        mesh = make_mesh(8)
+        n = 8
+        sim = rocq.Simulator(seed=0)
+        c = rocq.Circuit(n, sim, mesh=mesh)
+        c.h(n - 1)
+        c.cx(n - 1, 0)
+        outcome, prob = c.measure(n - 1)   # global-qubit measurement
+        assert abs(prob - 0.5) < 1e-12
+        shots = c.sample([0, n - 1], 32)
+        want = 0 if outcome == 0 else 3
+        assert set(np.asarray(shots).tolist()) == {want}
+
+    def test_pair_relabels_lower_to_all_to_all(self, double_precision):
+        """The compiled sharded pair program must relabel via all-to-all,
+        never all-gather (the partitioner's fallback)."""
+        import re as _re
+        from rocquantum_tpu.compiler.sharded_schedule import (
+            schedule_for_sharding)
+        from rocquantum_tpu.parallel import (make_mesh, num_global_qubits,
+                                             state_sharding)
+        mesh = make_mesh(8)
+        n = 12
+        ir = CircuitIR(n)
+        ir.add("H", [n - 1])
+        ir.add("CNOT", [0], controls=[n - 1])
+        ir.add("RY", [n - 2], params=[0.3])
+        ops, _ = schedule_for_sharding(ir.ops, n, num_global_qubits(mesh))
+        sharding = state_sharding(mesh)
+        fn = pairsim.compile_pair_ir(CircuitIR(n, ops), sharding=sharding)
+        shape = jax.ShapeDtypeStruct((1 << n,), jnp.float64,
+                                     sharding=sharding)
+        lowered = jax.jit(lambda r, i, p: fn(r, i, p)).lower(
+            shape, shape, jax.ShapeDtypeStruct((0,), jnp.float64))
+        txt = lowered.compile().as_text()
+        assert len(_re.findall("all-gather", txt)) == 0, "all-gather leaked"
+        assert len(_re.findall("all-to-all", txt)) > 0
+
+    def test_global_diagonal_is_comm_free(self, double_precision):
+        """An RZ on a device-selecting qubit is pure elementwise pair math:
+        zero collectives in the compiled program."""
+        from rocquantum_tpu.parallel import make_mesh, state_sharding
+        mesh = make_mesh(8)
+        n = 10
+        ir = CircuitIR(n)
+        ir.add("RZ", [n - 1], params=[0.7])
+        ir.add("CZ", [n - 2], controls=[n - 1])
+        sharding = state_sharding(mesh)
+        fn = pairsim.compile_pair_ir(CircuitIR(n, ir.ops),
+                                     sharding=sharding)
+        shape = jax.ShapeDtypeStruct((1 << n,), jnp.float64,
+                                     sharding=sharding)
+        lowered = jax.jit(lambda r, i, p: fn(r, i, p)).lower(
+            shape, shape, jax.ShapeDtypeStruct((0,), jnp.float64))
+        txt = lowered.compile().as_text()
+        for coll in ("all-gather", "all-to-all", "all-reduce",
+                     "collective-permute"):
+            assert coll not in txt, f"{coll} in a diagonal-only program"
+
+
 def test_energy_fn_pair_mode_gradients(double_precision):
     """make_energy_fn under double precision: the pair program's jax.grad
     matches parameter-shift and the complex-path rocq.grad to 1e-9."""
