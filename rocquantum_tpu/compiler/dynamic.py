@@ -24,16 +24,32 @@ from .qasm_parser import Cond, DynamicProgram, Measure, Switch, While
 from .interpreter import apply_op
 
 
-def _apply_conditional(state_b: jnp.ndarray, flags: np.ndarray,
-                       ops) -> jnp.ndarray:
-    """Apply ``ops`` to the batch elements where ``flags`` is True."""
-    def one(s, f):
+def _apply_conditional(state_b, flags: np.ndarray, ops):
+    """Apply ``ops`` to the batch elements where ``flags`` is True. A
+    1-shot ensemble holds an UNBATCHED state (Circuit batch_size == 1):
+    flat complex, or an fp64 (re, im) pair under double precision — both
+    get the scalar-flag select."""
+    f = jnp.asarray(flags)
+    if isinstance(state_b, tuple):  # fp64 pair state (1-shot ensemble)
+        from ..ops import pairsim
+
+        def one_pair(re, im, fl):
+            r2, i2 = re, im
+            for op in ops:
+                r2, i2 = pairsim.apply_op_pair(r2, i2, op)
+            return jnp.where(fl, r2, re), jnp.where(fl, i2, im)
+
+        return jax.jit(one_pair)(state_b[0], state_b[1], f[0])
+
+    def one(s, fl):
         s2 = s
         for op in ops:
             s2 = apply_op(s2, op, None)
-        return jnp.where(f, s2, s)
+        return jnp.where(fl, s2, s)
 
-    return jax.jit(jax.vmap(one))(state_b, jnp.asarray(flags))
+    if state_b.ndim == 1:  # 1-shot ensemble, complex state
+        return jax.jit(one)(state_b, f[0])
+    return jax.jit(jax.vmap(one))(state_b, f)
 
 
 def _reg_values(clbit, clbits: np.ndarray) -> np.ndarray:
@@ -66,7 +82,14 @@ def _masked_measure(circ, clbits: np.ndarray, item: Measure,
     saved = circ.state
     outcomes, _ = circ.measure(item.qubit)
     flags = jnp.asarray(mask)
-    circ._state = jnp.where(flags[:, None], circ.state, saved)
+    if isinstance(saved, tuple):  # fp64 pair state (1-shot ensemble)
+        f = flags[0]
+        circ._state = (jnp.where(f, circ.state[0], saved[0]),
+                       jnp.where(f, circ.state[1], saved[1]))
+    elif saved.ndim == 1:  # 1-shot ensemble, complex state
+        circ._state = jnp.where(flags[0], circ.state, saved)
+    else:
+        circ._state = jnp.where(flags[:, None], circ.state, saved)
     clbits[item.clbit] = np.where(mask, np.asarray(outcomes),
                                   clbits[item.clbit])
 
@@ -196,7 +219,10 @@ def _run_dynamic_batch(program: DynamicProgram, shots: int, seed: int,
     qubits = list(measured_qubits) if measured_qubits is not None \
         else list(range(program.num_qubits))
     # each batch element is one shot: draw exactly one sample per element
-    samples = circ.sample(qubits, 1)[:, 0]
+    # (a 1-shot ensemble is an unbatched circuit: sample is already flat)
+    samples = circ.sample(qubits, 1)
+    if samples.ndim == 2:
+        samples = samples[:, 0]
     k = len(qubits)
     return {format(int(v), f"0{k}b"): c
             for v, c in sorted(Counter(samples.tolist()).items())}

@@ -112,6 +112,45 @@ class TestDynamicExecution:
         counts = run_dynamic(parse_qasm3_program(qasm), shots=256, seed=3)
         assert counts == {"0": 256}
 
+    def test_single_shot_ensemble(self):
+        """shots=1 runs an UNBATCHED circuit: the conditional/measure
+        select paths must handle the flat state (regression: flags[:, None]
+        broadcast corrupted it / sample[:, 0] crashed)."""
+        qasm = """
+        OPENQASM 2.0;
+        qreg q[2]; creg c[2];
+        h q[0];
+        measure q[0] -> c[0];
+        if (c==1) x q[1];
+        measure q[1] -> c[1];
+        """
+        prog = parse_qasm3_program(qasm)
+        for seed in range(8):
+            counts = run_dynamic(prog, 1, seed=seed)
+            assert sum(counts.values()) == 1
+            assert set(counts) <= {"00", "11"}, counts
+
+    def test_single_shot_ensemble_fp64_pair(self):
+        """shots=1 under double precision rides the fp64 pair engine
+        through the dynamic conditional machinery."""
+        from rocquantum_tpu import config
+        qasm = """
+        OPENQASM 2.0;
+        qreg q[2]; creg c[2];
+        h q[0];
+        measure q[0] -> c[0];
+        if (c==1) x q[1];
+        """
+        prog = parse_qasm3_program(qasm)
+        old = config.get_precision()
+        config.set_precision("double")
+        try:
+            for seed in range(6):
+                counts = run_dynamic(prog, 1, seed=seed)
+                assert set(counts) <= {"00", "11"}, counts
+        finally:
+            config.set_precision(old)
+
     def test_local_backend_runs_dynamic_qasm(self):
         import rocquantum_tpu.core as core
         from rocquantum_tpu.backends.local import LocalTPUBackend
