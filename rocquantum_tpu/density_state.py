@@ -19,6 +19,19 @@ import jax.numpy as jnp
 
 from . import config
 from .ops import density as dmops
+from .utils.cache import BoundedCache
+
+# flush programs keyed on queue STRUCTURE (angles are runtime inputs)
+_DMS_RUN_CACHE = BoundedCache()
+
+
+def _item_params(item, params):
+    """Resolve a queue item's gate params: slot indices -> the runtime
+    parameter vector, concrete values pass through."""
+    vals = item[4]
+    if vals and vals[0] == "slots":
+        return tuple(params[i] for i in vals[1:])
+    return tuple(vals)
 
 
 class Pauli(enum.Enum):
@@ -56,14 +69,36 @@ class DensityMatrixState:
                 self._rho = jax.jit(lambda: dmops.init_density(n))()
         if not self._queue:
             return
-        queue = tuple(self._queue)
-        if self._use_pair():
-            self._rho = self._run_pair(queue)(*self._rho)
-            self._queue.clear()
-            return
+        # split gate angles into a runtime vector so the compiled program
+        # is keyed on STRUCTURE only (never bake angles into compiled
+        # programs on a hot path — a VQE loop would otherwise trigger one
+        # remote compile per flush)
+        key_items, values = [], []
+        for item in self._queue:
+            if item[0] == "gate" and item[4]:
+                slots = tuple(range(len(values), len(values) + len(item[4])))
+                values.extend(item[4])
+                key_items.append(item[:4] + (("slots",) + slots,))
+            else:
+                key_items.append(item)
+        key_items = tuple(key_items)
+        pair = self._use_pair()
+        cache_key = (self.num_qubits, key_items, pair,
+                     config.get_precision())
+        fn = _DMS_RUN_CACHE.get(cache_key)
+        if fn is None:
+            fn = (self._build_pair_run(key_items) if pair
+                  else self._build_run(key_items))
+            _DMS_RUN_CACHE[cache_key] = fn
+        params = jnp.asarray(values, dtype=config.real_dtype())
+        self._rho = fn(*self._rho, params) if pair \
+            else fn(self._rho, params)
+        self._queue.clear()
 
-        def run(rho):
-            for item in queue:
+    def _build_run(self, key_items):
+        """Jitted complex-engine run loop (structure-cached)."""
+        def run(rho, params):
+            for item in key_items:
                 kind = item[0]
                 if kind == "matrix":
                     _, mat_bytes, shape, targets, adjoint = item
@@ -79,26 +114,26 @@ class DensityMatrixState:
                     rho = dmops.apply_controlled_matrix_dm(
                         rho, m, list(controls), list(targets))
                 elif kind == "gate":
-                    _, name, targets, controls, params = item
-                    rho = dmops.apply_gate_dm(rho, name, list(targets),
-                                              list(controls), list(params))
+                    _, name, targets, controls, _ = item
+                    rho = dmops.apply_gate_dm(
+                        rho, name, list(targets), list(controls),
+                        list(_item_params(item, params)))
                 else:  # channel
                     _, channel, prob, targets = item
                     rho = dmops.apply_channel(rho, channel, prob,
                                               list(targets))
             return rho
 
-        self._rho = jax.jit(run, donate_argnums=(0,))(self._rho)
-        self._queue.clear()
+        return jax.jit(run, donate_argnums=(0,))
 
-    def _run_pair(self, queue):
-        """Jitted fp64 pair-engine twin of the queue run loop."""
+    def _build_pair_run(self, key_items):
+        """Jitted fp64 pair-engine twin of the run loop."""
         from .compiler.ir import GateOp
         from .ops import pairdm
         n = self.num_qubits
 
-        def run(re, im):
-            for item in queue:
+        def run(re, im, params):
+            for item in key_items:
                 kind = item[0]
                 if kind == "matrix":
                     _, mat_bytes, shape, targets, adjoint = item
@@ -115,10 +150,11 @@ class DensityMatrixState:
                         re, im, GateOp("UNITARY", tuple(targets),
                                        tuple(controls), (), mat), n)
                 elif kind == "gate":
-                    _, name, targets, controls, params = item
+                    _, name, targets, controls, _ = item
                     re, im = pairdm.apply_op_pair_dm(
                         re, im, GateOp(name.upper(), tuple(targets),
-                                       tuple(controls), tuple(params)), n)
+                                       tuple(controls), ()), n,
+                        params_resolved=_item_params(item, params))
                 else:  # channel
                     _, channel, prob, targets = item
                     re, im = pairdm.apply_channel_pair_dm(

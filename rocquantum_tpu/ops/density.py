@@ -134,12 +134,38 @@ def kraus_superoperator(kraus_ops: List, dtype=None, xp=jnp):
     return s
 
 
+def _apply_kraus_terms(rho2n: jnp.ndarray, kraus_ops: List[jnp.ndarray],
+                       row_pos: Sequence[int],
+                       col_pos: Sequence[int]) -> jnp.ndarray:
+    """Per-term accumulate: sum_i (K_i on row bits)(conj K_i on col bits).
+    Two rank-(2m+1) passes per term instead of one rank-(4m+1) superop pass
+    — the form the TPU compiler needs for m >= 4 targets (full views past
+    16 axes stall it; the reference's own loop was per-term,
+    hipDensityMat.cpp:23-72)."""
+    acc = None
+    for k in kraus_ops:
+        k = jnp.asarray(k, rho2n.dtype)
+        term = sv.apply_matrix(rho2n, k, list(row_pos))
+        term = sv.apply_matrix(term, jnp.conj(k), list(col_pos))
+        acc = term if acc is None else acc + term
+    return acc
+
+
+# superop view rank is 4m+1; past 16 axes the TPU compiler stalls (CLAUDE
+# platform note), so m >= 4 targets take the per-term path
+_MAX_SUPEROP_TARGETS = 3
+
+
 def apply_kraus(rho: jnp.ndarray, kraus_ops: List[jnp.ndarray],
                 targets: Sequence[int]) -> jnp.ndarray:
     """rho' = sum_i K_i rho K_i† (generic channel entry,
     hipDensityMatApplyChannel, hipDensityMat.cpp:984; kernel :23-72) —
-    executed as one superoperator matrix over (col, row) index bits."""
+    executed as one superoperator matrix over (col, row) index bits
+    (per-term accumulate for wide channels, see _apply_kraus_terms)."""
     n = num_qubits_of(rho)
+    if len(targets) > _MAX_SUPEROP_TARGETS:
+        return _apply_kraus_terms(rho, kraus_ops,
+                                  [t + n for t in targets], list(targets))
     s = kraus_superoperator(kraus_ops, dtype=rho.dtype)
     pos = list(targets) + [t + n for t in targets]
     return sv.apply_matrix(rho, s, pos)
@@ -152,6 +178,8 @@ def apply_kraus_at(rho2n: jnp.ndarray, kraus_ops: List[jnp.ndarray],
     index-bit positions of the flattened 2n-qubit view — the primitive the
     sharded density path needs after locality relabeling has moved row bit
     q+n / col bit q to other physical positions."""
+    if len(row_pos) > _MAX_SUPEROP_TARGETS:
+        return _apply_kraus_terms(rho2n, kraus_ops, row_pos, col_pos)
     s = kraus_superoperator(kraus_ops, dtype=rho2n.dtype)
     return sv.apply_matrix(rho2n, s, list(col_pos) + list(row_pos))
 

@@ -136,7 +136,10 @@ def _rows_from_numpy(mh):
     dim = mh.shape[0]
     re_rows = [[float(mh[i, j].real) for j in range(dim)]
                for i in range(dim)]
-    if np.allclose(np.imag(mh), 0.0):
+    # EXACTLY zero, not allclose: this engine's contract is f64 accuracy,
+    # and a numerically-constructed unitary with ~1e-9 imaginary parts
+    # must keep them (dropping them injects invisible 1e-9 errors)
+    if not np.any(np.imag(mh)):
         return re_rows, None
     im_rows = [[float(mh[i, j].imag) for j in range(dim)]
                for i in range(dim)]
@@ -369,17 +372,10 @@ def _marginal_view_f32(re: jnp.ndarray, im: jnp.ndarray,
     """Marginal via the ordinary axis-sum view machinery on the f32
     downcast of the exact |amp|^2 (f64 axis reductions are broken on this
     stack): histogram-bin grade, for sampling draws only."""
-    from . import statevec as sv
-    qubits = list(qubits)
+    from .density import _diag_marginal
     n = re.size.bit_length() - 1
-    k = len(qubits)
-    p = probs_pair(re, im).astype(jnp.float32)
-    desc = sorted(qubits, reverse=True)
-    dims = sv._exposed_view_dims(n, desc)
-    marg = p.reshape(dims).sum(axis=tuple(range(0, len(dims), 2)))
-    cur_pos = {q: i for i, q in enumerate(desc)}
-    perm = [cur_pos[qubits[k - 1 - j]] for j in range(k)]
-    return marg.transpose(perm).reshape((-1,))
+    return _diag_marginal(probs_pair(re, im).astype(jnp.float32),
+                          list(qubits), n)
 
 
 # above this many outcomes the exact path's one-reduction-per-bin cost

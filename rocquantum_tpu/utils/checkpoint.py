@@ -93,7 +93,14 @@ def restore_circuit_checkpoint(path: str, circuit) -> None:
         data = np.load(path if path.endswith(".npz") or os.path.exists(path)
                        else path + ".npz", allow_pickle=False)
         rdt = config.real_dtype()
-        circuit._state = (jnp.asarray(data["re"], dtype=rdt),
-                          jnp.asarray(data["im"], dtype=rdt))
+        re = jnp.asarray(data["re"], dtype=rdt)
+        im = jnp.asarray(data["im"], dtype=rdt)
+        if circuit.mesh is not None:
+            # place both parts sharded, like the complex branch does
+            from ..parallel.sharded import state_sharding
+            sh = state_sharding(circuit.mesh)
+            re = jax.device_put(re, sh)
+            im = jax.device_put(im, sh)
+        circuit._state = (re, im)
     else:
         circuit._state = load_state(path, mesh=circuit.mesh)

@@ -182,3 +182,37 @@ class TestMeasurement:
         rho = dm.apply_channel(rho, "depolarizing", p, [0])
         expected = np.cos(theta) * (1 - 4 * p / 3)
         assert abs(float(dm.expval_z_dm(rho, 0)) - expected) < 1e-6
+
+
+def test_wide_kraus_uses_per_term_accumulate():
+    """A 4-target Kraus channel takes the per-term path (the dense superop
+    would need a rank-17 view, past the TPU compiler's limit) and must
+    equal the dense-matrix math."""
+    import jax
+    n = 4
+    rng = np.random.default_rng(21)
+    a = rng.normal(size=(32, 16)) + 1j * rng.normal(size=(32, 16))
+    q, _ = np.linalg.qr(a)
+    ks = [np.asarray(q[:16]), np.asarray(q[16:])]  # 4q CPTP pair
+
+    @jax.jit
+    def run():
+        rho = dm.init_density(n)
+        rho = dm.apply_gate_dm(rho, "H", [0])
+        rho = dm.apply_gate_dm(rho, "CNOT", [0, 3])
+        rho = dm.apply_kraus(rho, [jnp.asarray(k) for k in ks],
+                             [0, 1, 2, 3])
+        return dm.to_matrix(rho)
+
+    got = np.asarray(run())
+    # dense reference: K rho K^dagger summed, on the full 16x16 matrix
+    psi = np.zeros(16, complex)
+    psi[0] = 1.0
+    h = np.kron(np.eye(8), np.array([[1, 1], [1, -1]]) / np.sqrt(2))
+    cx = np.eye(16)[:, [0, 9, 2, 11, 4, 13, 6, 15, 8, 1, 10, 3, 12, 5,
+                        14, 7]]
+    psi = cx @ (h @ psi)
+    rho_ref = np.outer(psi, psi.conj())
+    want = sum(k @ rho_ref @ k.conj().T for k in ks)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    assert abs(np.trace(got).real - 1.0) < 1e-6

@@ -36,9 +36,15 @@ def _complex_rho(ops_and_channels, n):
         for item in ops_and_channels:
             if item[0] == "gate":
                 _, op = item
-                rho = dmops.apply_gate_dm(
-                    rho, op.name, list(op.targets), list(op.controls),
-                    list(op.params), adjoint=op.is_adjoint)
+                if op.matrix is not None:
+                    m = jnp.asarray(op.matrix, rho.dtype)
+                    if op.is_adjoint:
+                        m = jnp.conj(m).T
+                    rho = dmops.apply_matrix_dm(rho, m, list(op.targets))
+                else:
+                    rho = dmops.apply_gate_dm(
+                        rho, op.name, list(op.targets), list(op.controls),
+                        list(op.params), adjoint=op.is_adjoint)
             elif item[0] == "kraus":
                 _, ks, tgt = item
                 rho = dmops.apply_kraus(rho, ks, list(tgt))
@@ -155,6 +161,58 @@ def test_pair_dm_expectations_and_trace(double_precision):
     p1 = float(pairdm.prob_one_pair_dm_jit(re, 1, n))
     want_p1 = diag[[i for i in range(8) if (i >> 1) & 1]].sum()
     assert abs(p1 - want_p1) < 1e-12
+
+
+def test_pair_dm_wide_kraus_per_term_path(double_precision):
+    """>= 3-target channels accumulate per Kraus term (the superop's
+    XOR-diagonal loop would cost 4^(2m) selects); must equal the complex
+    engine bit-for-tolerance."""
+    n = 3
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(16, 8)) + 1j * rng.normal(size=(16, 8))
+    q, _ = np.linalg.qr(a)
+    ks = [q[:8], q[8:]]  # 3-qubit CPTP pair
+    prog = [("gate", GateOp("H", (0,))), ("gate", GateOp("RY", (1,), (),
+                                                         (0.3,))),
+            ("kraus", ks, (0, 1, 2))]
+    want = _complex_rho(prog, n)
+    got = _pair_rho(prog, n)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_small_imaginary_parts_are_kept(double_precision):
+    """_rows_from_numpy must not drop ~1e-9 imaginary parts (exactness is
+    the pair engine's whole contract)."""
+    eps = 1e-9
+    # unitary with a tiny RELATIVE phase: exp(i*eps*Z) — its ~1e-9
+    # imaginary entries must survive (a global-phase construction would
+    # cancel in rho)
+    u = np.diag([np.exp(1j * eps), np.exp(-1j * eps)])
+    prog = [("gate", GateOp("H", (0,))),
+            ("gate", GateOp("UNITARY", (0,), (), (), u))]
+    got = _pair_rho(prog, 1)
+    want = _complex_rho(prog, 1)
+    np.testing.assert_allclose(got, want, atol=1e-15)
+    # rho01 = 0.5*exp(2i*eps): the eps-grade imaginary signal survives
+    assert abs(got[0, 1].imag - 1e-9) < 1e-12
+
+
+def test_density_state_flush_programs_are_structure_cached(
+        double_precision):
+    """Two flushes with the same queue STRUCTURE but different angles must
+    reuse one compiled program (angles are runtime inputs, never baked)."""
+    from rocquantum_tpu import density_state as ds
+    ds._DMS_RUN_CACHE.clear()
+    outs = []
+    for theta in (0.4, 1.3):
+        st = ds.DensityMatrixState(2)
+        st.apply_ry(theta, 0)
+        st.apply_cnot(0, 1)
+        st._flush()
+        outs.append(st.get_density_matrix())
+        assert len(ds._DMS_RUN_CACHE) == 1
+    for theta, rho in zip((0.4, 1.3), outs):
+        assert abs(rho[0, 0].real - np.cos(theta / 2) ** 2) < 1e-12
 
 
 def test_pair_density_state_surface(double_precision):

@@ -285,6 +285,25 @@ class TestShardedPairCircuit:
         assert len(_re.findall("all-gather", txt)) == 0, "all-gather leaked"
         assert len(_re.findall("all-to-all", txt)) > 0
 
+    def test_sharded_pair_checkpoint_roundtrip(self, double_precision,
+                                               tmp_path):
+        """Restoring an fp64 checkpoint onto a sharded circuit must place
+        both parts on the mesh (regression: the pair branch ignored
+        circuit.mesh and restored to one device)."""
+        from rocquantum_tpu.parallel import make_mesh
+        from rocquantum_tpu.utils.checkpoint import (
+            restore_circuit_checkpoint, save_circuit_checkpoint)
+        mesh = make_mesh(8)
+        c = self._build(mesh)
+        psi = c.get_statevector()
+        path = str(tmp_path / "sharded_pair.npz")
+        save_circuit_checkpoint(path, c)
+        c2 = rocq.Circuit(9, rocq.Simulator(seed=1), mesh=mesh)
+        restore_circuit_checkpoint(path, c2)
+        assert isinstance(c2._state, tuple)
+        assert len(c2._state[0].sharding.device_set) == 8
+        np.testing.assert_allclose(c2.get_statevector(), psi, atol=1e-15)
+
     def test_global_diagonal_is_comm_free(self, double_precision):
         """An RZ on a device-selecting qubit is pure elementwise pair math:
         zero collectives in the compiled program."""
