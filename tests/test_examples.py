@@ -35,6 +35,7 @@ EXAMPLES = [
     "batched_sharded_vqe.py",
     "qaoa_maxcut.py",
     "phase_estimation_grover.py",
+    "fp64_chemistry.py",
 ]
 
 
