@@ -15,6 +15,7 @@ VQE inner loop — reuses the executable.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -339,9 +340,16 @@ def _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
     # SLOWER on v5e (300 vs 532 gates/s on the n=29 ring ansatz): its
     # 40-gate merged bodies push the scoped-VMEM stack past 100 MiB, which
     # starves block double-buffering — so it is not auto-selected.
-    from ..ops.pallas_sv import TALL_GEOMETRY, max_pair_bits_for
+    from ..ops.pallas_sv import (TALL_GEOMETRY, THIN_GEOMETRY,
+                                 max_pair_bits_for)
+    geo_candidates = (TALL_GEOMETRY,)
+    env_geo = os.environ.get("ROCQ_GEOMETRY", "").lower()
+    if env_geo == "thin":       # experiment knob: force-try the k=9 shape
+        geo_candidates = (THIN_GEOMETRY,)
+    elif env_geo == "tall+thin":
+        geo_candidates = (TALL_GEOMETRY, THIN_GEOMETRY)
     if len(plan) > 2:
-        for geo in (TALL_GEOMETRY,):
+        for geo in geo_candidates:
             gcol, gtile = geo
             geo_limit = min(gcol, n) + min(gtile, n - min(gcol, n))
             if n <= geo_limit:
