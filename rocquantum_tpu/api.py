@@ -48,6 +48,19 @@ class Simulator:
         self._key = jax.random.PRNGKey(seed)
         self._active_circuits = 0
 
+    @property
+    def handle(self):
+        """Backend handle accessor (reference api.py:19-22 returns the
+        RocsvHandle wrapper; user code calls
+        ``sim.handle.get_num_gpus()``). Lazy: the shim module imports this
+        one."""
+        if not hasattr(self, "_handle_wrapper") or \
+                self._handle_wrapper is None:
+            from rocq._rocq_hip_backend import RocsvHandle
+            self._handle_wrapper = RocsvHandle.__new__(RocsvHandle)
+            self._handle_wrapper.simulator = self
+        return self._handle_wrapper
+
     def next_key(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
         return sub
