@@ -366,6 +366,21 @@ class Circuit(_GateMethods):
     def _phys(self, qubit: int) -> int:
         return self._layout[qubit]
 
+    def _reshard(self):
+        """Re-pin the state to the circuit's sharding after host-entry ops
+        (collapse) whose generic jits may emit a different layout — the
+        next flush's in_shardings-pinned executable requires an exact
+        match."""
+        if self.mesh is None or self._state is None:
+            return
+        sharding = self._batch_sharding() if self.batch_size > 1 \
+            else self._sharding()
+        if isinstance(self._state, tuple):
+            self._state = tuple(jax.device_put(p, sharding)
+                                for p in self._state)
+        else:
+            self._state = jax.device_put(self._state, sharding)
+
     def _restore_identity_layout(self):
         """Apply the relabel transposes returning the state to logical
         order (before full-state readback)."""
@@ -485,6 +500,7 @@ class Circuit(_GateMethods):
             self._state = jax.jit(jax.vmap(
                 lambda s, o: sv.collapse_dyn(s, phys, o)))(
                     self.state, jnp.asarray(outcomes))
+            self._reshard()
             return outcomes, probs
         if self._use_pair():
             from .ops import pairsim
@@ -492,11 +508,13 @@ class Circuit(_GateMethods):
             outcome = 1 if self.simulator.host_random() < p1 else 0
             self._state = pairsim.collapse_pair_jit(*self.state, phys,
                                                     outcome)
+            self._reshard()
             return outcome, (p1 if outcome == 1 else 1.0 - p1)
         p1 = float(sv.prob_one_jit(self.state, phys))
         outcome = 1 if self.simulator.host_random() < p1 else 0
         prob = p1 if outcome == 1 else 1.0 - p1
         self._state = sv.collapse_jit(self.state, phys, outcome)
+        self._reshard()
         return outcome, prob
 
     def sample(self, measured_qubits: List[int], num_shots: int) -> np.ndarray:

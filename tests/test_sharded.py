@@ -430,3 +430,86 @@ class TestDiagonalGatesCommFree:
         shd = build(mesh)
         np.testing.assert_allclose(shd.get_statevector(),
                                    ref.get_statevector(), atol=1e-6)
+
+
+@requires_multi
+class TestShardedCircuitFuzz:
+    """Randomized equivalence across flush boundaries: the sharded Circuit
+    (scheduler, relabels, layout-aware measurement/expectation/readback)
+    must track the single-device run gate-for-gate, with interleaved
+    flushes, measurements, and probability reads."""
+
+    GATES_1Q = ["H", "X", "Y", "Z", "S", "T"]
+
+    def _drive(self, c, rng, n, depth):
+        """Apply a seeded random program; deterministic across the sharded
+        and unsharded builds (same rng seed, same Simulator seed — measure
+        draws use the same host RNG stream)."""
+        readouts = []
+        for step in range(depth):
+            kind = rng.integers(0, 8)
+            q = int(rng.integers(0, n))
+            q2 = int((q + 1 + rng.integers(0, n - 1)) % n)
+            if kind == 0:
+                getattr(c, str(rng.choice(self.GATES_1Q)).lower())(q)
+            elif kind == 1:
+                c.ry(float(rng.normal()), q)
+            elif kind == 2:
+                c.cx(q, q2)
+            elif kind == 3:
+                c.cz(q, q2)
+            elif kind == 4:
+                c.swap(q, q2)
+            elif kind == 5:
+                c.rzz(float(rng.normal()), q, q2)
+            elif kind == 6:
+                c.flush()
+            else:
+                # mid-circuit measurement: same host RNG stream on both
+                # builds -> identical outcomes, so states stay comparable
+                out, p = c.measure(q)
+                readouts.append((step, out, round(p, 9)))
+        return readouts
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_random_circuits_match_single_device(self, seed):
+        mesh = make_mesh(8)
+        n = 8
+        rng_a, rng_b = (np.random.default_rng(seed) for _ in range(2))
+        ca = rocq.Circuit(n, rocq.Simulator(seed=seed), mesh=mesh)
+        cb = rocq.Circuit(n, rocq.Simulator(seed=seed))
+        ra = self._drive(ca, rng_a, n, depth=25)
+        rb = self._drive(cb, rng_b, n, depth=25)
+        assert [x[:2] for x in ra] == [x[:2] for x in rb]
+        for (_, _, pa), (_, _, pb) in zip(ra, rb):
+            assert abs(pa - pb) < 1e-5
+        np.testing.assert_allclose(ca.get_statevector(),
+                                   cb.get_statevector(), atol=2e-5,
+                                   err_msg=f"seed={seed}")
+        np.testing.assert_allclose(ca.get_probabilities([0, n - 1]),
+                                   cb.get_probabilities([0, n - 1]),
+                                   atol=2e-5)
+
+    @pytest.mark.parametrize("seed", [10, 11])
+    def test_random_circuits_match_fp64_pair(self, seed):
+        """Same fuzz at double precision: the sharded PAIR engine tracks
+        the unsharded pair run to f64 tolerance."""
+        from rocquantum_tpu import config
+        old = config.get_precision()
+        config.set_precision("double")
+        try:
+            mesh = make_mesh(8)
+            n = 8
+            rng_a, rng_b = (np.random.default_rng(seed) for _ in range(2))
+            ca = rocq.Circuit(n, rocq.Simulator(seed=seed), mesh=mesh)
+            cb = rocq.Circuit(n, rocq.Simulator(seed=seed))
+            ra = self._drive(ca, rng_a, n, depth=20)
+            rb = self._drive(cb, rng_b, n, depth=20)
+            assert isinstance(ca._state, tuple) and isinstance(cb._state,
+                                                               tuple)
+            assert [x[:2] for x in ra] == [x[:2] for x in rb]
+            np.testing.assert_allclose(ca.get_statevector(),
+                                       cb.get_statevector(), atol=1e-12,
+                                       err_msg=f"seed={seed}")
+        finally:
+            config.set_precision(old)
