@@ -511,6 +511,10 @@ class DensityCircuit(_GateMethods):
         outcome = 1 if self.simulator.host_random() < p1 else 0
         prob = p1 if outcome == 1 else 1.0 - p1
         self._rho = dmops.collapse_dm_jit(self._rho, qubit, outcome)
+        if self.mesh is not None:
+            # re-pin to the rho sharding: the generic collapse jit's output
+            # layout otherwise breaks buffer donation on the next flush
+            self._rho = jax.device_put(self._rho, self._sharding())
         return outcome, prob
 
     def sample(self, measured_qubits: List[int], num_shots: int) -> np.ndarray:
