@@ -143,3 +143,57 @@ class TestShardedDensity:
         txt = jax.jit(run).lower(rho0).compile().as_text()
         assert not _re.findall("all-gather|all-to-all|collective-permute",
                                txt)
+
+
+@requires_multi
+class TestShardedDensityFuzz:
+    """Randomized equivalence: sharded DensityCircuit (row/col locality
+    scheduling, channel factorization, positional Kraus) must track the
+    single-device run across random gates, channels, flushes, and
+    measurements."""
+
+    def _drive(self, c, rng, n, depth):
+        readouts = []
+        for _ in range(depth):
+            kind = rng.integers(0, 8)
+            q = int(rng.integers(0, n))
+            q2 = int((q + 1 + rng.integers(0, n - 1)) % n)
+            if kind == 0:
+                getattr(c, str(rng.choice(["h", "x", "z", "s"])))(q)
+            elif kind == 1:
+                c.ry(float(rng.normal()), q)
+            elif kind == 2:
+                c.cx(q, q2)
+            elif kind == 3:
+                c.cz(q, q2)
+            elif kind == 4:
+                ch = str(rng.choice(["depolarizing", "phase_flip",
+                                     "bit_flip", "amplitude_damping"]))
+                c.apply_channel(ch, 0.02 + 0.1 * float(rng.random()), [q])
+            elif kind == 5:
+                c.flush()
+            elif kind == 6:
+                c.rz(float(rng.normal()), q)
+            else:
+                out, p = c.measure(q)
+                readouts.append((out, round(p, 7)))
+        return readouts
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_random_noisy_circuits_match_single_device(self, seed):
+        mesh = make_mesh(8)
+        n = 5
+        rng_a, rng_b = (np.random.default_rng(40 + seed) for _ in range(2))
+        ca = DensityCircuit(n, rocq.Simulator(seed=seed), mesh=mesh)
+        cb = DensityCircuit(n, rocq.Simulator(seed=seed))
+        ra = self._drive(ca, rng_a, n, depth=18)
+        rb = self._drive(cb, rng_b, n, depth=18)
+        assert [x[0] for x in ra] == [x[0] for x in rb]
+        for (_, pa), (_, pb) in zip(ra, rb):
+            assert abs(pa - pb) < 1e-5
+        np.testing.assert_allclose(ca.get_density_matrix(),
+                                   cb.get_density_matrix(), atol=2e-5,
+                                   err_msg=f"seed={seed}")
+        assert abs(ca.purity() - cb.purity()) < 1e-5
+        h = rocq.PauliOperator({"Z0": 0.4, f"Z1 Z{n-1}": -0.3, "X2": 0.2})
+        assert abs(ca.expval(h) - cb.expval(h)) < 1e-5
