@@ -433,6 +433,25 @@ def probe():
     return None, None
 
 
+def _wait_for_backend(attempts: int = 6, delay_s: int = 90) -> bool:
+    """Pre-flight: the axon relay has outage windows (observed: hours).
+    Probe device init in a subprocess; retry with delays so a bench run
+    that lands inside an outage can still catch a recovery instead of
+    burning every probe's timeout against a dead relay."""
+    code = "import jax; jax.devices()"
+    for i in range(attempts):
+        try:
+            out = subprocess.run([sys.executable, "-c", code],
+                                 capture_output=True, timeout=240)
+            if out.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i < attempts - 1:
+            time.sleep(delay_s)
+    return False
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=None)
@@ -455,6 +474,12 @@ def main():
     if args.size is not None:
         return run_single(args.size)
 
+    if not _wait_for_backend():
+        print(json.dumps({"metric": "gates_per_sec", "value": 0.0,
+                          "unit": "gates/s", "vs_baseline": 0.0,
+                          "error": "TPU backend unavailable (relay outage "
+                                   "persisted through pre-flight retries)"}))
+        return 1
     n_used, gates_per_sec = probe()
     if gates_per_sec is None:
         print(json.dumps({"metric": "gates_per_sec", "value": 0.0,
