@@ -208,6 +208,72 @@ class TestPairCircuit:
         assert abs(abs(psi[0]) - 2 ** -0.5) < 1e-6
 
 
+@pytest.mark.parametrize("seed", [20, 21, 22])
+def test_pair_full_alphabet_fuzz(seed, double_precision):
+    """Wider-alphabet equivalence at n=7: SWAP/CSWAP/MCX/dense
+    matrices/adjoints + interleaved collapse, pair engine vs complex
+    engine at f64 tolerance."""
+    from rocquantum_tpu.compiler.ir import GateOp
+    n = 7
+    rng = np.random.default_rng(seed)
+    ops = []
+    for _ in range(35):
+        kind = rng.integers(0, 8)
+        qs = rng.permutation(n)
+        q, q2, q3 = int(qs[0]), int(qs[1]), int(qs[2])
+        adj = bool(rng.integers(0, 2))
+        if kind == 0:
+            ops.append(GateOp(str(rng.choice(["H", "X", "Y", "Z", "S",
+                                              "T", "SDG", "TDG"])), (q,),
+                              (), (), None, adj))
+        elif kind == 1:
+            ops.append(GateOp(str(rng.choice(["RX", "RY", "RZ", "P"])),
+                              (q,), (), (float(rng.normal()),), None, adj))
+        elif kind == 2:
+            ops.append(GateOp("SWAP", (q, q2)))
+        elif kind == 3:
+            ops.append(GateOp("CSWAP", (q2, q3), (q,)))
+        elif kind == 4:
+            ops.append(GateOp("X", (q,), (q2, q3)))  # toffoli-style MCX
+        elif kind == 5:
+            # random dense 1q unitary (QR of a complex gaussian)
+            a = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+            u, _ = np.linalg.qr(a)
+            ops.append(GateOp("UNITARY", (q,), (), (), u, adj))
+        elif kind == 6:
+            ops.append(GateOp("RZZ", (q, q2), (),
+                              (float(rng.normal()),), None, adj))
+        else:
+            ops.append(GateOp("RY", (q2,), (q,),
+                              (float(rng.normal()),), None, adj))
+
+    def run_complex():
+        s = sv.init_state(n)
+        from rocquantum_tpu.compiler.interpreter import apply_op
+        for op in ops:
+            s = apply_op(s, op, None)
+        return s
+
+    def run_pair():
+        re, im = pairsim.init_pair(n)
+        for op in ops:
+            re, im = pairsim.apply_op_pair(re, im, op)
+        return re, im
+
+    want = np.asarray(jax.jit(run_complex)())
+    re, im = jax.jit(run_pair)()
+    np.testing.assert_allclose(np.asarray(re) + 1j * np.asarray(im), want,
+                               atol=1e-12, err_msg=f"seed={seed}")
+    # collapse equivalence on a fixed outcome
+    q = int(seed % n)
+    want_c = np.asarray(jax.jit(
+        lambda: sv.collapse(run_complex(), q, 1))())
+    re2, im2 = jax.jit(
+        lambda: pairsim.collapse_pair(*run_pair(), q, 1))()
+    np.testing.assert_allclose(np.asarray(re2) + 1j * np.asarray(im2),
+                               want_c, atol=1e-11)
+
+
 requires_multi = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 
