@@ -98,13 +98,12 @@ class StateVectorBackend(_BaseBackend):
         raise NotImplementedError(
             "Noise models are only supported by the 'density_matrix' backend.")
 
-    def _final_state(self) -> jnp.ndarray:
+    def _final_state(self):
         key_items, values = self._parametrized_queue()
         key = self._queue_key(key_items)
         fn = _RUN_CACHE.get(key)
         if fn is None:
             from ..compiler.ir import GateOp, ParamRef
-            from ..compiler.interpreter import execute, default_widths
             n = self.num_qubits
             ops = []
             for item in key_items:
@@ -112,32 +111,59 @@ class StateVectorBackend(_BaseBackend):
                 if vals and vals[0] == "slots":
                     vals = tuple(ParamRef(i) for i in vals[1:])
                 ops.append(GateOp(name, tuple(tgt), tuple(ctrl), tuple(vals)))
-            lw, hw = default_widths(n)
+            if config.get_precision() == "double":
+                # fp64: the float-pair engine (complex128 aborts the TPU
+                # x64 rewriter — docs/FP64_GUIDE.md)
+                from ..compiler.ir import CircuitIR
+                from ..ops import pairsim
+                run_pair = pairsim.compile_pair_ir(CircuitIR(n, ops))
+                init = jax.jit(lambda: pairsim.init_pair(n))
 
-            def run(params):
-                state = sv.init_state(n)
-                return execute(state, ops, params, low_width=lw,
-                               high_width=hw)
+                def fn(params):
+                    return run_pair(*init(), params)
+            else:
+                from ..compiler.interpreter import execute, default_widths
+                lw, hw = default_widths(n)
 
-            fn = jax.jit(run)
+                def run(params):
+                    state = sv.init_state(n)
+                    return execute(state, ops, params, low_width=lw,
+                                   high_width=hw)
+
+                fn = jax.jit(run)
             _RUN_CACHE[key] = fn
         return fn(jnp.asarray(values, dtype=config.real_dtype()))
 
     def get_state(self) -> np.ndarray:
-        re, im = sv.state_to_parts_jit(self._final_state())
+        state = self._final_state()
+        if isinstance(state, tuple):
+            re, im = state
+        else:
+            re, im = sv.state_to_parts_jit(state)
         return np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
 
     get_state_vector = get_state
 
     def sample(self, qubits, shots, seed=0):
-        out = sv.sample_jit(self._final_state(), qubits=tuple(qubits),
-                            shots=shots, key=jax.random.PRNGKey(seed))
+        state = self._final_state()
+        if isinstance(state, tuple):
+            from ..ops import pairsim
+            out = pairsim.sample_pair_jit(*state, qubits=tuple(qubits),
+                                          shots=shots,
+                                          key=jax.random.PRNGKey(seed))
+        else:
+            out = sv.sample_jit(state, qubits=tuple(qubits),
+                                shots=shots, key=jax.random.PRNGKey(seed))
         return np.asarray(out)
 
     def expectation_pauli(self, ops) -> float:
         state = self._final_state()
         if not ops:
             return 1.0
+        if isinstance(state, tuple):
+            from ..ops import pairsim
+            return float(pairsim.expval_pauli_string_pair_jit(
+                *state, ops=tuple(ops)))
         return float(sv.expval_pauli_string_jit(state, ops=tuple(ops)))
 
 
@@ -156,48 +182,89 @@ class DensityMatrixBackend(_BaseBackend):
     def validate_noise_support(self):
         return None
 
-    def _final_state(self) -> jnp.ndarray:
+    def _final_state(self):
         key_items, values = self._parametrized_queue()
         key = self._queue_key(key_items)
         fn = _RUN_CACHE.get(key)
         if fn is None:
             n = self.num_qubits
+            if config.get_precision() == "double":
+                from ..compiler.ir import GateOp
+                from ..ops import pairdm
 
-            def run(params):
-                rho = dmops.init_density(n)
-                for item in key_items:
-                    if item[0] == "gate":
-                        _, name, tgt, ctrl, vals = item
-                        if vals and vals[0] == "slots":
-                            vals = [params[i] for i in vals[1:]]
-                        rho = dmops.apply_gate_dm(rho, name, list(tgt),
-                                                  list(ctrl), list(vals))
-                    else:
-                        _, channel, tgt, prob = item
-                        rho = dmops.apply_channel(rho, channel, prob, list(tgt))
-                return rho
+                def run_pair(params):
+                    re, im = pairdm.init_density_pair(n)
+                    for item in key_items:
+                        if item[0] == "gate":
+                            _, name, tgt, ctrl, vals = item
+                            if vals and vals[0] == "slots":
+                                vals = tuple(params[i] for i in vals[1:])
+                            re, im = pairdm.apply_op_pair_dm(
+                                re, im, GateOp(name, tuple(tgt),
+                                               tuple(ctrl), ()), n,
+                                params_resolved=tuple(vals))
+                        else:
+                            _, channel, tgt, prob = item
+                            re, im = pairdm.apply_channel_pair_dm(
+                                re, im, channel, prob, list(tgt), n)
+                    return re, im
 
-            fn = jax.jit(run)
+                fn = jax.jit(run_pair)
+            else:
+                def run(params):
+                    rho = dmops.init_density(n)
+                    for item in key_items:
+                        if item[0] == "gate":
+                            _, name, tgt, ctrl, vals = item
+                            if vals and vals[0] == "slots":
+                                vals = [params[i] for i in vals[1:]]
+                            rho = dmops.apply_gate_dm(rho, name, list(tgt),
+                                                      list(ctrl), list(vals))
+                        else:
+                            _, channel, tgt, prob = item
+                            rho = dmops.apply_channel(rho, channel, prob,
+                                                      list(tgt))
+                    return rho
+
+                fn = jax.jit(run)
             _RUN_CACHE[key] = fn
         return fn(jnp.asarray(values, dtype=config.real_dtype()))
 
     def get_state(self) -> np.ndarray:
-        rho = dmops.to_matrix(self._final_state())
+        state = self._final_state()
+        dim = 1 << self.num_qubits
+        if isinstance(state, tuple):
+            re, im = state
+            return (np.asarray(re).reshape(dim, dim).astype(np.complex128)
+                    + 1j * np.asarray(im).reshape(dim, dim))
+        rho = dmops.to_matrix(state)
         re, im = jax.jit(lambda r: (jnp.real(r), jnp.imag(r)))(rho)
         return np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
 
     get_density_matrix = get_state
 
     def sample(self, qubits, shots, seed=0):
-        out = dmops.sample_dm_jit(self._final_state(), qubits=tuple(qubits),
-                                  shots=shots, key=jax.random.PRNGKey(seed))
+        state = self._final_state()
+        if isinstance(state, tuple):
+            from ..ops import pairdm
+            out = pairdm.sample_pair_dm_jit(
+                state[0], qubits=tuple(qubits), shots=shots,
+                key=jax.random.PRNGKey(seed))
+        else:
+            out = dmops.sample_dm_jit(state, qubits=tuple(qubits),
+                                      shots=shots,
+                                      key=jax.random.PRNGKey(seed))
         return np.asarray(out)
 
     def expectation_pauli(self, ops) -> float:
-        rho = self._final_state()
+        state = self._final_state()
         if not ops:
             return 1.0
-        return float(dmops.expval_pauli_string_dm_jit(rho, ops=tuple(ops)))
+        if isinstance(state, tuple):
+            from ..ops import pairdm
+            return float(pairdm.expval_pauli_string_pair_dm_jit(
+                *state, ops=tuple(ops), n=self.num_qubits))
+        return float(dmops.expval_pauli_string_dm_jit(state, ops=tuple(ops)))
 
 
 def get_backend(backend_name: str, num_qubits: int):

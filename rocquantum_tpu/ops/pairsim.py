@@ -439,6 +439,8 @@ marginal_probs_pair_jit = jax.jit(
 sample_pair_jit = jax.jit(sample_pair, static_argnames=("qubits", "shots"))
 expval_terms_pair_jit = jax.jit(
     expval_terms_pair, static_argnames=("terms", "coeffs"))
+expval_pauli_string_pair_jit = jax.jit(
+    expval_pauli_string_pair, static_argnames=("ops",))
 
 
 # ---------------------------------------------------------------------------

@@ -292,3 +292,25 @@ def test_pair_density_circuit_param_cache(double_precision):
         rho = dc.get_density_matrix()
         want00 = np.cos(theta / 2) ** 2
         assert abs(rho[0, 0].real - want00) < 1e-12
+
+
+def test_dsl_backends_fp64_pair(double_precision):
+    """The DSL front end rides the pair engines at double precision."""
+    from rocquantum_tpu.dsl.backends import get_backend
+    b = get_backend("state_vector", 2)
+    b.apply_gate("h", [0])
+    b.apply_gate("cnot", [0, 1])
+    psi = b.get_state()
+    assert abs(abs(psi[0]) - 2 ** -0.5) < 1e-12
+    assert abs(b.expectation_pauli([("Z", 0), ("Z", 1)]) - 1.0) < 1e-12
+    shots = b.sample([0, 1], 32, seed=1)
+    assert set(np.asarray(shots).tolist()) <= {0, 3}
+
+    d = get_backend("density_matrix", 2)
+    d.apply_gate("h", [0])
+    d.apply_gate("cnot", [0, 1])
+    d.apply_noise("depolarizing", [0], 0.1)
+    rho = d.get_state()
+    assert abs(np.trace(rho).real - 1.0) < 1e-12
+    zz = d.expectation_pauli([("Z", 0), ("Z", 1)])
+    assert abs(zz - (1 - 4 * 0.1 / 3)) < 1e-12
