@@ -820,9 +820,16 @@ def compile_ir(ir: CircuitIR, fuse: bool = True, max_fuse: int = 2,
         dlw, dhw = default_widths(ir.num_qubits, sharded=sharding is not None)
         low_width = dlw if low_width is None else low_width
         high_width = dhw if high_width is None else high_width
-    key = (ir.structural_key(), fuse, max_fuse, donate, sharding, low_width,
-           high_width, batched, batch_sharding, config.get_precision(),
-           _pallas_enabled(), _pallas_interpret())
+    # structural_key maps concrete params to ("dyn",) so STRUCTURE-keyed
+    # consumers (the adjoint cache) stay stable across parameter values —
+    # but the executable BAKES concrete params (_resolve_params reads
+    # op.params), so the exec cache must also key on their VALUES or two
+    # IRs differing only in angles would share one wrong program.
+    baked = tuple(float(p) for op in ir.ops for p in op.params
+                  if not isinstance(p, ParamRef))
+    key = (ir.structural_key(), baked, fuse, max_fuse, donate, sharding,
+           low_width, high_width, batched, batch_sharding,
+           config.get_precision(), _pallas_enabled(), _pallas_interpret())
     cached = _EXEC_CACHE.get(key)
     if cached is not None:
         return cached

@@ -466,7 +466,12 @@ def compile_pair_ir(ir, sharding=None):
     math: rolls touch only scheduled-local target bits, so XLA partitions
     them as thin edge exchanges, and controls/diagonals are pure
     elementwise masks — comm-free on device-selecting bits."""
-    key = ("pair", ir.structural_key(), sharding)
+    from ..compiler.ir import ParamRef
+    # concrete params BAKE into the program (structural_key masks their
+    # values for structure-keyed consumers) — key on them too
+    baked = tuple(float(p) for op in ir.ops for p in op.params
+                  if not isinstance(p, ParamRef))
+    key = ("pair", ir.structural_key(), baked, sharding)
     fn = _PAIR_EXEC_CACHE.get(key)
     if fn is not None:
         return fn

@@ -291,3 +291,23 @@ class TestCompileIrSelfSegmentation:
         np.testing.assert_allclose(np.asarray(jnp.abs(out - want)).max(),
                                    0.0, atol=2e-5)
         interp.clear_cache()
+
+
+def test_compile_ir_distinguishes_baked_param_values():
+    """Two IRs identical in structure but differing in CONCRETE (non-
+    ParamRef) angles must not share a cached executable (regression: the
+    exec cache keyed on structural_key alone, which masks concrete values
+    — the second caller silently got the first caller's angles)."""
+    import jax.numpy as jnp
+    from rocquantum_tpu.compiler.ir import CircuitIR
+    from rocquantum_tpu.compiler.interpreter import compile_ir
+
+    z = jnp.zeros((0,), jnp.float32)
+    outs = []
+    for theta in (0.3, 1.1):
+        ir = CircuitIR(1)
+        ir.add("RY", [0], params=[theta])
+        fn = compile_ir(ir, donate=False)
+        outs.append(np.asarray(fn(jax.jit(lambda: sv.init_state(1))(), z)))
+    assert abs(outs[0][0].real - np.cos(0.15)) < 1e-6
+    assert abs(outs[1][0].real - np.cos(0.55)) < 1e-6
