@@ -172,18 +172,27 @@ class DensityCircuit(_GateMethods):
 
     def _use_pair(self) -> bool:
         """fp64 density circuits run the float-pair engine (ops/pairdm.py):
-        complex128 programs abort this TPU stack's x64 rewriter. Sharded
-        fp64 stays on the complex path (CPU-only). Sticky once rho exists."""
+        complex128 programs abort this TPU stack's x64 rewriter — sharded
+        circuits included (both parts over 'sv'; relabels stay all-to-all
+        transposes). Sticky once rho exists."""
         if self._rho is not None:
             return isinstance(self._rho, tuple)
-        return config.get_precision() == "double" and self.mesh is None
+        return config.get_precision() == "double"
 
     def _init_rho(self):
         n = self.num_qubits
+        sh = self._sharding()
         if self._use_pair():
             from .ops import pairdm
-            return jax.jit(lambda: pairdm.init_density_pair(n))()
-        sh = self._sharding()
+
+            def mk():
+                re, im = pairdm.init_density_pair(n)
+                if sh is not None:
+                    re = jax.lax.with_sharding_constraint(re, sh)
+                    im = jax.lax.with_sharding_constraint(im, sh)
+                return re, im
+
+            return jax.jit(mk)()
         if sh is None:
             return jax.jit(lambda: dmops.init_density(n))()
         return jax.jit(lambda: dmops.init_density(n), out_shardings=sh)()
@@ -415,6 +424,9 @@ class DensityCircuit(_GateMethods):
                     tuple(q + n for q in tgt) + tuple(tgt)))
         sched, new_layout = schedule_for_sharding(
             pseudo, n2, num_global_qubits(self.mesh), self._layout2n)
+        if self._use_pair():
+            return self._run_sharded_pair(sched, new_layout, kraus_table,
+                                          key_items, values, sharding)
         cache_key = ("sharded", n, key_items, tuple(self._layout2n),
                      self.mesh, config.get_precision())
         fn = _DM_RUN_CACHE.get(cache_key)
@@ -462,6 +474,61 @@ class DensityCircuit(_GateMethods):
         self._rho = fn(self._rho, params)
         self._layout2n = list(new_layout)
 
+    def _run_sharded_pair(self, sched, new_layout, kraus_table, key_items,
+                          values, sharding):
+        """fp64 sharded executor: the SAME scheduled op stream, run on the
+        (re, im) pair — SWAP_BITS relabels as constrained transposes
+        (all-to-all), gates/diagonals as exact flat pair math (diagonals
+        comm-free), Kraus channels positionally via the dense superop
+        rows."""
+        import dataclasses as _dc
+
+        from .compiler.sharded_schedule import SWAP_BITS
+        from .ops import pairdm, pairsim
+        from .ops import statevec as _sv
+
+        cache_key = ("sharded-pair", self.num_qubits, key_items,
+                     tuple(self._layout2n), self.mesh)
+        fn = _DM_RUN_CACHE.get(cache_key)
+        if fn is None:
+            def run(re, im, params):
+                for op in sched:
+                    if op.name.startswith("__KRAUS_"):
+                        idx = int(op.name[len("__KRAUS_"):-2])
+                        rec = kraus_table[idx]
+                        if rec[0] == "channel":
+                            ks = dmops.CHANNELS[rec[1]](rec[2])
+                        else:
+                            ks = [np.frombuffer(b, np.complex128).reshape(sh)
+                                  for b, sh in rec[1]]
+                        m = rec[3]
+                        re, im = pairdm.apply_kraus_at_pair_dm(
+                            re, im, ks, list(op.targets[:m]),
+                            list(op.targets[m:]))
+                    elif op.name == SWAP_BITS:
+                        a, b = op.targets
+                        re = _sv.swap_index_bits(re, a, b,
+                                                 use_transpose=True)
+                        im = _sv.swap_index_bits(im, a, b,
+                                                 use_transpose=True)
+                    else:
+                        if op.params and op.params[0] == "sslots":
+                            vals = tuple(s * params[i]
+                                         for i, s in op.params[1:])
+                            op = _dc.replace(op, params=vals)
+                        re, im = pairsim.apply_op_pair(re, im, op)
+                    re = jax.lax.with_sharding_constraint(re, sharding)
+                    im = jax.lax.with_sharding_constraint(im, sharding)
+                return re, im
+
+            fn = jax.jit(run, donate_argnums=(0, 1))
+            _DM_RUN_CACHE[cache_key] = fn
+        if self._rho is None:
+            self._rho = self._init_rho()
+        params = jnp.asarray(values, dtype=config.real_dtype())
+        self._rho = fn(*self._rho, params)
+        self._layout2n = list(new_layout)
+
     def _restore_layout(self):
         """Undo the locality relabeling so readbacks address logical bits."""
         if self.mesh is None or \
@@ -472,6 +539,22 @@ class DensityCircuit(_GateMethods):
 
         ops = unpermute_ops(self._layout2n)
         sharding = self._sharding()
+
+        if self._use_pair():
+            from .ops import statevec as _sv
+
+            def run_pair(re, im):
+                for op in ops:
+                    a, b = op.targets
+                    re = _sv.swap_index_bits(re, a, b, use_transpose=True)
+                    im = _sv.swap_index_bits(im, a, b, use_transpose=True)
+                    re = jax.lax.with_sharding_constraint(re, sharding)
+                    im = jax.lax.with_sharding_constraint(im, sharding)
+                return re, im
+
+            self._rho = jax.jit(run_pair, donate_argnums=(0, 1))(*self._rho)
+            self._layout2n = list(range(2 * self.num_qubits))
+            return
 
         def run(rho):
             rho = _exec(rho, ops, None, sharding=sharding)
@@ -506,6 +589,9 @@ class DensityCircuit(_GateMethods):
             outcome = 1 if self.simulator.host_random() < p1 else 0
             self._rho = pairdm.collapse_pair_dm_jit(*self._rho, qubit,
                                                     outcome, n)
+            if self.mesh is not None:  # re-pin (donation + in_shardings)
+                sh = self._sharding()
+                self._rho = tuple(jax.device_put(p, sh) for p in self._rho)
             return outcome, (p1 if outcome == 1 else 1.0 - p1)
         p1 = float(dmops.prob_one_dm_jit(self._rho, qubit))
         outcome = 1 if self.simulator.host_random() < p1 else 0

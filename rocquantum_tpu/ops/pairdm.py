@@ -57,30 +57,37 @@ def apply_op_pair_dm(re: jnp.ndarray, im: jnp.ndarray, op, n: int,
     return apply_matrix_pair(re, im, c_re, c_im, list(tgts))
 
 
-def apply_kraus_pair_dm(re: jnp.ndarray, im: jnp.ndarray, kraus_ops: List,
-                        targets: Sequence[int], n: int):
-    """rho' = sum_i K_i rho K_i† as ONE dense superoperator pass over the
-    (col, row) index bits (density.apply_kraus's scheme; the fused-kernel
-    factorization stays on the f32 path — superops aren't unitary and the
-    Pallas kernels compute in f32 anyway). Channels on >= 3 qubits
-    accumulate per Kraus term instead: the superop's XOR-diagonal loop
-    costs 4^(2m) coefficient selects, the per-term form 2 * 4^m."""
+def apply_kraus_at_pair_dm(re: jnp.ndarray, im: jnp.ndarray,
+                           kraus_ops: List, row_pos: Sequence[int],
+                           col_pos: Sequence[int]):
+    """rho' = sum_i K_i rho K_i† with row/column qubit axes at ARBITRARY
+    flat index-bit positions (the sharded density path's primitive after
+    locality relabeling — density.apply_kraus_at's pair twin). One dense
+    superoperator pass for 1-2q channels; >= 3 qubits accumulate per
+    Kraus term (the superop's XOR-diagonal loop costs 4^(2m) coefficient
+    selects, the per-term form 2 * 4^m)."""
     from . import density as dmops
-    if len(targets) >= 3:
-        row_pos = [t + n for t in targets]
+    if len(row_pos) >= 3:
         acc_re = acc_im = None
         for k in kraus_ops:
             m_re, m_im = _rows_from_numpy(np.asarray(k, np.complex128))
-            tr, ti = apply_matrix_pair(re, im, m_re, m_im, row_pos)
+            tr, ti = apply_matrix_pair(re, im, m_re, m_im, list(row_pos))
             c_re, c_im = rows_conj(m_re, m_im)
-            tr, ti = apply_matrix_pair(tr, ti, c_re, c_im, list(targets))
+            tr, ti = apply_matrix_pair(tr, ti, c_re, c_im, list(col_pos))
             acc_re = tr if acc_re is None else acc_re + tr
             acc_im = ti if acc_im is None else acc_im + ti
         return acc_re, acc_im
     s = dmops.kraus_superoperator(kraus_ops, xp=np)
     m_re, m_im = _rows_from_numpy(np.asarray(s, np.complex128))
-    pos = list(targets) + [t + n for t in targets]
-    return apply_matrix_pair(re, im, m_re, m_im, pos)
+    return apply_matrix_pair(re, im, m_re, m_im,
+                             list(col_pos) + list(row_pos))
+
+
+def apply_kraus_pair_dm(re: jnp.ndarray, im: jnp.ndarray, kraus_ops: List,
+                        targets: Sequence[int], n: int):
+    """rho' = sum_i K_i rho K_i† on logical qubits (row bits at q + n)."""
+    return apply_kraus_at_pair_dm(re, im, kraus_ops,
+                                  [t + n for t in targets], list(targets))
 
 
 def apply_channel_pair_dm(re: jnp.ndarray, im: jnp.ndarray,

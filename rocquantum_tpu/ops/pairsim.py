@@ -265,6 +265,32 @@ def op_rows_targets(op, params_resolved: Sequence = None, dtype=None):
 def apply_op_pair(re: jnp.ndarray, im: jnp.ndarray, op,
                   params_resolved: Sequence = None):
     """Apply one CircuitIR GateOp to the pair state."""
+    if op.name == "D2M":
+        # two-qubit DIAGONAL with packed values d[bit_t0, bit_t1]
+        # (interpreter._base_matrix D2M convention): one exact flat
+        # masked-multiply pass, comm-free at any qubit under sharding.
+        # Entries stay PYTHON scalars (device-materialized small f64
+        # arrays silently round to f32 on this stack).
+        m = np.asarray(op.matrix, np.complex128)
+        if op.is_adjoint:
+            m = np.conj(m)
+        t0, t1 = op.targets
+        n = re.size.bit_length() - 1
+        iota = jax.lax.iota(jnp.int32, 1 << n)
+        b0 = ((iota >> t0) & 1).astype(bool)
+        b1 = ((iota >> t1) & 1).astype(bool)
+
+        def sel(part):
+            vals = [[float(getattr(m[i, j], part)) for j in range(2)]
+                    for i in range(2)]
+            return jnp.where(b0, jnp.where(b1, vals[1][1], vals[1][0]),
+                             jnp.where(b1, vals[0][1], vals[0][0]))
+
+        d_re = sel("real")
+        if not np.any(m.imag):
+            return re * d_re, im * d_re
+        d_im = sel("imag")
+        return re * d_re - im * d_im, re * d_im + im * d_re
     m_re, m_im, tgts = op_rows_targets(op, params_resolved, dtype=re.dtype)
     return apply_matrix_pair(re, im, m_re, m_im, tgts)
 

@@ -197,3 +197,30 @@ class TestShardedDensityFuzz:
         assert abs(ca.purity() - cb.purity()) < 1e-5
         h = rocq.PauliOperator({"Z0": 0.4, f"Z1 Z{n-1}": -0.3, "X2": 0.2})
         assert abs(ca.expval(h) - cb.expval(h)) < 1e-5
+
+    @pytest.mark.parametrize("seed", [50, 51])
+    def test_random_noisy_circuits_fp64_pair_sharded(self, seed):
+        """Same fuzz at double precision: the sharded density PAIR engine
+        (transposed relabels, positional superop Kraus, comm-free D2M
+        factors) tracks the unsharded pair run at f64 tolerance."""
+        from rocquantum_tpu import config
+        old = config.get_precision()
+        config.set_precision("double")
+        try:
+            mesh = make_mesh(8)
+            n = 4
+            rng_a, rng_b = (np.random.default_rng(60 + seed)
+                            for _ in range(2))
+            ca = DensityCircuit(n, rocq.Simulator(seed=seed), mesh=mesh)
+            cb = DensityCircuit(n, rocq.Simulator(seed=seed))
+            ra = self._drive(ca, rng_a, n, depth=15)
+            rb = self._drive(cb, rng_b, n, depth=15)
+            assert isinstance(ca._rho, tuple) and isinstance(cb._rho, tuple)
+            assert len(ca._rho[0].sharding.device_set) == 8
+            assert [x[0] for x in ra] == [x[0] for x in rb]
+            np.testing.assert_allclose(ca.get_density_matrix(),
+                                       cb.get_density_matrix(), atol=1e-12,
+                                       err_msg=f"seed={seed}")
+            assert abs(ca.purity() - cb.purity()) < 1e-12
+        finally:
+            config.set_precision(old)
