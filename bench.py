@@ -166,18 +166,31 @@ def run_ansatz(n):
 
 def probe_ansatz(n):
     """Deepest pass-sharing body that fits the compile budget wins: body=8
-    reaches the 3-passes/layer steady state (the dependency-aware planner
-    packs cross-layer), but its cold compile can blow the per-probe budget
-    — fall back to shallower bodies (warm .jax_cache makes 8 cheap)."""
+    reaches the 2-passes/layer steady state under the MIXED geometry
+    planner (default-window lead pass + one lean thin chain pass per
+    layer), 3/layer under the single-geometry tall plan. Both geometries
+    are measured and the faster wins; shallower bodies are the compile-
+    budget fallback (warm .jax_cache makes 8 cheap)."""
     bodies = ([os.environ["ROCQ_ANSATZ_BODY"]]
               if os.environ.get("ROCQ_ANSATZ_BODY") else ["8", "4", "2"])
+    geos = ([os.environ["ROCQ_GEOMETRY"]]
+            if os.environ.get("ROCQ_GEOMETRY") else ["mixed", ""])
     for body in bodies:
-        rec = _probe_subprocess(["--ansatz", str(n)],
-                                "ansatz_gates_per_sec",
-                                timeout=PER_SIZE_TIMEOUT_S,
-                                env_extra={"ROCQ_ANSATZ_BODY": body})
-        if rec is not None:
-            return rec
+        best = None
+        for geo in geos:
+            env = {"ROCQ_ANSATZ_BODY": body}
+            if geo:
+                env["ROCQ_GEOMETRY"] = geo
+            rec = _probe_subprocess(["--ansatz", str(n)],
+                                    "ansatz_gates_per_sec",
+                                    timeout=PER_SIZE_TIMEOUT_S,
+                                    env_extra=env)
+            if rec is not None and (best is None
+                                    or rec["ansatz_gates_per_sec"]
+                                    > best["ansatz_gates_per_sec"]):
+                best = rec
+        if best is not None:
+            return best
     return None
 
 

@@ -312,6 +312,39 @@ def _spec_anchors(kinds, supports, limit):
     return anchors
 
 
+def _plan_mixed(n, kinds, supports, limit):
+    """Build the multi-geometry template plan (ROCQ_GEOMETRY=mixed): one
+    PassTemplate per kernel geometry, anchors recomputed at each window
+    reach (a CNOT control grid-resolves only when out of that window).
+    Costs are relative stream-floor units measured on v5e (tall tiles pay
+    ~15% grid overhead; thin merged-run passes ~8%). ROCQ_THIN_BODY_CAP
+    bounds thin bodies (40+ gate merged bodies push the scoped-VMEM stack
+    past the ceiling and stall double-buffering; default 26)."""
+    from ..ops.pallas_sv import (MAX_PAIR_BITS, TALL_GEOMETRY, THIN_GEOMETRY,
+                                 max_pair_bits_for)
+    from ..ops.relabel import PassTemplate, plan_mixed_layer
+
+    thin_cap = int(os.environ.get("ROCQ_THIN_BODY_CAP", "26"))
+    templates = [PassTemplate(None, limit, MAX_PAIR_BITS, 1.0)]
+    for geo, cost, cap, seed in ((TALL_GEOMETRY, 1.15, None, False),
+                                 (THIN_GEOMETRY, 1.08, thin_cap, True)):
+        gcol, gtile = geo
+        reach = min(gcol, n) + min(gtile, n - min(gcol, n))
+        if reach >= limit or n <= reach:
+            continue  # no pair capacity won at this n
+        templates.append(PassTemplate(geo, reach,
+                                      max_pair_bits_for(gcol, gtile),
+                                      cost, cap, seed))
+    if len(templates) == 1:
+        return None
+    anchors_by_reach = {t.reach: _spec_anchors(kinds, supports, t.reach)
+                        for t in templates}
+    try:
+        return plan_mixed_layer(n, supports, anchors_by_reach, templates)
+    except ValueError:
+        return None
+
+
 def _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
                       interpret: bool = False):
     """Run prepared gate specs through the fused kernel on a float-pair
@@ -348,7 +381,18 @@ def _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
         geo_candidates = (THIN_GEOMETRY,)
     elif env_geo == "tall+thin":
         geo_candidates = (TALL_GEOMETRY, THIN_GEOMETRY)
-    if len(plan) > 2:
+    if env_geo == "mixed" and len(plan) > 2:
+        # Per-PASS geometry choice (relabel.plan_mixed_layer): lead passes
+        # keep the default wide window, the high CNOT chain + its 1q column
+        # ride lean thin-geometry merged-run passes — 2.00 passes/layer on
+        # the n=29 ring ansatz vs 3.00 for the whole-plan tall geometry.
+        mixed = _plan_mixed(n, kinds, supports, limit)
+        if mixed is not None:
+            cost = {None: 1.0, TALL_GEOMETRY: 1.15, THIN_GEOMETRY: 1.08}
+            if sum(cost[getattr(p, "geometry", None)] for p in mixed) \
+                    < len(plan):
+                plan = mixed
+    elif len(plan) > 2:
         for geo in geo_candidates:
             gcol, gtile = geo
             geo_limit = min(gcol, n) + min(gtile, n - min(gcol, n))

@@ -172,6 +172,35 @@ def _pair_groups(pair_bits):
     return groups
 
 
+def _prune_pair_bits(pair_bits, touched):
+    """Drop pair bits no gate touches (each costs 2x block size) — but
+    re-BRIDGE where the drop would split a contiguous run into a group set
+    the kernels reject (> MAX_PAIR_GROUPS runs, or a multi-run set of more
+    than 5 bits): an untouched pair bit is semantically inert (gates ignore
+    its block axis), so the cheapest VALID superset of the touched bits
+    wins. Bridging fills the smallest inter-group gap first; bridge bits
+    stay strictly between surviving pair bits, so they remain valid block
+    bits."""
+    bits = sorted(p for p in pair_bits if p in touched)
+    if not bits:
+        return ()
+
+    def ok(b):
+        gs = _pair_groups(b)
+        return len(gs) <= MAX_PAIR_GROUPS and not (len(gs) > 1
+                                                   and len(b) > 5)
+
+    while not ok(bits):
+        groups = _pair_groups(bits)
+        gaps = [(groups[j + 1][0] - (groups[j][0] + groups[j][1]), j)
+                for j in range(len(groups) - 1)]
+        _, j = min(gaps)
+        bits = sorted(set(bits)
+                      | set(range(groups[j][0] + groups[j][1],
+                                  groups[j + 1][0])))
+    return tuple(bits)
+
+
 def _free_bit_sel(b, pair_bits, limit):
     """Boolean value of state-index bit ``b`` (>= limit, not a pair bit)
     recovered from the GRID position — diagonal gates need only the bit
@@ -1235,8 +1264,9 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
     if pair_bits is None:
         pair_bits = () if pair_bit is None else (int(pair_bit),)
     pair_bits = tuple(sorted(int(p) for p in set(pair_bits)))
-    # only keep pair bits a gate actually touches (each costs 2x block size)
-    pair_bits = tuple(p for p in pair_bits if p in set(paired_qubits))
+    # only keep pair bits a gate actually touches (each costs 2x block
+    # size), bridging any split run back to a kernel-valid group set
+    pair_bits = _prune_pair_bits(pair_bits, set(paired_qubits))
     in_tile = [q for q in paired_qubits if q not in set(pair_bits)]
     if any(q >= limit for q in in_tile):
         raise ValueError(f"kernel handles qubits < {limit} (or in pair_bits "

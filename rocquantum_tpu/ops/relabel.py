@@ -169,6 +169,142 @@ def _items_to_plan(supports, items, geometry=None) -> List[object]:
     return plan
 
 
+def _scan_pass(pending, supports, anchors, reach, pairs, cap=None):
+    """List-schedule one pass: take gates in order whose qubits are not
+    blocked by an earlier unscheduled gate and whose ANCHOR qubits fit
+    the window or the pair set (free/unanchored bits grid-resolve in the
+    kernel). ``cap`` bounds the pass body size (gates past it block, so
+    ordering stays exact) — the scoped-VMEM-stack guard for merged-run
+    geometries."""
+    taken, blocked = [], set()
+    for i in pending:
+        s = supports[i]
+        if any(q in blocked for q in s):
+            blocked |= set(s)
+            continue
+        if (all(q < reach or q in pairs for q in anchors[i])
+                and (cap is None or len(taken) < cap)):
+            taken.append(i)
+        else:
+            blocked |= set(s)
+    return taken
+
+
+def _grow_pass(pending, supports, anchors, reach, max_pairs, cap=None,
+               seed=None):
+    """Grow one pass's pair-bit set greedily: seed with the head gate's
+    out-of-window bits (guarantees progress) — or an explicit ``seed`` set
+    for template evaluation, where an empty take is a valid outcome — then
+    add the pair bit that schedules the most extra gates (ascending
+    candidate order; strict improvement only — bit-identical to the native
+    scheduler when cap/seed are unset)."""
+    from .pallas_sv import MAX_PAIR_GROUPS, _pair_groups
+
+    head = pending[0]
+    pairs = set(seed) if seed is not None else \
+        {q for q in anchors[head] if q >= reach}
+    take = _scan_pass(pending, supports, anchors, reach, pairs, cap)
+    while len(pairs) < max_pairs:
+        cands = sorted({q for i in pending
+                        for q in anchors[i] if q >= reach} - pairs)
+        best, best_take = None, take
+        for p in cands:
+            cand = sorted(pairs | {p})
+            gs = _pair_groups(cand)
+            if len(gs) > MAX_PAIR_GROUPS:
+                continue  # would exceed the contiguous-run rank limit
+            if len(gs) > 1 and len(cand) > 5:
+                # multi-group blocks unroll 2^k tile refs in-kernel;
+                # only a SINGLE contiguous run merges into the tile
+                # rows (O(gates) body) at larger k
+                continue
+            t = _scan_pass(pending, supports, anchors, reach,
+                           pairs | {p}, cap)
+            if len(t) > len(best_take):
+                best, best_take = p, t
+        if best is None:
+            break
+        pairs.add(best)
+        take = best_take
+    return pairs, take
+
+
+@dataclasses.dataclass(frozen=True)
+class PassTemplate:
+    """One kernel-geometry option the mixed planner may pick per pass.
+
+    ``cost`` is the pass's relative HBM-pass price in stream-floor units
+    (every pass streams the full state; tall/thin tiles pay extra grid
+    overhead). ``body_cap`` bounds gates per pass — merged-run thin passes
+    with 40+ gate bodies push the scoped-VMEM stack past the v5e ceiling
+    and stall block double-buffering, so chain passes stay lean.
+    ``seed_top_run`` additionally evaluates the pass with its pair set
+    pre-seeded to the TOP contiguous run of ``max_pairs`` bits — the shape
+    that swallows a high CNOT chain + its 1q column in one pass."""
+    geometry: Tuple[int, int]  # None = the default pallas_sv geometry
+    reach: int
+    max_pairs: int
+    cost: float
+    body_cap: int = None
+    seed_top_run: bool = False
+
+
+def plan_mixed_layer(n: int, supports: Sequence[Tuple[int, ...]],
+                     anchors_by_reach, templates: Sequence[PassTemplate]
+                     ) -> List[object]:
+    """Greedy MULTI-GEOMETRY scheduling: each pass independently picks the
+    template maximizing scheduled-gates / pass-cost.
+
+    This is the 2-passes-per-layer ring-ansatz lever (one pass per 2q gate
+    is the reference's cost model, two_qubit_kernels.hip:17-51): lead
+    passes stay at the default wide-window geometry (lane/mid MXU dots),
+    while the high CNOT chain + its RY column ride ONE thin-geometry pass
+    whose single contiguous pair run merges into the tile rows — chain
+    CNOTs become row slices and the body stays O(gates) and small. At
+    n=29/body=8 this plans 16 passes (8 default + 8 thin, 2.00/layer) vs
+    24 for the single-geometry tall plan (3.00/layer).
+
+    ``anchors_by_reach[reach]`` gives per-gate anchor qubits at each
+    template's window reach (a CNOT's control grid-resolves only when it
+    is OUT of the window, so anchors are reach-dependent)."""
+    supports = [tuple(int(q) for q in s) for s in supports]
+    pending = list(range(len(supports)))
+    plan: List[object] = []
+    while pending:
+        best = None  # (score, pairs, take, template)
+        for t in templates:
+            anchors = anchors_by_reach[t.reach]
+            seeds = [None]
+            if t.seed_top_run and t.max_pairs > 0 and n - t.max_pairs \
+                    >= t.reach:
+                seeds.append(tuple(range(n - t.max_pairs, n)))
+            for seed in seeds:
+                pairs, take = _grow_pass(pending, supports, anchors,
+                                         t.reach, t.max_pairs,
+                                         cap=t.body_cap, seed=seed)
+                if not take:
+                    continue
+                score = len(take) / t.cost
+                if best is None or score > best[0]:
+                    best = (score, pairs, take, t)
+        if best is None:
+            raise ValueError("no template can schedule the head gate "
+                             f"(supports={supports[pending[0]]})")
+        _, pairs, take, t = best
+        anchors = anchors_by_reach[t.reach]
+        # record only the bits gates touch; apply_fused_layer re-bridges
+        # any run the pruning split into an invalid group set
+        used = {q for i in take for q in anchors[i] if q >= t.reach}
+        plan.append(KernelPass(
+            gate_idx=tuple(take),
+            positions=tuple(supports[i] for i in take),
+            pair_bits=tuple(sorted(used)),
+            geometry=t.geometry))
+        taken_set = set(take)
+        pending = [i for i in pending if i not in taken_set]
+    return plan
+
+
 def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
                     pair_ok: bool = True,
                     allow_rotations: bool = None,
@@ -240,53 +376,10 @@ def plan_full_layer(n: int, supports: Sequence[Tuple[int, ...]], reach: int,
 
     pending = list(range(len(supports)))  # gate indices, original order
 
-    def scan(pairs):
-        """List-schedule one pass: take gates in order whose qubits are not
-        blocked by an earlier unscheduled gate and whose ANCHOR qubits fit
-        the window or the pair set (free/unanchored bits grid-resolve in
-        the kernel)."""
-        taken, blocked = [], set()
-        for i in pending:
-            s = supports[i]
-            if any(q in blocked for q in s):
-                blocked |= set(s)
-                continue
-            if all(q < reach or q in pairs for q in anchors[i]):
-                taken.append(i)
-            else:
-                blocked |= set(s)
-        return taken
-
     plan: List[object] = []
     while pending:
-        # seed with the head gate's out-of-window bits (guarantees
-        # progress), then greedily add the pair bit that schedules the most
-        # extra gates (ascending candidate order; strict improvement only —
-        # bit-identical to the native scheduler)
-        head = pending[0]
-        pairs = {q for q in anchors[head] if q >= reach}
-        take = scan(pairs)
-        while len(pairs) < max_pairs:
-            cands = sorted({q for i in pending
-                            for q in anchors[i] if q >= reach} - pairs)
-            best, best_take = None, take
-            for p in cands:
-                cand = sorted(pairs | {p})
-                gs = _pair_groups(cand)
-                if len(gs) > MAX_PAIR_GROUPS:
-                    continue  # would exceed the contiguous-run rank limit
-                if len(gs) > 1 and len(cand) > 5:
-                    # multi-group blocks unroll 2^k tile refs in-kernel;
-                    # only a SINGLE contiguous run merges into the tile
-                    # rows (O(gates) body) at larger k
-                    continue
-                t = scan(pairs | {p})
-                if len(t) > len(best_take):
-                    best, best_take = p, t
-            if best is None:
-                break
-            pairs.add(best)
-            take = best_take
+        pairs, take = _grow_pass(pending, supports, anchors, reach,
+                                 max_pairs)
         if not take:
             raise AssertionError("scheduler made no progress")
         used = {q for i in take
