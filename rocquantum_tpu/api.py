@@ -302,23 +302,28 @@ class Circuit(_GateMethods):
         x64 rewriter cannot execute complex128 programs, so double precision
         ships (re, im) f64 arrays and strictly-real arithmetic — including
         SHARDED circuits (both parts sharded over 'sv'; relabels stay
-        all-to-all transposes). Batched fp64 stays on the complex path
-        (CPU-only). Sticky once the state exists (precision flips don't
-        re-type live states)."""
+        all-to-all transposes) and BATCHED circuits (batchSize as a leading
+        vmap axis over the pair engine, hipStateVec.h:61). Batched+sharded
+        fp64 stays on the complex path (CPU-only). Sticky once the state
+        exists (precision flips don't re-type live states)."""
         if self._state is not None:
             return isinstance(self._state, tuple)
-        return (config.get_precision() == "double" and self.batch_size == 1)
+        return (config.get_precision() == "double"
+                and (self.batch_size == 1 or self.mesh is None))
 
     def _init_fn(self):
         n, b = self.num_qubits, self.batch_size
         if self._use_pair():
             from .ops import pairsim
             sharding = self._sharding()
-            key = (n, "pair", sharding, config.get_precision())
+            key = (n, b, "pair", sharding, config.get_precision())
             fn = _INIT_CACHE.get(key)
             if fn is None:
                 def mk_pair():
                     re, im = pairsim.init_pair(n)
+                    if b > 1:
+                        return (jnp.tile(re[None, :], (b, 1)),
+                                jnp.tile(im[None, :], (b, 1)))
                     if sharding is not None:
                         re = jax.lax.with_sharding_constraint(re, sharding)
                         im = jax.lax.with_sharding_constraint(im, sharding)
@@ -396,7 +401,8 @@ class Circuit(_GateMethods):
             if self.mesh is None:
                 ops = [GateOp("SWAP", op.targets) for op in ops]
             fn = pairsim.compile_pair_ir(CircuitIR(self.num_qubits, ops),
-                                         sharding=self._sharding())
+                                         sharding=self._sharding(),
+                                         batched=self.batch_size > 1)
             re, im = fn(*self._state,
                         jnp.zeros((0,), dtype=config.real_dtype()))
             self._state = (re, im)
@@ -454,7 +460,8 @@ class Circuit(_GateMethods):
                                        fuse=False):
                 fn = pairsim.compile_pair_ir(
                     CircuitIR(self.num_qubits, segment),
-                    sharding=self._sharding())
+                    sharding=self._sharding(),
+                    batched=self.batch_size > 1)
                 re, im = fn(re, im, params)
             self._state = (re, im)
             self._gate_queue.clear()
@@ -487,6 +494,18 @@ class Circuit(_GateMethods):
         self.flush()
         self._validate_qubit_index(qubit_to_measure)
         phys = self._phys(qubit_to_measure)
+        if self.batch_size > 1 and self._use_pair():
+            # batched fp64: per-element draws on the pair engine
+            from .ops import pairsim
+            p1 = np.asarray(pairsim.prob_one_pair_jit(*self.state, phys))
+            draws = np.asarray(
+                [self.simulator.host_random() for _ in range(self.batch_size)])
+            outcomes = (draws < p1).astype(np.int32)
+            probs = np.where(outcomes == 1, p1, 1.0 - p1)
+            self._state = tuple(pairsim.collapse_pair_batched_jit(
+                *self.state, phys, jnp.asarray(outcomes)))
+            self._reshard()
+            return outcomes, probs
         if self.batch_size > 1:
             # per-batch-element draw + collapse (batchSize threading through
             # the measurement kernels, hipStateVec.h:61): returns
@@ -528,6 +547,14 @@ class Circuit(_GateMethods):
         if num_shots <= 0:
             raise ValueError("Number of shots must be positive.")
         qubits = tuple(self._phys(q) for q in measured_qubits)
+        if self._use_pair():
+            from .ops import pairsim
+            key = self.simulator.next_key()
+            if self.batch_size > 1:  # one key per element -> (batch, shots)
+                key = jax.random.split(key, self.batch_size)
+            out = pairsim.sample_pair_jit(*self.state, qubits=qubits,
+                                          shots=num_shots, key=key)
+            return np.asarray(out)
         if self.batch_size > 1:
             # DP axis: independent draws per batch element -> (batch, shots)
             keys = jax.random.split(self.simulator.next_key(),
@@ -535,12 +562,6 @@ class Circuit(_GateMethods):
             out = jax.jit(jax.vmap(
                 lambda s, k: sv.sample(s, qubits, num_shots, k)))(
                     self.state, keys)
-            return np.asarray(out)
-        if self._use_pair():
-            from .ops import pairsim
-            out = pairsim.sample_pair_jit(*self.state, qubits=qubits,
-                                          shots=num_shots,
-                                          key=self.simulator.next_key())
             return np.asarray(out)
         out = sv.sample_jit(self.state, qubits=qubits,
                             shots=num_shots, key=self.simulator.next_key())
@@ -613,8 +634,11 @@ class Circuit(_GateMethods):
             from .ops import pairsim
             terms_key = tuple(tuple(ops) for ops, _ in terms)
             coeffs = tuple(float(c) for _, c in terms)
-            return float(pairsim.expval_terms_pair_jit(
-                *self.state, terms=terms_key, coeffs=coeffs))
+            out = pairsim.expval_terms_pair_jit(
+                *self.state, terms=terms_key, coeffs=coeffs)
+            if self.batch_size > 1:  # per-element expectations, (batch,)
+                return np.asarray(out)
+            return float(out)
         return expval_on_state(self.state, terms)
 
     def __del__(self):

@@ -455,18 +455,75 @@ def slice_pair(re: jnp.ndarray, im: jnp.ndarray, start: int, size: int):
             jax.lax.dynamic_slice(im, (start,), (size,)))
 
 
+# Batch polymorphism: a (batch, 2^n) pair state vmaps over the leading
+# axis — the reference's batchSize threading (hipStateVec.h:61) on the
+# fp64 engine. The flat-state functions above read n from re.size, so the
+# dispatch happens at trace time on the UNbatched per-element view.
+
+def _slice_pair_any(re, im, start, size):
+    if re.ndim == 2:
+        return jax.vmap(lambda r, i: slice_pair(r, i, start, size))(re, im)
+    return slice_pair(re, im, start, size)
+
+
+def _prob_one_pair_any(re, im, qubit):
+    if re.ndim == 2:
+        return jax.vmap(lambda r, i: prob_one_pair(r, i, qubit))(re, im)
+    return prob_one_pair(re, im, qubit)
+
+
+def _probs_pair_any(re, im):
+    if re.ndim == 2:
+        return jax.vmap(probs_pair)(re, im)
+    return probs_pair(re, im)
+
+
+def _marginal_probs_pair_any(re, im, qubits):
+    if re.ndim == 2:
+        return jax.vmap(
+            lambda r, i: marginal_probs_pair(r, i, qubits))(re, im)
+    return marginal_probs_pair(re, im, qubits)
+
+
+def _sample_pair_any(re, im, qubits, shots, key):
+    # batched: one PRNG key per batch element, shape (batch, 2) -> draws
+    # (batch, shots)
+    if re.ndim == 2:
+        return jax.vmap(
+            lambda r, i, k: sample_pair(r, i, qubits, shots, k))(re, im, key)
+    return sample_pair(re, im, qubits, shots, key)
+
+
+def _expval_terms_pair_any(re, im, terms, coeffs):
+    if re.ndim == 2:
+        return jax.vmap(
+            lambda r, i: expval_terms_pair(r, i, terms, coeffs))(re, im)
+    return expval_terms_pair(re, im, terms, coeffs)
+
+
+def _expval_pauli_string_pair_any(re, im, ops):
+    if re.ndim == 2:
+        return jax.vmap(
+            lambda r, i: expval_pauli_string_pair(r, i, ops))(re, im)
+    return expval_pauli_string_pair(re, im, ops)
+
+
 # Jitted host entry points (static circuit metadata, dynamic state).
-slice_pair_jit = jax.jit(slice_pair, static_argnums=(2, 3))
-prob_one_pair_jit = jax.jit(prob_one_pair, static_argnums=(2,))
+slice_pair_jit = jax.jit(_slice_pair_any, static_argnums=(2, 3))
+prob_one_pair_jit = jax.jit(_prob_one_pair_any, static_argnums=(2,))
 collapse_pair_jit = jax.jit(collapse_pair, static_argnums=(2, 3))
-probs_pair_jit = jax.jit(probs_pair)
+# per-element traced outcomes (the batched rocsvMeasure form)
+collapse_pair_batched_jit = jax.jit(
+    jax.vmap(collapse_pair, in_axes=(0, 0, None, 0)), static_argnums=(2,))
+probs_pair_jit = jax.jit(_probs_pair_any)
 marginal_probs_pair_jit = jax.jit(
-    marginal_probs_pair, static_argnames=("qubits",))
-sample_pair_jit = jax.jit(sample_pair, static_argnames=("qubits", "shots"))
+    _marginal_probs_pair_any, static_argnames=("qubits",))
+sample_pair_jit = jax.jit(_sample_pair_any,
+                          static_argnames=("qubits", "shots"))
 expval_terms_pair_jit = jax.jit(
-    expval_terms_pair, static_argnames=("terms", "coeffs"))
+    _expval_terms_pair_any, static_argnames=("terms", "coeffs"))
 expval_pauli_string_pair_jit = jax.jit(
-    expval_pauli_string_pair, static_argnames=("ops",))
+    _expval_pauli_string_pair_any, static_argnames=("ops",))
 
 
 # ---------------------------------------------------------------------------
@@ -478,7 +535,7 @@ from ..utils.cache import BoundedCache  # noqa: E402
 _PAIR_EXEC_CACHE = BoundedCache()
 
 
-def compile_pair_ir(ir, sharding=None):
+def compile_pair_ir(ir, sharding=None, batched=False):
     """A jitted ``f(re, im, params) -> (re, im)`` for a CircuitIR, cached by
     structural key (the fp64 twin of interpreter.compile_ir: no fusion or
     Pallas — those kernels compute in f32 — just the exact sequential pair
@@ -497,7 +554,7 @@ def compile_pair_ir(ir, sharding=None):
     # values for structure-keyed consumers) — key on them too
     baked = tuple(float(p) for op in ir.ops for p in op.params
                   if not isinstance(p, ParamRef))
-    key = ("pair", ir.structural_key(), baked, sharding)
+    key = ("pair", ir.structural_key(), baked, sharding, batched)
     fn = _PAIR_EXEC_CACHE.get(key)
     if fn is not None:
         return fn
@@ -522,6 +579,14 @@ def compile_pair_ir(ir, sharding=None):
                 re = jax.lax.with_sharding_constraint(re, sharding)
                 im = jax.lax.with_sharding_constraint(im, sharding)
         return re, im
+
+    if batched:
+        # batchSize as a leading vmap axis (unsharded: batched fp64 runs
+        # one device's pair engine per element)
+        run_one = run
+
+        def run(re, im, params):
+            return jax.vmap(lambda r, i: run_one(r, i, params))(re, im)
 
     fn = jax.jit(run, donate_argnums=(0, 1))
     _PAIR_EXEC_CACHE[key] = fn

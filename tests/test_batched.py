@@ -157,3 +157,100 @@ class TestBatchedShardedPallas:
         for b in range(2):
             np.testing.assert_allclose(got[b], exp, atol=1e-5)
         clear_cache()
+
+
+class TestBatchedPair:
+    """Batched fp64: batchSize as a leading vmap axis over the float-PAIR
+    engine (the reference threads batchSize through every kernel including
+    the fp64 builds, hipStateVec.h:7-15,61)."""
+
+    @pytest.fixture
+    def double_precision(self):
+        from rocquantum_tpu import config
+        old = config.get_precision()
+        config.set_precision("double")
+        yield
+        config.set_precision(old)
+
+    def test_batched_pair_statevector_matches_single(self, double_precision):
+        n, batch, theta = 5, 3, 0.41
+        sim = rocq.Simulator()
+        c = rocq.Circuit(n, sim, batch_size=batch)
+        assert c._use_pair()
+        _bell_plus_ry(c, theta)
+        got = c.get_statevector()
+        assert got.shape == (batch, 1 << n)
+        assert isinstance(c._state, tuple)
+        assert c._state[0].dtype == jnp.float64
+        ref = rocq.Circuit(n, rocq.Simulator())
+        _bell_plus_ry(ref, theta)
+        exp = ref.get_statevector()
+        for b in range(batch):
+            np.testing.assert_allclose(got[b], exp, atol=1e-12)
+
+    def test_batched_pair_expval_probabilities_slice(self, double_precision):
+        n, batch = 4, 2
+        sim = rocq.Simulator()
+        c = rocq.Circuit(n, sim, batch_size=batch)
+        c.ry(0.3, 0)
+        c.cx(0, 1)
+        op = rocq.PauliOperator({"Z0 Z1": 1.0, "X0": 0.5})
+        ev = c.expval(op)
+        assert ev.shape == (batch,)
+        ref = rocq.Circuit(n, rocq.Simulator())
+        ref.ry(0.3, 0)
+        ref.cx(0, 1)
+        ev_ref = ref.expval(op)
+        np.testing.assert_allclose(ev, ev_ref, atol=1e-12)
+        probs = c.get_probabilities([0, 1])
+        assert probs.shape == (batch, 4)
+        np.testing.assert_allclose(probs[0],
+                                   ref.get_probabilities([0, 1]), atol=1e-12)
+        sl = c.get_statevector_slice(0, 4)
+        assert sl.shape == (batch, 4)
+        np.testing.assert_allclose(sl[1], ref.get_statevector_slice(0, 4),
+                                   atol=1e-12)
+
+    def test_batched_pair_measure_collapses_each_element(self,
+                                                         double_precision):
+        n, batch = 3, 8
+        sim = rocq.Simulator(seed=7)
+        c = rocq.Circuit(n, sim, batch_size=batch)
+        for _ in range(1):
+            c.h(0)
+            c.cx(0, 1)
+        outcomes, probs = c.measure(0)
+        assert outcomes.shape == (batch,)
+        np.testing.assert_allclose(probs, 0.5, atol=1e-9)
+        # Bell pair: qubit 1 collapses WITH qubit 0 per element
+        state = c.get_statevector()
+        for b in range(batch):
+            idx = int(np.argmax(np.abs(state[b])))
+            assert ((idx >> 0) & 1) == ((idx >> 1) & 1) == outcomes[b]
+
+    def test_batched_pair_sampling(self, double_precision):
+        n, batch, shots = 3, 2, 4000
+        sim = rocq.Simulator(seed=3)
+        c = rocq.Circuit(n, sim, batch_size=batch)
+        c.ry(np.pi / 2, 0)
+        out = c.sample([0], shots)
+        assert out.shape == (batch, shots)
+        for b in range(batch):
+            frac = float(np.mean(out[b]))
+            assert 0.42 < frac < 0.58
+        counts = c.sample_counts([0], shots)
+        assert set(counts) <= {"0", "1"}
+
+    def test_batched_sharded_double_stays_complex_path(self,
+                                                       double_precision):
+        # batched+sharded fp64 has no pair twin: it must take the complex
+        # engine (CPU-executable) rather than crash
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        mesh = make_mesh(4)
+        sim = rocq.Simulator()
+        c = rocq.Circuit(4, sim, batch_size=2, mesh=mesh)
+        assert not c._use_pair()
+        c.h(0)
+        got = c.get_statevector()
+        assert got.shape == (2, 16)
