@@ -320,10 +320,12 @@ class Circuit(_GateMethods):
             fn = _INIT_CACHE.get(key)
             if fn is None:
                 def mk_pair():
-                    re, im = pairsim.init_pair(n)
                     if b > 1:
-                        return (jnp.tile(re[None, :], (b, 1)),
-                                jnp.tile(im[None, :], (b, 1)))
+                        # flat batch: element k = index bits [n, n+log2(b));
+                        # 2-D f64 math is broken on this TPU stack, flat
+                        # elementwise + flat reductions are the exact forms
+                        return pairsim.init_pair_batched(n, b)
+                    re, im = pairsim.init_pair(n)
                     if sharding is not None:
                         re = jax.lax.with_sharding_constraint(re, sharding)
                         im = jax.lax.with_sharding_constraint(im, sharding)
@@ -401,8 +403,7 @@ class Circuit(_GateMethods):
             if self.mesh is None:
                 ops = [GateOp("SWAP", op.targets) for op in ops]
             fn = pairsim.compile_pair_ir(CircuitIR(self.num_qubits, ops),
-                                         sharding=self._sharding(),
-                                         batched=self.batch_size > 1)
+                                         sharding=self._sharding())
             re, im = fn(*self._state,
                         jnp.zeros((0,), dtype=config.real_dtype()))
             self._state = (re, im)
@@ -452,7 +453,10 @@ class Circuit(_GateMethods):
             # fp64: sequential exact pair programs (no fusion/Pallas — those
             # kernels compute in f32); still segmented for the compile
             # service, params stay runtime inputs. Sharded pair circuits
-            # were already scheduled above (relabels -> SWAP_BITS).
+            # were already scheduled above (relabels -> SWAP_BITS). Batched
+            # pair states are FLAT (batch = top index bits, pairsim
+            # init_pair_batched), so the same programs run unchanged —
+            # gates only touch qubits < n.
             from .ops import pairsim
             re, im = state
             for segment in segment_ops(ops, self.num_qubits,
@@ -460,8 +464,7 @@ class Circuit(_GateMethods):
                                        fuse=False):
                 fn = pairsim.compile_pair_ir(
                     CircuitIR(self.num_qubits, segment),
-                    sharding=self._sharding(),
-                    batched=self.batch_size > 1)
+                    sharding=self._sharding())
                 re, im = fn(re, im, params)
             self._state = (re, im)
             self._gate_queue.clear()
@@ -495,15 +498,17 @@ class Circuit(_GateMethods):
         self._validate_qubit_index(qubit_to_measure)
         phys = self._phys(qubit_to_measure)
         if self.batch_size > 1 and self._use_pair():
-            # batched fp64: per-element draws on the pair engine
+            # batched fp64: per-element draws on the FLAT pair engine
             from .ops import pairsim
-            p1 = np.asarray(pairsim.prob_one_pair_jit(*self.state, phys))
+            n, b = self.num_qubits, self.batch_size
+            p1 = np.asarray(pairsim.prob_one_pair_batched_jit(
+                *self.state, phys, n, b))
             draws = np.asarray(
-                [self.simulator.host_random() for _ in range(self.batch_size)])
+                [self.simulator.host_random() for _ in range(b)])
             outcomes = (draws < p1).astype(np.int32)
             probs = np.where(outcomes == 1, p1, 1.0 - p1)
             self._state = tuple(pairsim.collapse_pair_batched_jit(
-                *self.state, phys, jnp.asarray(outcomes)))
+                *self.state, phys, jnp.asarray(outcomes), n, b))
             self._reshard()
             return outcomes, probs
         if self.batch_size > 1:
@@ -551,9 +556,13 @@ class Circuit(_GateMethods):
             from .ops import pairsim
             key = self.simulator.next_key()
             if self.batch_size > 1:  # one key per element -> (batch, shots)
-                key = jax.random.split(key, self.batch_size)
-            out = pairsim.sample_pair_jit(*self.state, qubits=qubits,
-                                          shots=num_shots, key=key)
+                keys = jax.random.split(key, self.batch_size)
+                out = pairsim.sample_pair_batched_jit(
+                    *self.state, qubits=qubits, shots=num_shots, keys=keys,
+                    n=self.num_qubits, b=self.batch_size)
+            else:
+                out = pairsim.sample_pair_jit(*self.state, qubits=qubits,
+                                              shots=num_shots, key=key)
             return np.asarray(out)
         if self.batch_size > 1:
             # DP axis: independent draws per batch element -> (batch, shots)
@@ -586,6 +595,10 @@ class Circuit(_GateMethods):
         self._restore_identity_layout()
         if self._use_pair():
             re, im = self.state
+            if self.batch_size > 1:  # flat layout -> (batch, 2^n) rows
+                from .ops import pairsim
+                re, im = pairsim.statevector_pair_batched_jit(
+                    re, im, self.num_qubits, self.batch_size)
         else:
             re, im = sv.state_to_parts_jit(self.state)
         # batch_size > 1 returns the (batch, 2^n) array, one row per element
@@ -600,7 +613,12 @@ class Circuit(_GateMethods):
         self._restore_identity_layout()
         if self._use_pair():
             from .ops import pairsim
-            re, im = pairsim.slice_pair_jit(*self.state, start, size)
+            if self.batch_size > 1:
+                re, im = pairsim.slice_pair_batched_jit(
+                    *self.state, start, size, self.num_qubits,
+                    self.batch_size)
+            else:
+                re, im = pairsim.slice_pair_jit(*self.state, start, size)
         elif self.batch_size > 1:
             re, im = jax.jit(jax.vmap(
                 lambda s: sv.state_slice_parts(s, start, size)))(self.state)
@@ -614,6 +632,10 @@ class Circuit(_GateMethods):
         phys = tuple(self._phys(q) for q in qubits)
         if self._use_pair():
             from .ops import pairsim
+            if self.batch_size > 1:
+                return np.asarray(pairsim.marginal_probs_pair_batched_jit(
+                    *self.state, qubits=phys, n=self.num_qubits,
+                    b=self.batch_size)).astype(np.float64)
             return np.asarray(pairsim.marginal_probs_pair_jit(
                 *self.state, qubits=phys)).astype(np.float64)
         if self.batch_size > 1:
@@ -634,11 +656,12 @@ class Circuit(_GateMethods):
             from .ops import pairsim
             terms_key = tuple(tuple(ops) for ops, _ in terms)
             coeffs = tuple(float(c) for _, c in terms)
-            out = pairsim.expval_terms_pair_jit(
-                *self.state, terms=terms_key, coeffs=coeffs)
             if self.batch_size > 1:  # per-element expectations, (batch,)
-                return np.asarray(out)
-            return float(out)
+                return np.asarray(pairsim.expval_terms_pair_batched_jit(
+                    *self.state, terms=terms_key, coeffs=coeffs,
+                    n=self.num_qubits, b=self.batch_size))
+            return float(pairsim.expval_terms_pair_jit(
+                *self.state, terms=terms_key, coeffs=coeffs))
         return expval_on_state(self.state, terms)
 
     def __del__(self):

@@ -455,75 +455,184 @@ def slice_pair(re: jnp.ndarray, im: jnp.ndarray, start: int, size: int):
             jax.lax.dynamic_slice(im, (start,), (size,)))
 
 
-# Batch polymorphism: a (batch, 2^n) pair state vmaps over the leading
-# axis — the reference's batchSize threading (hipStateVec.h:61) on the
-# fp64 engine. The flat-state functions above read n from re.size, so the
-# dispatch happens at trace time on the UNbatched per-element view.
+# ---------------------------------------------------------------------------
+# Batched (flat) fp64: batchSize WITHOUT leaving the strictly-flat forms
+# ---------------------------------------------------------------------------
+# The reference threads batchSize through every kernel including the fp64
+# builds (hipStateVec.h:7-15,61). A (batch, 2^n) vmap would be the obvious
+# JAX shape, but 2-D f64 elementwise math and f64 axis reductions are
+# BROKEN on this TPU stack (see _apply_real_elementwise) — so the batch
+# index lives in extra TOP index bits of ONE flat state of
+# b_pad * 2^n amplitudes (b_pad = b rounded up to a power of two; padded
+# elements hold all-zero amplitudes, which every gate preserves):
+#   * gates target qubits < n, so the flat roll+mask machinery above is
+#     per-element automatically — compile_pair_ir programs run UNCHANGED;
+#   * per-element reductions are b masked flat f64 sums (exact);
+#   * histogram-grade marginals/draws downcast to f32 first, where 2-D
+#     views are fine.
 
-def _slice_pair_any(re, im, start, size):
-    if re.ndim == 2:
-        return jax.vmap(lambda r, i: slice_pair(r, i, start, size))(re, im)
-    return slice_pair(re, im, start, size)
-
-
-def _prob_one_pair_any(re, im, qubit):
-    if re.ndim == 2:
-        return jax.vmap(lambda r, i: prob_one_pair(r, i, qubit))(re, im)
-    return prob_one_pair(re, im, qubit)
-
-
-def _probs_pair_any(re, im):
-    if re.ndim == 2:
-        return jax.vmap(probs_pair)(re, im)
-    return probs_pair(re, im)
+def _pad_batch(b: int) -> int:
+    return 1 << max(b - 1, 0).bit_length()
 
 
-def _marginal_probs_pair_any(re, im, qubits):
-    if re.ndim == 2:
-        return jax.vmap(
-            lambda r, i: marginal_probs_pair(r, i, qubits))(re, im)
-    return marginal_probs_pair(re, im, qubits)
+def init_pair_batched(n: int, b: int, dtype=None):
+    """|0...0>^b as ONE flat pair of b_pad * 2^n amplitudes."""
+    dt = dtype or config.real_dtype()
+    size = _pad_batch(b) << n
+    re = jnp.zeros((size,), dt).at[jnp.arange(b) << n].set(1.0)
+    return re, jnp.zeros((size,), dt)
 
 
-def _sample_pair_any(re, im, qubits, shots, key):
-    # batched: one PRNG key per batch element, shape (batch, 2) -> draws
-    # (batch, shots)
-    if re.ndim == 2:
-        return jax.vmap(
-            lambda r, i, k: sample_pair(r, i, qubits, shots, k))(re, im, key)
-    return sample_pair(re, im, qubits, shots, key)
+def _element_mask(re, n: int, k: int):
+    iota = jax.lax.iota(jnp.int32, re.size)
+    return (iota >> n) == k
 
 
-def _expval_terms_pair_any(re, im, terms, coeffs):
-    if re.ndim == 2:
-        return jax.vmap(
-            lambda r, i: expval_terms_pair(r, i, terms, coeffs))(re, im)
-    return expval_terms_pair(re, im, terms, coeffs)
+def prob_one_pair_batched(re, im, qubit: int, n: int, b: int):
+    """Per-element P(qubit = 1) -> (b,): one masked flat f64 reduction per
+    element."""
+    iota = jax.lax.iota(jnp.int32, re.size)
+    bit = ((iota >> qubit) & 1).astype(bool)
+    s = jnp.where(bit, re * re + im * im, jnp.zeros((), re.dtype))
+    return jnp.stack([jnp.sum(jnp.where(_element_mask(re, n, k), s,
+                                        jnp.zeros((), s.dtype)))
+                      for k in range(b)])
 
 
-def _expval_pauli_string_pair_any(re, im, ops):
-    if re.ndim == 2:
-        return jax.vmap(
-            lambda r, i: expval_pauli_string_pair(r, i, ops))(re, im)
-    return expval_pauli_string_pair(re, im, ops)
+def collapse_pair_batched(re, im, qubit: int, outcomes, n: int, b: int):
+    """Project element k onto ``qubit = outcomes[k]`` and renormalize each
+    element — outcome lookup and the per-element inverse norms broadcast
+    back as flat mask-weighted sums (exact f64 elementwise)."""
+    iota = jax.lax.iota(jnp.int32, re.size)
+    bit = (iota >> qubit) & 1
+    want = jnp.asarray(outcomes, jnp.int32)[iota >> n]  # int gather: movement
+    keep = bit == want
+    re = jnp.where(keep, re, jnp.zeros((), re.dtype))
+    im = jnp.where(keep, im, jnp.zeros((), im.dtype))
+    s = re * re + im * im
+    scale = jnp.zeros(re.shape, re.dtype)
+    for k in range(b):
+        m = _element_mask(re, n, k)
+        norm = jnp.sqrt(jnp.sum(jnp.where(m, s, jnp.zeros((), s.dtype))))
+        inv = 1.0 / jnp.maximum(norm, jnp.asarray(config.eps(), norm.dtype))
+        scale = scale + jnp.where(m, inv, jnp.zeros((), re.dtype))
+    # padded elements (k >= b) are all-zero: scale 0 keeps them zero
+    return re * scale, im * scale
+
+
+def _per_element_sums(s, n: int, b: int):
+    zero = jnp.zeros((), s.dtype)
+    return jnp.stack([jnp.sum(jnp.where(_element_mask(s, n, k), s, zero))
+                      for k in range(b)])
+
+
+def expval_terms_pair_batched(re, im, terms, coeffs, n: int, b: int):
+    """Per-element sum_k coeffs[k] * <P_k> -> (b,). Pauli applications are
+    flat (targets < n, per-element by construction); only the final
+    overlap reduction goes per-element."""
+    total = jnp.zeros((b,), re.dtype)
+    for term, c in zip(terms, coeffs):
+        zs = [q for ch, q in term if ch == "Z"]
+        if len(term) == 0 or all(ch in ("I", "Z") for ch, _ in term):
+            s = re * re + im * im
+            iota = jax.lax.iota(jnp.int32, re.size)
+            for q in sorted(set(int(q) for q in zs)):
+                s = jnp.where(((iota >> q) & 1).astype(bool), -s, s)
+            ev = _per_element_sums(s, n, b)
+        else:
+            pre, pim = re, im
+            for ch, q in term:
+                if ch == "I":
+                    continue
+                mr, mi = _PAULI_ROWS[ch]
+                if mr is None:
+                    a = _apply_real_elementwise(pim, mi, [q])
+                    bb = _apply_real_elementwise(pre, mi, [q])
+                    pre, pim = -a, bb
+                else:
+                    pre, pim = apply_matrix_pair(pre, pim, mr, mi, [q])
+            ev = _per_element_sums(re * pre + im * pim, n, b)
+        total = total + jnp.asarray(c, re.dtype) * ev
+    return total
+
+
+def _probs_f32_rows(re, im, n: int, b: int):
+    """(b, 2^n) f32 |amp|^2 rows: exact flat f64 squares, THEN the f32
+    downcast and the (movement-only) reshape."""
+    p = (re * re + im * im).astype(jnp.float32)
+    return p.reshape(-1, 1 << n)[:b]
+
+
+def marginal_probs_pair_batched(re, im, qubits, n: int, b: int):
+    """Per-element marginals -> (b, 2^len(qubits)). Full-register reads
+    stay exact f64 (reshape is pure movement); partial marginals feed
+    histograms/draws, so they ride the f32 view machinery per element."""
+    qubits = list(qubits)
+    if qubits == list(range(n)):
+        return (re * re + im * im).reshape(-1, 1 << n)[:b]
+    from .density import _diag_marginal
+    rows = _probs_f32_rows(re, im, n, b)
+    return jax.vmap(lambda p: _diag_marginal(p, qubits, n))(rows)
+
+
+def sample_pair_batched(re, im, qubits, shots: int, keys, n: int, b: int):
+    """Per-element categorical draws -> (b, shots); keys is (b, 2)."""
+    from .density import _diag_marginal
+    rows = _probs_f32_rows(re, im, n, b)
+
+    def draw(p, key):
+        marg = _diag_marginal(p, list(qubits), n)
+        logits = jnp.log(jnp.maximum(marg, 1e-38))
+        return jax.random.categorical(key, logits, shape=(shots,)).astype(
+            jnp.int32)
+
+    return jax.vmap(draw)(rows, keys)
+
+
+def slice_pair_batched(re, im, start: int, size: int, n: int, b: int):
+    """Per-element amplitude slices -> (b, size) pair (pure movement)."""
+    res = [jax.lax.dynamic_slice(re, ((k << n) + start,), (size,))
+           for k in range(b)]
+    ims = [jax.lax.dynamic_slice(im, ((k << n) + start,), (size,))
+           for k in range(b)]
+    return jnp.stack(res), jnp.stack(ims)
+
+
+def statevector_pair_batched(re, im, n: int, b: int):
+    """(b, 2^n) readback rows (drops the padded elements; reshape/slice are
+    pure movement)."""
+    return re.reshape(-1, 1 << n)[:b], im.reshape(-1, 1 << n)[:b]
 
 
 # Jitted host entry points (static circuit metadata, dynamic state).
-slice_pair_jit = jax.jit(_slice_pair_any, static_argnums=(2, 3))
-prob_one_pair_jit = jax.jit(_prob_one_pair_any, static_argnums=(2,))
+slice_pair_jit = jax.jit(slice_pair, static_argnums=(2, 3))
+prob_one_pair_jit = jax.jit(prob_one_pair, static_argnums=(2,))
 collapse_pair_jit = jax.jit(collapse_pair, static_argnums=(2, 3))
-# per-element traced outcomes (the batched rocsvMeasure form)
-collapse_pair_batched_jit = jax.jit(
-    jax.vmap(collapse_pair, in_axes=(0, 0, None, 0)), static_argnums=(2,))
-probs_pair_jit = jax.jit(_probs_pair_any)
+probs_pair_jit = jax.jit(probs_pair)
 marginal_probs_pair_jit = jax.jit(
-    _marginal_probs_pair_any, static_argnames=("qubits",))
-sample_pair_jit = jax.jit(_sample_pair_any,
-                          static_argnames=("qubits", "shots"))
+    marginal_probs_pair, static_argnames=("qubits",))
+sample_pair_jit = jax.jit(sample_pair, static_argnames=("qubits", "shots"))
 expval_terms_pair_jit = jax.jit(
-    _expval_terms_pair_any, static_argnames=("terms", "coeffs"))
+    expval_terms_pair, static_argnames=("terms", "coeffs"))
 expval_pauli_string_pair_jit = jax.jit(
-    _expval_pauli_string_pair_any, static_argnames=("ops",))
+    expval_pauli_string_pair, static_argnames=("ops",))
+
+# batched twins (flat layout; n/b static)
+prob_one_pair_batched_jit = jax.jit(prob_one_pair_batched,
+                                    static_argnums=(2, 3, 4))
+collapse_pair_batched_jit = jax.jit(collapse_pair_batched,
+                                    static_argnums=(2, 4, 5))
+expval_terms_pair_batched_jit = jax.jit(
+    expval_terms_pair_batched,
+    static_argnames=("terms", "coeffs", "n", "b"))
+marginal_probs_pair_batched_jit = jax.jit(
+    marginal_probs_pair_batched, static_argnames=("qubits", "n", "b"))
+sample_pair_batched_jit = jax.jit(
+    sample_pair_batched, static_argnames=("qubits", "shots", "n", "b"))
+slice_pair_batched_jit = jax.jit(slice_pair_batched,
+                                 static_argnums=(2, 3, 4, 5))
+statevector_pair_batched_jit = jax.jit(statevector_pair_batched,
+                                       static_argnums=(2, 3))
 
 
 # ---------------------------------------------------------------------------
@@ -535,7 +644,7 @@ from ..utils.cache import BoundedCache  # noqa: E402
 _PAIR_EXEC_CACHE = BoundedCache()
 
 
-def compile_pair_ir(ir, sharding=None, batched=False):
+def compile_pair_ir(ir, sharding=None):
     """A jitted ``f(re, im, params) -> (re, im)`` for a CircuitIR, cached by
     structural key (the fp64 twin of interpreter.compile_ir: no fusion or
     Pallas — those kernels compute in f32 — just the exact sequential pair
@@ -554,7 +663,7 @@ def compile_pair_ir(ir, sharding=None, batched=False):
     # values for structure-keyed consumers) — key on them too
     baked = tuple(float(p) for op in ir.ops for p in op.params
                   if not isinstance(p, ParamRef))
-    key = ("pair", ir.structural_key(), baked, sharding, batched)
+    key = ("pair", ir.structural_key(), baked, sharding)
     fn = _PAIR_EXEC_CACHE.get(key)
     if fn is not None:
         return fn
@@ -579,14 +688,6 @@ def compile_pair_ir(ir, sharding=None, batched=False):
                 re = jax.lax.with_sharding_constraint(re, sharding)
                 im = jax.lax.with_sharding_constraint(im, sharding)
         return re, im
-
-    if batched:
-        # batchSize as a leading vmap axis (unsharded: batched fp64 runs
-        # one device's pair engine per element)
-        run_one = run
-
-        def run(re, im, params):
-            return jax.vmap(lambda r, i: run_one(r, i, params))(re, im)
 
     fn = jax.jit(run, donate_argnums=(0, 1))
     _PAIR_EXEC_CACHE[key] = fn
