@@ -43,10 +43,12 @@ def main():
                     if k in rec), None)
         headline = f"{rec.get(key)} " if key else ""
         print(f"{name:24s} {headline}{json.dumps(rec)[:160]}")
-    verify = "/tmp/verify_fp64.log"
-    if os.path.exists(verify):
-        txt = open(verify).read()
-        print("fp64 verify:", "OK" if "VERIFY-OK" in txt else "(no OK line)")
+    for name, verify in (("fp64", "/tmp/verify_fp64.log"),
+                         ("mixed-geometry", "/tmp/verify_mixed.log")):
+        if os.path.exists(verify):
+            txt = open(verify).read()
+            print(f"{name} verify:",
+                  "OK" if "VERIFY-OK" in txt else "(no OK line)")
 
 
 if __name__ == "__main__":

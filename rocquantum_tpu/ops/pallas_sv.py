@@ -276,6 +276,18 @@ _MIN_MID_DOT = 2
 _MIN_PAIR_DOT = 2
 
 
+def _grid_semantics(grid_len: int) -> dict:
+    """ROCQ_GRID_PARALLEL=1 marks every grid dim "parallel": each grid step
+    of the fused passes touches an independent block (identity in/out maps,
+    in-place aliased), so Mosaic may reorder/pipeline steps freely — the
+    DMA/compute-overlap experiment knob for the compute-bound window
+    passes. Off by default until measured on chip."""
+    import os
+    if os.environ.get("ROCQ_GRID_PARALLEL", "0") == "1":
+        return {"dimension_semantics": ("parallel",) * grid_len}
+    return {}
+
+
 def _dot_precision():
     """MXU dot precision for the in-kernel region dots. HIGHEST (6-pass
     bf16) reproduces fp32 exactly (rel err ~1e-7/pass); ROCQ_DOT_PRECISION=
@@ -1302,6 +1314,10 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
                                    use_mxu=_mxu_enabled())
         block = pl.BlockSpec((tile_rows, C), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
+        params = {}
+        sem = _grid_semantics(len(grid))
+        if sem and not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(**sem)
         out_re, out_im = pl.pallas_call(
             kernel,
             grid=grid,
@@ -1312,6 +1328,7 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
             # identity block maps -> in-place is safe; halves peak HBM
             input_output_aliases={1: 0, 2: 1},
             interpret=interpret,
+            **params,
         )(gate_mats, re2, im2)
         return out_re.reshape(re.shape), out_im.reshape(im.shape)
 
@@ -1379,7 +1396,8 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
         # 112 MiB ceiling of v5e's 128 MiB physical VMEM: the merged-group
         # window pass measured 100.04 MiB of stack at 4 MiB blocks
         params["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=min(32 * block_mib, 112) * 1024 * 1024)
+            vmem_limit_bytes=min(32 * block_mib, 112) * 1024 * 1024,
+            **_grid_semantics(len(grid)))
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=grid,
