@@ -188,6 +188,7 @@ def probe_ansatz(n):
             if rec is not None and (best is None
                                     or rec["ansatz_gates_per_sec"]
                                     > best["ansatz_gates_per_sec"]):
+                rec["ansatz_geometry"] = geo or "default"
                 best = rec
         if best is not None:
             return best

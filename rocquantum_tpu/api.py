@@ -302,8 +302,10 @@ class Circuit(_GateMethods):
         x64 rewriter cannot execute complex128 programs, so double precision
         ships (re, im) f64 arrays and strictly-real arithmetic — including
         SHARDED circuits (both parts sharded over 'sv'; relabels stay
-        all-to-all transposes) and BATCHED circuits (batchSize as a leading
-        vmap axis over the pair engine, hipStateVec.h:61). Batched+sharded
+        all-to-all transposes) and BATCHED circuits (hipStateVec.h:61's
+        batchSize, realised as extra TOP index bits of ONE flat state —
+        NOT a vmap/(batch, 2^n) form, which would hit the broken 2-D f64
+        math on this stack; see pairsim.init_pair_batched). Batched+sharded
         fp64 stays on the complex path (CPU-only). Sticky once the state
         exists (precision flips don't re-type live states)."""
         if self._state is not None:

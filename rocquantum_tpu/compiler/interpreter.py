@@ -324,17 +324,20 @@ def _plan_mixed(n, kinds, supports, limit):
                                  max_pair_bits_for)
     from ..ops.relabel import PassTemplate, plan_mixed_layer
 
+    from ..ops.pallas_sv import GEOMETRY_COSTS
+
     thin_cap = int(os.environ.get("ROCQ_THIN_BODY_CAP", "26"))
-    templates = [PassTemplate(None, limit, MAX_PAIR_BITS, 1.0)]
-    for geo, cost, cap, seed in ((TALL_GEOMETRY, 1.15, None, False),
-                                 (THIN_GEOMETRY, 1.08, thin_cap, True)):
+    templates = [PassTemplate(None, limit, MAX_PAIR_BITS,
+                              GEOMETRY_COSTS[None])]
+    for geo, cap, seed in ((TALL_GEOMETRY, None, False),
+                           (THIN_GEOMETRY, thin_cap, True)):
         gcol, gtile = geo
         reach = min(gcol, n) + min(gtile, n - min(gcol, n))
         if reach >= limit or n <= reach:
             continue  # no pair capacity won at this n
         templates.append(PassTemplate(geo, reach,
                                       max_pair_bits_for(gcol, gtile),
-                                      cost, cap, seed))
+                                      GEOMETRY_COSTS[geo], cap, seed))
     if len(templates) == 1:
         return None
     anchors_by_reach = {t.reach: _spec_anchors(kinds, supports, t.reach)
@@ -381,18 +384,7 @@ def _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
         geo_candidates = (THIN_GEOMETRY,)
     elif env_geo == "tall+thin":
         geo_candidates = (TALL_GEOMETRY, THIN_GEOMETRY)
-    if env_geo == "mixed" and len(plan) > 2:
-        # Per-PASS geometry choice (relabel.plan_mixed_layer): lead passes
-        # keep the default wide window, the high CNOT chain + its 1q column
-        # ride lean thin-geometry merged-run passes — 2.00 passes/layer on
-        # the n=29 ring ansatz vs 3.00 for the whole-plan tall geometry.
-        mixed = _plan_mixed(n, kinds, supports, limit)
-        if mixed is not None:
-            cost = {None: 1.0, TALL_GEOMETRY: 1.15, THIN_GEOMETRY: 1.08}
-            if sum(cost[getattr(p, "geometry", None)] for p in mixed) \
-                    < len(plan):
-                plan = mixed
-    elif len(plan) > 2:
+    if len(plan) > 2:
         for geo in geo_candidates:
             gcol, gtile = geo
             geo_limit = min(gcol, n) + min(gtile, n - min(gcol, n))
@@ -409,6 +401,22 @@ def _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
                 continue
             if len(geo_plan) < len(plan):
                 plan = geo_plan
+        if env_geo == "mixed":
+            # Per-PASS geometry choice (relabel.plan_mixed_layer): lead
+            # passes keep the default wide window, the high CNOT chain +
+            # its 1q column ride lean thin-geometry merged-run passes —
+            # 2.00 passes/layer on the n=29 ring ansatz vs 3.00 for the
+            # whole-plan tall geometry. Compared against the best
+            # single-geometry plan on the SAME weighted cost model.
+            from ..ops.pallas_sv import GEOMETRY_COSTS
+
+            def wcost(p):
+                return sum(GEOMETRY_COSTS[getattr(item, "geometry", None)]
+                           for item in p)
+
+            mixed = _plan_mixed(n, kinds, supports, limit)
+            if mixed is not None and wcost(mixed) < wcost(plan):
+                plan = mixed
     # Mixed-geometry relief: a pass with NO pair bits doesn't need the tall
     # tiles (they exist to buy pair capacity) — and tall WINDOW passes pay
     # ~2x in grid overhead (16384 steps of 128 KiB tiles vs 4096 of

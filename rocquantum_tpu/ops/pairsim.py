@@ -479,6 +479,10 @@ def init_pair_batched(n: int, b: int, dtype=None):
     """|0...0>^b as ONE flat pair of b_pad * 2^n amplitudes."""
     dt = dtype or config.real_dtype()
     size = _pad_batch(b) << n
+    if size >= (1 << 31):  # flat index math below is int32 iota
+        raise ValueError(
+            f"batched pair state of {size} amplitudes exceeds the int32 "
+            f"index range (b={b} padded x 2^{n})")
     re = jnp.zeros((size,), dt).at[jnp.arange(b) << n].set(1.0)
     return re, jnp.zeros((size,), dt)
 
@@ -488,15 +492,19 @@ def _element_mask(re, n: int, k: int):
     return (iota >> n) == k
 
 
+def _per_element_sums(s, n: int, b: int):
+    """(b,) of exact masked flat f64 sums — one reduction per element."""
+    zero = jnp.zeros((), s.dtype)
+    return jnp.stack([jnp.sum(jnp.where(_element_mask(s, n, k), s, zero))
+                      for k in range(b)])
+
+
 def prob_one_pair_batched(re, im, qubit: int, n: int, b: int):
-    """Per-element P(qubit = 1) -> (b,): one masked flat f64 reduction per
-    element."""
+    """Per-element P(qubit = 1) -> (b,)."""
     iota = jax.lax.iota(jnp.int32, re.size)
     bit = ((iota >> qubit) & 1).astype(bool)
     s = jnp.where(bit, re * re + im * im, jnp.zeros((), re.dtype))
-    return jnp.stack([jnp.sum(jnp.where(_element_mask(re, n, k), s,
-                                        jnp.zeros((), s.dtype)))
-                      for k in range(b)])
+    return _per_element_sums(s, n, b)
 
 
 def collapse_pair_batched(re, im, qubit: int, outcomes, n: int, b: int):
@@ -518,12 +526,6 @@ def collapse_pair_batched(re, im, qubit: int, outcomes, n: int, b: int):
         scale = scale + jnp.where(m, inv, jnp.zeros((), re.dtype))
     # padded elements (k >= b) are all-zero: scale 0 keeps them zero
     return re * scale, im * scale
-
-
-def _per_element_sums(s, n: int, b: int):
-    zero = jnp.zeros((), s.dtype)
-    return jnp.stack([jnp.sum(jnp.where(_element_mask(s, n, k), s, zero))
-                      for k in range(b)])
 
 
 def expval_terms_pair_batched(re, im, terms, coeffs, n: int, b: int):
@@ -564,12 +566,32 @@ def _probs_f32_rows(re, im, n: int, b: int):
 
 
 def marginal_probs_pair_batched(re, im, qubits, n: int, b: int):
-    """Per-element marginals -> (b, 2^len(qubits)). Full-register reads
-    stay exact f64 (reshape is pure movement); partial marginals feed
-    histograms/draws, so they ride the f32 view machinery per element."""
+    """Per-element marginals -> (b, 2^len(qubits)) at FULL f64 accuracy
+    where feasible (same contract as the unbatched twin): the
+    full-register read is the exact |amp|^2 itself (reshape is pure
+    movement), small marginals use one exact masked flat f64 reduction per
+    (element, outcome) — bounded by the same _EXACT_MARGINAL_BINS total so
+    program size stays flat — and larger partials ride the f32 view
+    machinery (they feed histograms, not state)."""
     qubits = list(qubits)
+    k = len(qubits)
     if qubits == list(range(n)):
         return (re * re + im * im).reshape(-1, 1 << n)[:b]
+    if b << k <= _EXACT_MARGINAL_BINS:
+        p64 = re * re + im * im
+        iota = jax.lax.iota(jnp.int32, re.size)
+        zero = jnp.zeros((), p64.dtype)
+        rows = []
+        for el in range(b):
+            el_mask = _element_mask(re, n, el)
+            outs = []
+            for out in range(1 << k):
+                keep = el_mask
+                for j, q in enumerate(qubits):
+                    keep = keep & (((iota >> q) & 1) == ((out >> j) & 1))
+                outs.append(jnp.sum(jnp.where(keep, p64, zero)))
+            rows.append(jnp.stack(outs))
+        return jnp.stack(rows)
     from .density import _diag_marginal
     rows = _probs_f32_rows(re, im, n, b)
     return jax.vmap(lambda p: _diag_marginal(p, qubits, n))(rows)
@@ -590,12 +612,13 @@ def sample_pair_batched(re, im, qubits, shots: int, keys, n: int, b: int):
 
 
 def slice_pair_batched(re, im, start: int, size: int, n: int, b: int):
-    """Per-element amplitude slices -> (b, size) pair (pure movement)."""
-    res = [jax.lax.dynamic_slice(re, ((k << n) + start,), (size,))
-           for k in range(b)]
-    ims = [jax.lax.dynamic_slice(im, ((k << n) + start,), (size,))
-           for k in range(b)]
-    return jnp.stack(res), jnp.stack(ims)
+    """Per-element amplitude slices -> (b, size) pair: one reshape + one
+    2-D slice per part (pure movement, O(1) program ops regardless of
+    b)."""
+    def cut(x):
+        rows = x.reshape(-1, 1 << n)[:b]
+        return jax.lax.dynamic_slice_in_dim(rows, start, size, axis=1)
+    return cut(re), cut(im)
 
 
 def statevector_pair_batched(re, im, n: int, b: int):

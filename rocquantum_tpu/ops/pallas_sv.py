@@ -1212,6 +1212,12 @@ TALL_GEOMETRY = (10, 5)
 # (2^k, 2^k) dot (see pair_dot_ok).
 THIN_GEOMETRY = (8, 3)
 
+# Relative HBM-pass cost per geometry in stream-floor units (v5e measured:
+# tall tiles pay ~2x grid-step overhead amortized to ~15%; thin merged-run
+# passes ~8%). Single source for BOTH the mixed planner's template scores
+# and the plan accept/reject comparison in the interpreter.
+GEOMETRY_COSTS = {None: 1.0, TALL_GEOMETRY: 1.15, THIN_GEOMETRY: 1.08}
+
 
 def max_pair_bits_for(col_qubits: int = COL_QUBITS,
                       tile_log2: int = TILE_ROWS_LOG2) -> int:

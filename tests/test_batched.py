@@ -160,9 +160,10 @@ class TestBatchedShardedPallas:
 
 
 class TestBatchedPair:
-    """Batched fp64: batchSize as a leading vmap axis over the float-PAIR
-    engine (the reference threads batchSize through every kernel including
-    the fp64 builds, hipStateVec.h:7-15,61)."""
+    """Batched fp64: batchSize as extra TOP index bits of ONE flat
+    float-PAIR state (the reference threads batchSize through every kernel
+    including the fp64 builds, hipStateVec.h:7-15,61; a vmap/(batch, 2^n)
+    form would hit the broken 2-D f64 math on the TPU stack)."""
 
     @pytest.fixture
     def double_precision(self):
@@ -186,7 +187,7 @@ class TestBatchedPair:
         _bell_plus_ry(ref, theta)
         exp = ref.get_statevector()
         for b in range(batch):
-            np.testing.assert_allclose(got[b], exp, atol=1e-12)
+            np.testing.assert_allclose(got[b], exp, atol=1e-12, rtol=0)
 
     def test_batched_pair_expval_probabilities_slice(self, double_precision):
         n, batch = 4, 2
@@ -201,15 +202,15 @@ class TestBatchedPair:
         ref.ry(0.3, 0)
         ref.cx(0, 1)
         ev_ref = ref.expval(op)
-        np.testing.assert_allclose(ev, ev_ref, atol=1e-12)
+        np.testing.assert_allclose(ev, ev_ref, atol=1e-12, rtol=0)
         probs = c.get_probabilities([0, 1])
         assert probs.shape == (batch, 4)
         np.testing.assert_allclose(probs[0],
-                                   ref.get_probabilities([0, 1]), atol=1e-12)
+                                   ref.get_probabilities([0, 1]), atol=1e-12, rtol=0)
         sl = c.get_statevector_slice(0, 4)
         assert sl.shape == (batch, 4)
         np.testing.assert_allclose(sl[1], ref.get_statevector_slice(0, 4),
-                                   atol=1e-12)
+                                   atol=1e-12, rtol=0)
 
     def test_batched_pair_measure_collapses_each_element(self,
                                                          double_precision):
