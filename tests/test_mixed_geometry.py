@@ -154,3 +154,37 @@ def test_mixed_geometry_fuzz(seed, monkeypatch):
     np.testing.assert_allclose(np.asarray(mixed), np.asarray(plain),
                                atol=3e-5, err_msg=f"seed={seed} n={n}")
     clear_cache()
+
+
+def test_mixed_geometry_sharded_matches_single_device(monkeypatch):
+    """Sharded flush routes each shard's local gates through the same
+    _run_pallas_specs, so ROCQ_GEOMETRY=mixed applies per shard — the
+    sharded ring must match the single-device plain engine."""
+    import rocquantum_tpu as rocq
+    from rocquantum_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.setenv("ROCQ_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("ROCQ_GEOMETRY", "mixed")
+    clear_cache()
+    n = 21  # 18 local bits on 8 devices: out-of-window anchors exist
+    rng = np.random.default_rng(23)
+    thetas = rng.normal(size=n)
+
+    def build(circ):
+        for q in range(n):
+            circ.ry(float(thetas[q]), q)
+        for q in range(n):
+            circ.cx(q, (q + 1) % n)
+
+    c = rocq.Circuit(n, rocq.Simulator(), mesh=make_mesh(8))
+    build(c)
+    got = c.get_statevector()
+    monkeypatch.setenv("ROCQ_DISABLE_PALLAS", "1")
+    clear_cache()
+    ref = rocq.Circuit(n, rocq.Simulator())
+    build(ref)
+    exp = ref.get_statevector()
+    np.testing.assert_allclose(got, exp, atol=3e-5)
+    clear_cache()
