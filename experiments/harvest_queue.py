@@ -24,7 +24,13 @@ def last_json(path):
     return None
 
 
-def main():
+def main(out_path=None):
+    out_lines = []
+
+    def emit(line):
+        print(line)
+        out_lines.append(line)
+
     rows = []
     bench = last_json("/tmp/bench_run.log")
     if bench:
@@ -42,14 +48,19 @@ def main():
         key = next((k for k in ("ansatz_gates_per_sec", "value")
                     if k in rec), None)
         headline = f"{rec.get(key)} " if key else ""
-        print(f"{name:24s} {headline}{json.dumps(rec)[:160]}")
+        emit(f"{name:24s} {headline}{json.dumps(rec)[:160]}")
     for name, verify in (("fp64", "/tmp/verify_fp64.log"),
                          ("mixed-geometry", "/tmp/verify_mixed.log")):
         if os.path.exists(verify):
             txt = open(verify).read()
-            print(f"{name} verify:",
-                  "OK" if "VERIFY-OK" in txt else "(no OK line)")
+            emit(f"{name} verify: "
+                 + ("OK" if "VERIFY-OK" in txt else "(no OK line)"))
+    if out_path and out_lines:
+        with open(out_path, "w") as f:
+            f.write("# TPU queue results (auto-harvested)\n\n```\n"
+                    + "\n".join(out_lines) + "\n```\n")
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(sys.argv[1] if len(sys.argv) > 1 else None)
