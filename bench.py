@@ -77,6 +77,11 @@ def bench_at(n):
             ir.add("RY", [q], params=[ParamRef(q)])
     ops = list(ir.ops)
     low_w, high_w = default_widths(n)
+    # RY layers are REAL circuits: the engine's real-state plane streams
+    # ONE float32 array (half the complex64 HBM traffic per pass). The
+    # realness check is static (real_flags) — a complex gate would fall
+    # back to the pair path. ROCQ_BENCH_COMPLEX=1 forces the old carry.
+    real_plane = not os.environ.get("ROCQ_BENCH_COMPLEX")
 
     @jax.jit
     def program(params):
@@ -88,12 +93,17 @@ def bench_at(n):
         # same pass (and the loop carry is double-buffered: 2 x 8 GiB was
         # the n=30 OOM of record). Straight-line code chains passes
         # in place, exactly like compiled Circuit segments.
-        re, im = init_pair(n)
+        if real_plane:
+            from rocquantum_tpu.compiler.interpreter import init_real
+            re, im = init_real(n), None
+        else:
+            re, im = init_pair(n)
         for _ in range(LAYERS // reps):
             re, im = execute_pair(re, im, ops, params, low_width=low_w,
                                   high_width=high_w)
         # scalar output forces real synchronization on transfer
-        return jnp.sum(re * re + im * im)
+        total = jnp.sum(re * re)
+        return total if im is None else total + jnp.sum(im * im)
 
     params = jnp.asarray(np.linspace(0.1, 1.0, n), jnp.float32)
     norm = float(program(params))  # compile + warmup
@@ -137,15 +147,24 @@ def bench_ansatz(n):
     ops = list(ir.ops)
     low_w, high_w = default_widths(n)
 
+    # RY+CNOT rings are REAL circuits (the RealAmplitudes family): ride
+    # the engine's single-plane real-state kernels unless disabled
+    real_plane = not os.environ.get("ROCQ_BENCH_COMPLEX")
+
     @jax.jit
     def program(params):
         # unrolled — see bench_at: a fori_loop body costs a full-state
         # copy per iteration (aliased-custom-call copy-insertion)
-        re, im = init_pair(n)
+        if real_plane:
+            from rocquantum_tpu.compiler.interpreter import init_real
+            re, im = init_real(n), None
+        else:
+            re, im = init_pair(n)
         for _ in range(layers // body_layers):
             re, im = execute_pair(re, im, ops, params, low_width=low_w,
                                   high_width=high_w)
-        return jnp.sum(re * re + im * im)
+        total = jnp.sum(re * re)
+        return total if im is None else total + jnp.sum(im * im)
 
     params = jnp.asarray(np.linspace(0.1, 1.0, n), jnp.float32)
     norm = float(program(params))

@@ -352,7 +352,8 @@ def _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
                       interpret: bool = False):
     """Run prepared gate specs through the fused kernel on a float-pair
     state whose length defines the qubit count (a full state, or one shard
-    under shard_map)."""
+    under shard_map). ``im=None`` = the known-real state plane (all-real
+    gates only; half the HBM traffic)."""
     from ..ops.pallas_sv import apply_fused_layer, max_kernel_qubit
     from ..ops.relabel import execute_plan, plan_full_layer
 
@@ -451,6 +452,10 @@ def _apply_pallas_block_pair(re: jnp.ndarray, im: jnp.ndarray,
     runs touching higher qubits are scheduled as kernel passes + index-bit
     rotations (ops/relabel.py)."""
     kinds, supports, gm, real_flags = pallas_block_specs(block, params)
+    if im is None and not all(real_flags):
+        # a complex gate entered a known-real state: materialize the
+        # imaginary plane and continue on the full pair path
+        im = jnp.zeros_like(re)
     return _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
                              interpret=interpret)
 
@@ -705,6 +710,15 @@ def init_pair(n: int):
     return re, im
 
 
+def init_real(n: int):
+    """|0...0> as a bare REAL float32 plane, for ``execute_pair(re, None,
+    ...)``: circuits whose gates are all real (RY/X/Z/H/CNOT/CZ — e.g. the
+    hardware-efficient RealAmplitudes ansatz family) keep a real state, so
+    the fused kernels stream ONE plane instead of two: half the HBM
+    traffic of the complex64 cost model per pass."""
+    return jnp.zeros((1 << n,), jnp.float32).at[0].set(1.0)
+
+
 def execute_pair(re: jnp.ndarray, im: jnp.ndarray, ops: Sequence,
                  params: Optional[jnp.ndarray] = None,
                  fuse: bool = True, max_fuse: int = 2,
@@ -718,6 +732,11 @@ def execute_pair(re: jnp.ndarray, im: jnp.ndarray, ops: Sequence,
     is one state; the complex-carry path peaks at 2x at the conversion
     boundary, which is exactly the 258 MiB-over-budget OOM observed at
     n=30 on a 16 GiB chip.
+
+    ``im=None`` declares the state KNOWN-REAL (see :func:`init_real`):
+    all-real PallasBlocks then run single-plane (half traffic); the first
+    complex gate materializes a zero imaginary plane and continues on the
+    pair path. Returns ``(re, None)`` only if the state stayed real.
     """
     n = re.shape[-1].bit_length() - 1
     items = list(ops)
@@ -742,6 +761,8 @@ def execute_pair(re: jnp.ndarray, im: jnp.ndarray, ops: Sequence,
             re, im = _apply_pallas_block_pair(re, im, item, params,
                                               interpret=_pallas_interpret())
             continue
+        if im is None:
+            im = jnp.zeros_like(re)
         state = config.complex_from_parts(re, im)
         if isinstance(item, DiagBlock):
             state = _apply_diag_block(state, item, params)

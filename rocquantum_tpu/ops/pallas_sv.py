@@ -55,10 +55,18 @@ def _gate_step(re, im, p_re, p_im, is_one, coeffs, real_mat=False):
     (complex arithmetic on float pairs). ``real_mat`` (a static, trace-time
     fact about the gate NAME — RY/H/X/Z have real matrices) drops the
     imaginary-coefficient terms: 6 FMAs instead of 14 on the kernel's
-    VPU-bound hot path."""
+    VPU-bound hot path.
+
+    ``im=None`` selects the REAL-STATE plane: a real matrix acting on a
+    known-real state updates the single plane (3 FMAs) — the kernels
+    thread None through every helper so an all-real pass streams HALF the
+    HBM traffic (see apply_fused_layer's real-state mode)."""
     (a_re, a_im), (b_re, b_im), (c_re, c_im), (d_re, d_im) = coeffs
     e_re = jnp.where(is_one, d_re, a_re)
     f_re = jnp.where(is_one, c_re, b_re)
+    if im is None:
+        assert real_mat, "real-state plane requires a real matrix"
+        return e_re * re + f_re * p_re, None
     if real_mat:
         new_re = e_re * re + f_re * p_re
         new_im = e_re * im + f_re * p_im
@@ -87,9 +95,12 @@ def _roll_gate(re, im, q, is_one_cache, coeffs, col_qubits, tile_rows,
     # (pltpu.roll requires non-negative shifts; -d == size-d cyclically)
     fwd_re = pltpu.roll(re, size - dist, axis)   # element at i+dist
     bwd_re = pltpu.roll(re, dist, axis)          # element at i-dist
+    p_re = jnp.where(is_one, bwd_re, fwd_re)
+    if im is None:
+        return _gate_step(re, None, p_re, None, is_one, coeffs,
+                          real_mat=real_mat)
     fwd_im = pltpu.roll(im, size - dist, axis)
     bwd_im = pltpu.roll(im, dist, axis)
-    p_re = jnp.where(is_one, bwd_re, fwd_re)
     p_im = jnp.where(is_one, bwd_im, fwd_im)
     return _gate_step(re, im, p_re, p_im, is_one, coeffs,
                       real_mat=real_mat)
@@ -112,9 +123,11 @@ def _cnot_roll(re, im, c, t, is_one_cache, col_qubits, tile_rows,
     m_t = is_one_cache(t)
     fwd_re = pltpu.roll(re, size - dist, axis)
     bwd_re = pltpu.roll(re, dist, axis)
+    p_re = jnp.where(m_t, bwd_re, fwd_re)
+    if im is None:
+        return jnp.where(m_c, p_re, re), None
     fwd_im = pltpu.roll(im, size - dist, axis)
     bwd_im = pltpu.roll(im, dist, axis)
-    p_re = jnp.where(m_t, bwd_re, fwd_re)
     p_im = jnp.where(m_t, bwd_im, fwd_im)
     return jnp.where(m_c, p_re, re), jnp.where(m_c, p_im, im)
 
@@ -131,6 +144,8 @@ def _cu_roll(re, im, c, t, is_one_cache, coeffs, col_qubits, tile_rows,
         m_c = is_one_cache(c)
     g_re, g_im = _roll_gate(re, im, t, is_one_cache, coeffs, col_qubits,
                             tile_rows, real_mat=real_mat)
+    if im is None:
+        return jnp.where(m_c, g_re, re), None
     return jnp.where(m_c, g_re, re), jnp.where(m_c, g_im, im)
 
 
@@ -150,6 +165,9 @@ def _d2_mul(re, im, sel_a, sel_b, coeffs, real_mat=False):
 
     d_re = pick(sel_a, pick(sel_b, d11_re, d10_re),
                 pick(sel_b, d01_re, d00_re))
+    if im is None:
+        assert real_mat, "real-state plane requires a real diagonal"
+        return re * d_re, None
     if real_mat:
         return re * d_re, im * d_re
     d_im = pick(sel_a, pick(sel_b, d11_im, d10_im),
@@ -229,6 +247,8 @@ def _x_roll(re, im, t, is_one_cache, col_qubits, tile_rows):
     m_t = is_one_cache(t)
     fwd_re = pltpu.roll(re, size - dist, axis)
     bwd_re = pltpu.roll(re, dist, axis)
+    if im is None:
+        return jnp.where(m_t, bwd_re, fwd_re), None
     fwd_im = pltpu.roll(im, size - dist, axis)
     bwd_im = pltpu.roll(im, dist, axis)
     return (jnp.where(m_t, bwd_re, fwd_re),
@@ -299,6 +319,35 @@ def _dot_precision():
     return {"highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT}[v]
+
+
+def _make_dot(dn):
+    """Region-dot factory honoring ROCQ_DOT_PRECISION. ``bf16x3`` emulates
+    the 3-pass bf16 scheme (= Precision.HIGH, which Mosaic rejects inside
+    pallas kernels) by hand: split each f32 operand into a bf16 high part
+    plus a bf16 residual and sum the three significant cross products —
+    half the MXU passes of HIGHEST at ~1e-6 relative error, for the
+    compute-bound lead passes whose lane dot dominates."""
+    import os
+    if os.environ.get("ROCQ_DOT_PRECISION", "highest").lower() != "bf16x3":
+        return functools.partial(jax.lax.dot_general, dimension_numbers=dn,
+                                 precision=_dot_precision(),
+                                 preferred_element_type=jnp.float32)
+    base = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
+                             precision=jax.lax.Precision.DEFAULT,
+                             preferred_element_type=jnp.float32)
+
+    def _split(x):
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def dot3(lhs, rhs):
+        lh, ll = _split(lhs)
+        rh, rl = _split(rhs)
+        return base(lh, rh) + base(lh, rl) + base(ll, rh)
+
+    return dot3
 
 
 def _mxu_enabled() -> bool:
@@ -410,12 +459,13 @@ def _apply_mid_dot(re, im, a_re, a_im, is_real):
     M = a_re.shape[0]
     L = C // M
     x_re = re.reshape(T, M, L)
-    x_im = im.reshape(T, M, L)
     dn = (((2,), (1,)), ((0,), (0,)))
-    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
-                            precision=_dot_precision(),
-                            preferred_element_type=jnp.float32)
+    dot = _make_dot(dn)
     ab_re = jnp.broadcast_to(a_re, (T, M, M))
+    if im is None:
+        assert is_real, "real-state plane requires a real composed matrix"
+        return dot(ab_re, x_re).reshape(T, C), None
+    x_im = im.reshape(T, M, L)
     if is_real:
         o_re = dot(ab_re, x_re)
         o_im = dot(ab_re, x_im)
@@ -491,11 +541,13 @@ def _apply_pair_dot(tiles, a_re, a_im, is_real):
     (2^k, T, C), one left dot over the combo axis, unstack."""
     ncombo = len(tiles)
     x_re = jnp.stack([t[0] for t in tiles])
-    x_im = jnp.stack([t[1] for t in tiles])
     dn = (((1,), (0,)), ((), ()))
-    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
-                            precision=_dot_precision(),
-                            preferred_element_type=jnp.float32)
+    dot = _make_dot(dn)
+    if tiles[0][1] is None:
+        assert is_real, "real-state plane requires a real pair matrix"
+        o_re = dot(a_re, x_re)
+        return [(o_re[c], None) for c in range(ncombo)]
+    x_im = jnp.stack([t[1] for t in tiles])
     if is_real:
         o_re = dot(a_re, x_re)
         o_im = dot(a_re, x_im)
@@ -510,11 +562,12 @@ def _apply_lane_dot(re, im, m_re, m_im, is_real):
     T, C = re.shape
     L = 1 << LANE_QUBITS
     x_re = re.reshape(T, C // L, L)
-    x_im = im.reshape(T, C // L, L)
     dn = (((2,), (0,)), ((), ()))
-    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
-                            precision=_dot_precision(),
-                            preferred_element_type=jnp.float32)
+    dot = _make_dot(dn)
+    if im is None:
+        assert is_real, "real-state plane requires a real composed matrix"
+        return dot(x_re, m_re).reshape(T, C), None
+    x_im = im.reshape(T, C // L, L)
     if is_real:
         o_re = dot(x_re, m_re)
         o_im = dot(x_im, m_re)
@@ -527,9 +580,10 @@ def _apply_lane_dot(re, im, m_re, m_im, is_real):
 def _apply_row_dot(re, im, a_re, a_im, is_real):
     """x' = A @ x over the row axis of a (T, C) tile."""
     dn = (((1,), (0,)), ((), ()))
-    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
-                            precision=_dot_precision(),
-                            preferred_element_type=jnp.float32)
+    dot = _make_dot(dn)
+    if im is None:
+        assert is_real, "real-state plane requires a real composed matrix"
+        return dot(a_re, re), None
     if is_real:
         return dot(a_re, re), dot(a_re, im)
     return (dot(a_re, re) - dot(a_im, im),
@@ -685,11 +739,15 @@ def _plan_mxu_items(specs, pair_bits, col_qubits, tile_rows):
     return items
 
 
-def _kernel(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
+def _kernel(gm_ref, *refs,
             specs: Tuple[Tuple, ...], real_flags: Tuple[bool, ...],
             col_qubits: int, tile_rows: int, use_mxu: bool = False):
+    if len(refs) == 2:       # real-state plane: (re_ref, out_re_ref)
+        (re_ref, out_re_ref), im_ref, out_im_ref = refs, None, None
+    else:
+        re_ref, im_ref, out_re_ref, out_im_ref = refs
     re = re_ref[...]
-    im = im_ref[...]
+    im = im_ref[...] if im_ref is not None else None
     is_one = _mask_factory(col_qubits, tile_rows)
     items = _plan_mxu_items(specs, (), col_qubits, tile_rows) if use_mxu \
         else [("spec", k) for k in range(len(specs))]
@@ -741,7 +799,8 @@ def _kernel(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
                                 col_qubits, tile_rows,
                                 real_mat=real_flags[k])
     out_re_ref[...] = re
-    out_im_ref[...] = im
+    if out_im_ref is not None:
+        out_im_ref[...] = im
 
 
 def _matmul_coeffs(c2, c1):
@@ -772,10 +831,15 @@ def _slice_gate_rows(re, im, q, col_qubits, coeffs, real_mat=False):
     R, C = re.shape
     d = 1 << (q - col_qubits)
     v_re = re.reshape(R // (2 * d), 2, d, C)
-    v_im = im.reshape(R // (2 * d), 2, d, C)
     x0_re, x1_re = v_re[:, 0], v_re[:, 1]
-    x0_im, x1_im = v_im[:, 0], v_im[:, 1]
     (a_re, a_im), (b_re, b_im), (c_re, c_im), (d_re, d_im) = coeffs
+    if im is None:
+        assert real_mat, "real-state plane requires a real matrix"
+        n0_re = a_re * x0_re + b_re * x1_re
+        n1_re = c_re * x0_re + d_re * x1_re
+        return jnp.stack([n0_re, n1_re], axis=1).reshape(R, C), None
+    v_im = im.reshape(R // (2 * d), 2, d, C)
+    x0_im, x1_im = v_im[:, 0], v_im[:, 1]
     if real_mat:
         n0_re = a_re * x0_re + b_re * x1_re
         n0_im = a_re * x0_im + b_re * x1_im
@@ -813,18 +877,20 @@ def _slice_cnot_rows(re, im, t, col_qubits, c=None, m_c=None):
                 + jax.lax.broadcasted_iota(jnp.int32, shape3, 1))
         m = ((row0 >> (c - col_qubits)) & 1) == 1
     v_re = re.reshape(lead, 2, d, C)
-    v_im = im.reshape(lead, 2, d, C)
     x0_re, x1_re = v_re[:, 0], v_re[:, 1]
-    x0_im, x1_im = v_im[:, 0], v_im[:, 1]
     n0_re = jnp.where(m, x1_re, x0_re)
-    n0_im = jnp.where(m, x1_im, x0_im)
     n1_re = jnp.where(m, x0_re, x1_re)
+    out_re = jnp.stack([n0_re, n1_re], axis=1).reshape(R, C)
+    if im is None:
+        return out_re, None
+    v_im = im.reshape(lead, 2, d, C)
+    x0_im, x1_im = v_im[:, 0], v_im[:, 1]
+    n0_im = jnp.where(m, x1_im, x0_im)
     n1_im = jnp.where(m, x0_im, x1_im)
-    return (jnp.stack([n0_re, n1_re], axis=1).reshape(R, C),
-            jnp.stack([n0_im, n1_im], axis=1).reshape(R, C))
+    return out_re, jnp.stack([n0_im, n1_im], axis=1).reshape(R, C)
 
 
-def _kernel_merged(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
+def _kernel_merged(gm_ref, *refs,
                    specs: Tuple[Tuple, ...], real_flags: Tuple[bool, ...],
                    group_lo: int, group_m: int,
                    pair_bits: Tuple[int, ...], col_qubits: int,
@@ -835,11 +901,16 @@ def _kernel_merged(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
     group bits — every group-bit gate is an ordinary row-axis roll, so the
     kernel body stays O(gates) regardless of 2^m (the tiles-list kernel
     unrolls 2^m refs per gate, which explodes at m >= 4)."""
+    if len(refs) == 2:       # real-state plane: (re_ref, out_re_ref)
+        (re_ref, out_re_ref), im_ref, out_im_ref = refs, None, None
+    else:
+        re_ref, im_ref, out_re_ref, out_im_ref = refs
     G = 1 << group_m
     T = tile_rows
     limit = col_qubits + (T.bit_length() - 1)
     re = re_ref[...].reshape(G * T, 1 << col_qubits)
-    im = im_ref[...].reshape(G * T, 1 << col_qubits)
+    im = im_ref[...].reshape(G * T, 1 << col_qubits) \
+        if im_ref is not None else None
     rows = G * T
 
     def in_group(b):
@@ -923,7 +994,7 @@ def _kernel_merged(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
                                         col_qubits, rows,
                                         real_mat=real_flags[k])
             re = jnp.where(m_c, g_re, re)
-            im = jnp.where(m_c, g_im, im)
+            im = jnp.where(m_c, g_im, im) if im is not None else None
         elif spec[0] == "D2":
             flush([b for j, b in ((1, spec[1]), (2, spec[2]))
                    if not is_free(specs[k][j]) and b in pending])
@@ -949,10 +1020,11 @@ def _kernel_merged(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
                                 col_qubits, rows, real_mat=real_flags[k])
     flush()
     out_re_ref[...] = re.reshape(re_ref.shape)
-    out_im_ref[...] = im.reshape(im_ref.shape)
+    if out_im_ref is not None:
+        out_im_ref[...] = im.reshape(im_ref.shape)
 
 
-def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
+def _kernel_multi(gm_ref, *refs,
                   specs: Tuple[Tuple, ...], real_flags: Tuple[bool, ...],
                   pair_bits: Tuple[int, ...], col_qubits: int,
                   tile_rows: int, use_mxu: bool = False):
@@ -989,7 +1061,13 @@ def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
             idx.append(0)
         return tuple(idx)
 
-    tiles = [(re_ref[ref_idx(c)], im_ref[ref_idx(c)]) for c in range(ncombo)]
+    if len(refs) == 2:       # real-state plane: (re_ref, out_re_ref)
+        (re_ref, out_re_ref), im_ref, out_im_ref = refs, None, None
+    else:
+        re_ref, im_ref, out_re_ref, out_im_ref = refs
+    tiles = [(re_ref[ref_idx(c)],
+              im_ref[ref_idx(c)] if im_ref is not None else None)
+             for c in range(ncombo)]
     is_one = _mask_factory(col_qubits, tile_rows)
 
     def pair_partner(combo, pb):
@@ -1060,7 +1138,8 @@ def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
                     for combo, (re, im) in enumerate(tiles):
                         p_re, p_im = tiles[pair_partner(combo, tq)]
                         new.append((jnp.where(sel_c, p_re, re),
-                                    jnp.where(sel_c, p_im, im)))
+                                    jnp.where(sel_c, p_im, im)
+                                    if im is not None else None))
                     tiles = new
                 else:
                     tiles = [_cnot_roll(re, im, c, tq, is_one, col_qubits,
@@ -1090,7 +1169,8 @@ def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
                 for combo, (re, im) in enumerate(tiles):
                     p_re, p_im = tiles[pair_partner(combo, tq)]
                     new.append((jnp.where(m_c, p_re, re),
-                                jnp.where(m_c, p_im, im)))
+                                jnp.where(m_c, p_im, im)
+                                if im is not None else None))
                 tiles = new
             else:
                 tiles = [_cnot_roll(re, im, c, tq, is_one, col_qubits,
@@ -1121,7 +1201,11 @@ def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
                     else:
                         x0_re, x0_im, x1_re, x1_im = re, im, p_re, p_im
                         u_re, u_im, v_re, v_im = a_re, a_im, b_re, b_im
-                    if rm:
+                    if x0_im is None:
+                        assert rm, "real-state plane requires a real CU"
+                        n_re = u_re * x0_re + v_re * x1_re
+                        n_im = None
+                    elif rm:
                         n_re = u_re * x0_re + v_re * x1_re
                         n_im = u_re * x0_im + v_re * x1_im
                     else:
@@ -1133,7 +1217,8 @@ def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
                         new.append((n_re, n_im))
                     else:
                         new.append((jnp.where(m_c, n_re, re),
-                                    jnp.where(m_c, n_im, im)))
+                                    jnp.where(m_c, n_im, im)
+                                    if im is not None else None))
                 tiles = new
             elif c_pair:
                 tiles = [
@@ -1161,7 +1246,12 @@ def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
                 else:
                     x0_re, x0_im, x1_re, x1_im = re, im, p_re, p_im
                     u_re, u_im, v_re, v_im = a_re, a_im, b_re, b_im
-                if real_flags[k]:
+                if x0_im is None:
+                    assert real_flags[k], \
+                        "real-state plane requires a real matrix"
+                    n_re = u_re * x0_re + v_re * x1_re
+                    n_im = None
+                elif real_flags[k]:
                     n_re = u_re * x0_re + v_re * x1_re
                     n_im = u_re * x0_im + v_re * x1_im
                 else:
@@ -1177,7 +1267,8 @@ def _kernel_multi(gm_ref, re_ref, im_ref, out_re_ref, out_im_ref, *,
                      for (re, im) in tiles]
     for combo, (re, im) in enumerate(tiles):
         out_re_ref[ref_idx(combo)] = re
-        out_im_ref[ref_idx(combo)] = im
+        if out_im_ref is not None:
+            out_im_ref[ref_idx(combo)] = im
 
 
 def apply_fused_1q_layer(re: jnp.ndarray, im: jnp.ndarray,
@@ -1220,13 +1311,17 @@ GEOMETRY_COSTS = {None: 1.0, TALL_GEOMETRY: 1.15, THIN_GEOMETRY: 1.08}
 
 
 def max_pair_bits_for(col_qubits: int = COL_QUBITS,
-                      tile_log2: int = TILE_ROWS_LOG2) -> int:
+                      tile_log2: int = TILE_ROWS_LOG2,
+                      planes: int = 2) -> int:
     """Pair-bit capacity of a kernel geometry: how many out-of-window bits
-    fit the paired-block VMEM budget at this tile size."""
+    fit the paired-block VMEM budget at this tile size. ``planes=1``
+    (real-state passes) halves the VMEM working set, buying one more
+    pair bit."""
+    budget = _PAIRED_BUDGET_BYTES * (2 // max(planes, 1))
     tile_bytes = (1 << col_qubits) * (1 << tile_log2) * 4
-    if tile_bytes > _PAIRED_BUDGET_BYTES:
+    if tile_bytes > budget:
         return 0
-    return (_PAIRED_BUDGET_BYTES // tile_bytes).bit_length() - 1
+    return (budget // tile_bytes).bit_length() - 1
 
 
 def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
@@ -1279,6 +1374,9 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
         else (False,) * len(specs)
     if len(real_flags) != len(specs):
         raise ValueError("real_flags length must match specs")
+    if im is None and not all(real_flags):
+        raise ValueError("real-state mode (im=None) requires every gate "
+                         "matrix to be real")
     if pair_bits is None:
         pair_bits = () if pair_bit is None else (int(pair_bit),)
     pair_bits = tuple(sorted(int(p) for p in set(pair_bits)))
@@ -1312,7 +1410,6 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
 
     if not pair_bits:
         re2 = re.reshape(R, C)
-        im2 = im.reshape(R, C)
         grid = (max(R // tile_rows, 1),)
         kernel = functools.partial(_kernel, specs=specs,
                                    real_flags=real_flags, col_qubits=col,
@@ -1324,6 +1421,19 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
         sem = _grid_semantics(len(grid))
         if sem and not interpret:
             params["compiler_params"] = pltpu.CompilerParams(**sem)
+        if im is None:
+            out_re = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[gspec, block],
+                out_specs=block,
+                out_shape=jax.ShapeDtypeStruct((R, C), jnp.float32),
+                input_output_aliases={1: 0},
+                interpret=interpret,
+                **params,
+            )(gate_mats, re2)
+            return out_re.reshape(re.shape), None
+        im2 = im.reshape(R, C)
         out_re, out_im = pl.pallas_call(
             kernel,
             grid=grid,
@@ -1360,7 +1470,7 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
         shape = shape + (1 << m, g)
     shape = shape + (tile_rows, C)
     re_v = re.reshape(shape)
-    im_v = im.reshape(shape)
+    im_v = im.reshape(shape) if im is not None else None
     grid = (a_top,) + tuple(reversed(gaps))
     if r_groups == 1 and k_pairs >= 4:
         # one contiguous run: merge the group axis into the tile rows —
@@ -1404,6 +1514,18 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
         params["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=min(32 * block_mib, 112) * 1024 * 1024,
             **_grid_semantics(len(grid)))
+    if im is None:
+        out_re = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[gspec, block],
+            out_specs=block,
+            out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+            input_output_aliases={1: 0},
+            interpret=interpret,
+            **params,
+        )(gate_mats, re_v)
+        return out_re.reshape(re.shape), None
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=grid,

@@ -409,7 +409,9 @@ def execute_plan(re: jnp.ndarray, im: jnp.ndarray, plan: List[object],
     """Run a plan from :func:`plan_full_layer` on a float-pair state.
 
     ``kinds[i]`` is the i-th gate's kind ("U" or "CNOT"; default all "U");
-    ``gate_mats[i]`` its packed 2x2 matrix (ignored for CNOT)."""
+    ``gate_mats[i]`` its packed 2x2 matrix (ignored for CNOT).
+    ``im=None`` runs every pass in the kernels' REAL-STATE mode (half the
+    HBM traffic; requires all-real gate matrices)."""
     import numpy as np
 
     from .pallas_sv import apply_fused_layer
@@ -425,6 +427,8 @@ def execute_plan(re: jnp.ndarray, im: jnp.ndarray, plan: List[object],
             # temp, and optimization_barrier alone did not stop XLA from
             # overlapping the buffers; both measured on v5e).
             re = rotate_region(re, n, item.shift, interpret=interpret)
+            if im is None:
+                continue
             dep = re.reshape(-1)[0] * 0.0
             im_dep = jnp.ravel(im).at[0].add(dep).reshape(im.shape)
             im = rotate_region(im_dep, n, item.shift, interpret=interpret)

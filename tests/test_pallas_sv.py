@@ -450,6 +450,34 @@ def test_mxu_dot_groups_match_reference():
     np.testing.assert_allclose(got, expected, atol=2e-5)
 
 
+def test_bf16x3_dot_mode_matches_reference(monkeypatch):
+    # ROCQ_DOT_PRECISION=bf16x3: the hand-rolled 3-pass bf16 region dot
+    # (Mosaic rejects Precision.HIGH inside pallas) must stay inside the
+    # engine's f32 tolerance on every dot region (lane/mid/row)
+    monkeypatch.setenv("ROCQ_DOT_PRECISION", "bf16x3")
+    n = 18
+    state = rand_state(n, 42)
+    rng = np.random.default_rng(9)
+
+    def rx(th):
+        return np.array([[np.cos(th / 2), -1j * np.sin(th / 2)],
+                         [-1j * np.sin(th / 2), np.cos(th / 2)]],
+                        np.complex64)
+
+    specs = [("U", q) for q in (0, 3, 6, 8, 10, 12, 14, 1, 5, 13)]
+    mats = [rx(x) if i % 2 else _ry(x)
+            for i, x in enumerate(rng.normal(size=len(specs)))]
+    flags = [bool(np.allclose(m.imag, 0)) for m in mats]
+    expected = reference_apply_specs(state, specs, mats)
+    re = jnp.real(jnp.asarray(state))
+    im = jnp.imag(jnp.asarray(state))
+    re, im = apply_fused_layer(re, im, specs,
+                               jnp.asarray(pack_gate_mats(mats)),
+                               real_flags=flags, interpret=True)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, expected, atol=5e-5)
+
+
 def test_mxu_cnot_barrier_ordering():
     # CNOT(0 -> 13) does not commute with pending lane gates on qubit 0 or
     # row gates on 13: the planner must flush both groups first
@@ -911,3 +939,101 @@ class TestChannelFactorization:
         ops = dmops.superop_kernel_ops(s, 2, 7)
         assert ops is not None and len(ops) == 2
         assert all(o.name == "UNITARY" and not o.controls for o in ops)
+
+
+# ---------------------------------------------------------------------------
+# Real-state (single-plane) kernel mode: im=None streams only the real
+# plane — valid exactly when every gate matrix is real (RealAmplitudes-
+# style RY/CNOT circuits). Each test drives one kernel variant.
+# ---------------------------------------------------------------------------
+
+
+def rand_real_state(n, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=1 << n)
+    return (v / np.linalg.norm(v)).astype(np.float32)
+
+
+def _run_real_vs_complex(n, specs, mats, pair_bits=None, geometry=None,
+                         seed=3):
+    state = rand_real_state(n, seed)
+    expected = reference_apply_specs(state.astype(np.complex64), specs, mats)
+    assert np.abs(expected.imag).max() == 0.0  # sanity: circuit is real
+    flags = [True] * len(specs)
+    re, im = apply_fused_layer(jnp.asarray(state), None, specs,
+                               jnp.asarray(pack_gate_mats(mats)),
+                               pair_bits=pair_bits, geometry=geometry,
+                               real_flags=flags, interpret=True)
+    assert im is None
+    np.testing.assert_allclose(np.asarray(re), expected.real, atol=2e-5)
+
+
+def test_real_state_window_pass():
+    # no-pair _kernel: RY column + in-window CNOTs on one real plane
+    n = 16
+    specs = [("U", q) for q in range(0, 15, 2)] + \
+        [("CNOT", 0, 1), ("CNOT", 5, 13), ("CNOT", 14, 2)]
+    rng = np.random.default_rng(4)
+    mats = [_ry(x) for x in rng.normal(size=8)] + \
+        [np.eye(2, dtype=np.complex64)] * 3
+    _run_real_vs_complex(n, specs, mats)
+
+
+def test_real_state_multi_pair_pass():
+    # _kernel_multi: gates on separate pair bits + a CNOT across them
+    n = 19
+    specs = [("U", 3), ("U", 17), ("CNOT", 17, 18), ("U", 18),
+             ("CNOT", 18, 5)]
+    rng = np.random.default_rng(6)
+    eye = np.eye(2, dtype=np.complex64)
+    mats = [_ry(rng.normal()), _ry(rng.normal()), eye, _ry(rng.normal()),
+            eye]
+    _run_real_vs_complex(n, specs, mats, pair_bits=(17, 18))
+
+
+def test_real_state_merged_run_pass():
+    # _kernel_merged (single contiguous run, k>=4) under the thin geometry
+    n = 16
+    specs = [("U", 2), ("U", 12), ("CNOT", 12, 13), ("U", 13),
+             ("CNOT", 13, 14), ("U", 14), ("CNOT", 14, 15), ("U", 15)]
+    rng = np.random.default_rng(8)
+    eye = np.eye(2, dtype=np.complex64)
+    mats = [_ry(rng.normal()) if s[0] == "U" else eye for s in specs]
+    _run_real_vs_complex(n, specs, mats, pair_bits=(12, 13, 14, 15),
+                         geometry=(8, 3))
+
+
+def test_real_state_rejects_complex_gate():
+    n = 16
+    re = jnp.asarray(rand_real_state(n))
+    with pytest.raises(ValueError, match="real"):
+        apply_fused_layer(re, None, [("U", 0)],
+                          jnp.asarray(pack_gate_mats([np.asarray(g.S)])),
+                          real_flags=[False], interpret=True)
+
+
+def test_execute_pair_real_plane(monkeypatch):
+    # init_real + an all-real circuit stays single-plane end to end;
+    # a complex gate materializes the imaginary plane and still matches
+    monkeypatch.setenv("ROCQ_PALLAS_INTERPRET", "1")
+    from rocquantum_tpu.compiler.interpreter import (execute_pair, init_real,
+                                                     init_pair)
+    from rocquantum_tpu.compiler.ir import CircuitIR
+
+    n = 15
+    ir = CircuitIR(n)
+    for q in range(n):
+        ir.add("RY", [q], params=[0.2 + 0.05 * q])
+    for q in range(n - 1):
+        ir.add("CNOT", [q + 1], controls=[q])
+    re, im = execute_pair(init_real(n), None, ir.ops)
+    assert im is None
+    re2, im2 = execute_pair(*init_pair(n), ir.ops)
+    np.testing.assert_allclose(np.asarray(re), np.asarray(re2), atol=2e-5)
+
+    ir.add("RZ", [3], params=[0.7])  # complex: forces the pair path
+    re, im = execute_pair(init_real(n), None, ir.ops)
+    assert im is not None
+    re2, im2 = execute_pair(*init_pair(n), ir.ops)
+    np.testing.assert_allclose(np.asarray(re), np.asarray(re2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(im), np.asarray(im2), atol=2e-5)
