@@ -298,20 +298,46 @@ class Circuit(_GateMethods):
         return NamedSharding(self.mesh, P(dp, SV_AXIS))
 
     def _use_pair(self) -> bool:
-        """fp64 circuits run the float-PAIR engine (ops/pairsim.py): the TPU
-        x64 rewriter cannot execute complex128 programs, so double precision
-        ships (re, im) f64 arrays and strictly-real arithmetic — including
-        SHARDED circuits (both parts sharded over 'sv'; relabels stay
-        all-to-all transposes) and BATCHED circuits (hipStateVec.h:61's
-        batchSize, realised as extra TOP index bits of ONE flat state —
-        NOT a vmap/(batch, 2^n) form, which would hit the broken 2-D f64
-        math on this stack; see pairsim.init_pair_batched). Batched+sharded
-        fp64 stays on the complex path (CPU-only). Sticky once the state
-        exists (precision flips don't re-type live states)."""
+        """Pair-carried circuits run on (re, im) float arrays instead of a
+        complex state. Two regimes:
+
+        * fp64: the float-PAIR engine (ops/pairsim.py) — the TPU x64
+          rewriter cannot execute complex128 programs, so double precision
+          ships f64 pairs and strictly-real arithmetic — including SHARDED
+          circuits (both parts sharded over 'sv'; relabels stay all-to-all
+          transposes) and BATCHED circuits (hipStateVec.h:61's batchSize,
+          realised as extra TOP index bits of ONE flat state — NOT a
+          vmap/(batch, 2^n) form, which would hit the broken 2-D f64 math
+          on this stack; see pairsim.init_pair_batched). Batched+sharded
+          fp64 stays on the complex path (CPU-only).
+        * f32 + Pallas (unsharded, unbatched): flush compiles segments
+          straight onto the float-pair kernels (compile_pair32_ir) — no
+          complex<->pair conversion passes, half the peak HBM, and the
+          imaginary plane is carried as None while the circuit stays REAL
+          (single-plane kernels, half traffic again). ROCQ_DISABLE_PAIR32
+          restores the complex carry.
+
+        Sticky once the state exists (precision flips don't re-type live
+        states)."""
         if self._state is not None:
             return isinstance(self._state, tuple)
-        return (config.get_precision() == "double"
-                and (self.batch_size == 1 or self.mesh is None))
+        if config.get_precision() == "double":
+            return self.batch_size == 1 or self.mesh is None
+        from .compiler.interpreter import _pallas_enabled
+        import os
+        return (self.mesh is None and self.batch_size == 1
+                and _pallas_enabled()
+                and not os.environ.get("ROCQ_DISABLE_PAIR32"))
+
+    def _pair_full(self):
+        """The pair state with the imaginary plane materialized (real-
+        carried states store ``(re, None)``); readback/measurement twins
+        need both planes. Does NOT persist the zero plane — readback must
+        not downgrade the single-plane carry."""
+        re, im = self.state
+        if im is None:
+            im = jax.jit(jnp.zeros_like)(re)
+        return re, im
 
     def _init_fn(self):
         n, b = self.num_qubits, self.batch_size
@@ -321,6 +347,16 @@ class Circuit(_GateMethods):
             key = (n, b, "pair", sharding, config.get_precision())
             fn = _INIT_CACHE.get(key)
             if fn is None:
+                if (config.get_precision() != "double" and b == 1
+                        and sharding is None):
+                    # f32 pair carry: |0...0> is REAL — ship only the real
+                    # plane; flush keeps it single-plane while the circuit's
+                    # gates stay real (compile_pair32_ir)
+                    base = jax.jit(lambda: pairsim.init_pair(n)[0])
+                    fn = lambda: (base(), None)  # noqa: E731
+                    _INIT_CACHE[key] = fn
+                    return fn
+
                 def mk_pair():
                     if b > 1:
                         # flat batch: element k = index bits [n, n+log2(b));
@@ -404,6 +440,16 @@ class Circuit(_GateMethods):
             from .ops import pairsim
             if self.mesh is None:
                 ops = [GateOp("SWAP", op.targets) for op in ops]
+            if self._state[0].dtype == jnp.float32:
+                # f32 pair carry; SWAPs are real permutations, so a real-
+                # carried state stays (re, None) through the relabel
+                from .compiler.interpreter import compile_pair32_ir
+                fn = compile_pair32_ir(CircuitIR(self.num_qubits, ops))
+                self._state = tuple(fn(
+                    tuple(self._state),
+                    jnp.zeros((0,), dtype=config.real_dtype())))
+                self._layout = list(range(self.num_qubits))
+                return
             fn = pairsim.compile_pair_ir(CircuitIR(self.num_qubits, ops),
                                          sharding=self._sharding())
             re, im = fn(*self._state,
@@ -452,6 +498,26 @@ class Circuit(_GateMethods):
         state = self.state
         from .compiler.interpreter import segment_ops
         if self._use_pair():
+            re, im = state
+            if re.dtype == jnp.float32:
+                # f32 pair carry: segments compile straight onto the Pallas
+                # float-pair engine (no complex<->pair conversion passes);
+                # im stays None while the circuit is real — single-plane
+                # kernels at half the HBM traffic
+                from .compiler.interpreter import compile_pair32_ir
+                pair = (re, im)
+                for segment in segment_ops(ops, self.num_qubits,
+                                           max_items=MAX_SEGMENT_OPS,
+                                           fuse=self._fuse):
+                    fn = compile_pair32_ir(CircuitIR(self.num_qubits,
+                                                     segment),
+                                           fuse=self._fuse,
+                                           max_fuse=self._max_fuse)
+                    pair = fn(pair, params)
+                self._state = tuple(pair)
+                self._gate_queue.clear()
+                self._is_dirty = False
+                return
             # fp64: sequential exact pair programs (no fusion/Pallas — those
             # kernels compute in f32); still segmented for the compile
             # service, params stay runtime inputs. Sharded pair circuits
@@ -460,7 +526,6 @@ class Circuit(_GateMethods):
             # init_pair_batched), so the same programs run unchanged —
             # gates only touch qubits < n.
             from .ops import pairsim
-            re, im = state
             for segment in segment_ops(ops, self.num_qubits,
                                        max_items=MAX_SEGMENT_OPS,
                                        fuse=False):
@@ -530,10 +595,13 @@ class Circuit(_GateMethods):
             return outcomes, probs
         if self._use_pair():
             from .ops import pairsim
-            p1 = float(pairsim.prob_one_pair_jit(*self.state, phys))
+            was_real = self.state[1] is None
+            pair = self._pair_full()
+            p1 = float(pairsim.prob_one_pair_jit(*pair, phys))
             outcome = 1 if self.simulator.host_random() < p1 else 0
-            self._state = pairsim.collapse_pair_jit(*self.state, phys,
-                                                    outcome)
+            re2, im2 = pairsim.collapse_pair_jit(*pair, phys, outcome)
+            # collapse + renorm of a real state stays real: keep the tag
+            self._state = (re2, None) if was_real else (re2, im2)
             self._reshard()
             return outcome, (p1 if outcome == 1 else 1.0 - p1)
         p1 = float(sv.prob_one_jit(self.state, phys))
@@ -563,7 +631,8 @@ class Circuit(_GateMethods):
                     *self.state, qubits=qubits, shots=num_shots, keys=keys,
                     n=self.num_qubits, b=self.batch_size)
             else:
-                out = pairsim.sample_pair_jit(*self.state, qubits=qubits,
+                out = pairsim.sample_pair_jit(*self._pair_full(),
+                                              qubits=qubits,
                                               shots=num_shots, key=key)
             return np.asarray(out)
         if self.batch_size > 1:
@@ -596,7 +665,7 @@ class Circuit(_GateMethods):
         self.flush()
         self._restore_identity_layout()
         if self._use_pair():
-            re, im = self.state
+            re, im = self._pair_full()
             if self.batch_size > 1:  # flat layout -> (batch, 2^n) rows
                 from .ops import pairsim
                 re, im = pairsim.statevector_pair_batched_jit(
@@ -620,7 +689,8 @@ class Circuit(_GateMethods):
                     *self.state, start, size, self.num_qubits,
                     self.batch_size)
             else:
-                re, im = pairsim.slice_pair_jit(*self.state, start, size)
+                re, im = pairsim.slice_pair_jit(*self._pair_full(), start,
+                                                size)
         elif self.batch_size > 1:
             re, im = jax.jit(jax.vmap(
                 lambda s: sv.state_slice_parts(s, start, size)))(self.state)
@@ -639,7 +709,7 @@ class Circuit(_GateMethods):
                     *self.state, qubits=phys, n=self.num_qubits,
                     b=self.batch_size)).astype(np.float64)
             return np.asarray(pairsim.marginal_probs_pair_jit(
-                *self.state, qubits=phys)).astype(np.float64)
+                *self._pair_full(), qubits=phys)).astype(np.float64)
         if self.batch_size > 1:
             return np.asarray(jax.jit(jax.vmap(
                 lambda s: sv.marginal_probs(s, phys)))(self.state))
@@ -663,7 +733,7 @@ class Circuit(_GateMethods):
                     *self.state, terms=terms_key, coeffs=coeffs,
                     n=self.num_qubits, b=self.batch_size))
             return float(pairsim.expval_terms_pair_jit(
-                *self.state, terms=terms_key, coeffs=coeffs))
+                *self._pair_full(), terms=terms_key, coeffs=coeffs))
         return expval_on_state(self.state, terms)
 
     def __del__(self):

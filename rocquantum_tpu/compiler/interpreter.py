@@ -15,6 +15,7 @@ VQE inner loop — reuses the executable.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional, Sequence
 
@@ -964,6 +965,52 @@ def compile_ir(ir: CircuitIR, fuse: bool = True, max_fuse: int = 2,
         fn = jax.jit(run, donate_argnums=(0,) if donate else ())
     _EXEC_CACHE[key] = fn
     return fn
+
+
+def compile_pair32_ir(ir: CircuitIR, fuse: bool = True, max_fuse: int = 2):
+    """Return a jitted ``f((re, im_or_None), params) -> (re, im_or_None)``
+    over :func:`execute_pair` — the Pallas float-pair engine as the Circuit
+    flush backend for f32, unsharded, unbatched states.
+
+    Carrying the state as a float pair removes the complex<->pair
+    conversion passes `compile_ir`'s complex path pays around every
+    PallasBlock, halves peak HBM (what fits n=30 on a 16 GiB chip), and —
+    when the incoming ``im`` is None and the segment's gates are all real —
+    runs the kernels' single-plane REAL-STATE mode at half the remaining
+    traffic. Output realness is a static trace-time fact: the jitted
+    program returns ``(re, None)`` iff the state stayed real."""
+    baked = tuple(float(p) for op in ir.ops for p in op.params
+                  if not isinstance(p, ParamRef))
+    key = (ir.structural_key(), baked, fuse, max_fuse, "pair32",
+           _pallas_enabled(), _pallas_interpret())
+    cached = _EXEC_CACHE.get(key)
+    if cached is not None:
+        return cached
+    segments = segment_ops(list(ir.ops), ir.num_qubits,
+                           max_items=MAX_SEGMENT_ITEMS, fuse=fuse)
+    if len(segments) > 1:
+        seg_fns = [compile_pair32_ir(CircuitIR(ir.num_qubits, seg,
+                                               name=f"{ir.name}.seg{i}"),
+                                     fuse=fuse, max_fuse=max_fuse)
+                   for i, seg in enumerate(segments)]
+
+        def chained(pair, params):
+            for f in seg_fns:
+                pair = f(pair, params)
+            return pair
+
+        _EXEC_CACHE[key] = chained
+        return chained
+    ops = list(ir.ops)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(pair, params):
+        re, im = pair
+        return execute_pair(re, im, ops, params, fuse=fuse,
+                            max_fuse=max_fuse)
+
+    _EXEC_CACHE[key] = run
+    return run
 
 
 def clear_cache():

@@ -355,6 +355,15 @@ def _mxu_enabled() -> bool:
     return not os.environ.get("ROCQ_DISABLE_MXU")
 
 
+def _merged_min_k() -> int:
+    """Smallest single-run pair count routed to the merged-run kernel
+    (below it, the tiles-list _kernel_multi). Default 1: merged measured
+    ~3.4x faster than tiles-list at k=3 on v5e (105 vs ~31 ms/pass,
+    n=29)."""
+    import os
+    return int(os.environ.get("ROCQ_MERGED_MIN_K", "1"))
+
+
 def _compose_lane_matrix(gm_ref, idxs, specs, real_flags, pair_bits=(),
                          limit=0):
     """(R_re, R_im, is_real): R = G_1^T @ ... @ G_L^T so that applying all
@@ -932,12 +941,19 @@ def _kernel_merged(gm_ref, *refs,
     vspecs = tuple((s[0],) + tuple(vbit(q) for q in s[1:]) for s in specs)
     vlimit = limit + group_m
     is_one = _mask_factory(col_qubits, rows)
-    # only LANE dots stay on the MXU here: row/group gates roll on the
+    # only LANE/MID dots stay on the MXU here: row/group gates roll on the
     # merged row axis (a rowdot would compose a (G*T)^2 matrix), and the
     # planner routes anything listed in its pair set to the spec path
     blocked = tuple(range(col_qubits, vlimit))
     items = _plan_mxu_items(vspecs, blocked, col_qubits, T) if use_mxu \
         else [("spec", k) for k in range(len(vspecs))]
+    # rowdot/pairdot can't fire today (``blocked`` covers every row+group
+    # bit and is too large for a pair dot) — expand defensively rather
+    # than mis-index below if the planner ever changes
+    items = [it for kind, payload in items
+             for it in (((kind, payload),) if kind in ("spec", "lanedot",
+                                                       "middot")
+                        else tuple(("spec", k) for k in payload))]
     # consecutive 1q gates on the same row/group bit COMPOSE (scalar 2x2
     # products) and apply as ONE slice gate at flush time — a 16-layer RY
     # body stays at one gate per bit instead of 16 (which would blow the
@@ -963,6 +979,17 @@ def _kernel_merged(gm_ref, *refs,
                 gm_ref, payload, vspecs, real_flags, pair_bits=pair_bits,
                 limit=limit)
             re, im = _apply_lane_dot(re, im, m_re, m_im, m_real)
+            continue
+        if kind == "middot":
+            # mid bits are COLUMN bits — untouched by the row merge, so
+            # the batched (rows, M, M) dot applies unchanged; mid gates
+            # commute with every pending row/group 1q gate (disjoint
+            # axes), so no flush. Free controls keep real positions in
+            # vspecs (vbit is the identity on free bits).
+            a_re, a_im, a_real = _compose_mid_matrix(
+                gm_ref, payload, vspecs, real_flags, col_qubits,
+                pair_bits=pair_bits, limit=limit)
+            re, im = _apply_mid_dot(re, im, a_re, a_im, a_real)
             continue
         k = payload
         spec = vspecs[k]
@@ -1472,10 +1499,15 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
     re_v = re.reshape(shape)
     im_v = im.reshape(shape) if im is not None else None
     grid = (a_top,) + tuple(reversed(gaps))
-    if r_groups == 1 and k_pairs >= 4:
+    if r_groups == 1 and k_pairs >= _merged_min_k():
         # one contiguous run: merge the group axis into the tile rows —
         # O(gates) kernel body instead of the tiles-list kernel's
-        # 2^k-unrolled refs (which explodes at k >= 4)
+        # 2^k-unrolled refs. Measured on v5e (n=29, 4 MiB blocks): the
+        # tiles-list kernel costs 105 ms/pass at k=3 where the merged
+        # kernel runs at ~the no-pair floor (30 ms) — per-tile ref
+        # loads/stores and 2^k small per-tile dots serialize badly — so
+        # merged is preferred for EVERY single-run pair set
+        # (ROCQ_MERGED_MIN_K overrides for A/B measurement).
         kernel = functools.partial(_kernel_merged, specs=specs,
                                    real_flags=real_flags,
                                    group_lo=groups[0][0],
