@@ -549,6 +549,8 @@ def main():
     ansatz = probe_ansatz(min(n_used, 29)) or probe_ansatz(min(n_used, 29))
     if ansatz is not None:
         record["ansatz_gates_per_sec"] = ansatz["ansatz_gates_per_sec"]
+        if "ansatz_geometry" in ansatz:
+            record["ansatz_geometry"] = ansatz["ansatz_geometry"]
         record["ansatz_gbps"] = round(
             ansatz["ansatz_gates_per_sec"] * 16.0
             * (1 << min(n_used, 29)) / 1e9, 1)
