@@ -443,8 +443,18 @@ def probe_qft(n=QFT_N):
 
 
 def probe_density():
-    return _probe_subprocess(["--density", str(DENSITY_N)],
-                             "density_ops_per_sec")
+    rec = _probe_subprocess(["--density", str(DENSITY_N)],
+                            "density_ops_per_sec")
+    if rec is None:
+        # cold pair32-carry compiles can blow the budget; the complex
+        # carry's programs are the warm fallback (same engine, same
+        # workload — only the state carry differs)
+        rec = _probe_subprocess(["--density", str(DENSITY_N)],
+                                "density_ops_per_sec",
+                                env_extra={"ROCQ_DISABLE_PAIR32": "1"})
+        if rec is not None:
+            rec["density_carry"] = "complex"
+    return rec
 
 
 def probe_tensornet():
