@@ -568,6 +568,8 @@ def main():
     if density is not None:
         record["density_n13_ops_per_sec"] = density["density_ops_per_sec"]
         record["density_gbps"] = density["density_gbps"]
+        if "density_carry" in density:
+            record["density_carry"] = density["density_carry"]
     tn = probe_tensornet() or probe_tensornet()
     if tn is not None:
         record["tn_sliced_gflops"] = tn["tn_gflops"]
