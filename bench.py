@@ -446,14 +446,14 @@ def probe_density():
     rec = _probe_subprocess(["--density", str(DENSITY_N)],
                             "density_ops_per_sec")
     if rec is None:
-        # cold pair32-carry compiles can blow the budget; the complex
-        # carry's programs are the warm fallback (same engine, same
-        # workload — only the state carry differs)
+        # cold compiles of the rerouted merged-run kernel (k<4 single
+        # runs) can blow the budget; MIN_K=4 restores the tiles-list
+        # programs (identical HLO to prior rounds => warm cache)
         rec = _probe_subprocess(["--density", str(DENSITY_N)],
                                 "density_ops_per_sec",
-                                env_extra={"ROCQ_DISABLE_PAIR32": "1"})
+                                env_extra={"ROCQ_MERGED_MIN_K": "4"})
         if rec is not None:
-            rec["density_carry"] = "complex"
+            rec["density_kernel"] = "tiles-list"
     return rec
 
 
@@ -568,8 +568,8 @@ def main():
     if density is not None:
         record["density_n13_ops_per_sec"] = density["density_ops_per_sec"]
         record["density_gbps"] = density["density_gbps"]
-        if "density_carry" in density:
-            record["density_carry"] = density["density_carry"]
+        if "density_kernel" in density:
+            record["density_kernel"] = density["density_kernel"]
     tn = probe_tensornet() or probe_tensornet()
     if tn is not None:
         record["tn_sliced_gflops"] = tn["tn_gflops"]
