@@ -364,6 +364,18 @@ def _merged_min_k() -> int:
     return int(os.environ.get("ROCQ_MERGED_MIN_K", "1"))
 
 
+def _merged_max_specs() -> int:
+    """Spec-count ceiling for PREFERRING merged over tiles-list at k<4
+    (at k>=4 merged is mandatory: tiles-list unrolls 2^k refs). The
+    merged kernel's body unrolls per-gate work over the widened row
+    axis, and very wide spec lists (the density engine's ~190-op 2n-view
+    passes) have OOM-killed the remote compile helper; the tiles-list
+    kernel compiles those fine. Ansatz-scale passes (<=64 specs) keep
+    the measured merged-kernel win."""
+    import os
+    return int(os.environ.get("ROCQ_MERGED_MAX_SPECS", "64"))
+
+
 def _compose_lane_matrix(gm_ref, idxs, specs, real_flags, pair_bits=(),
                          limit=0):
     """(R_re, R_im, is_real): R = G_1^T @ ... @ G_L^T so that applying all
@@ -1499,7 +1511,8 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
     re_v = re.reshape(shape)
     im_v = im.reshape(shape) if im is not None else None
     grid = (a_top,) + tuple(reversed(gaps))
-    if r_groups == 1 and k_pairs >= _merged_min_k():
+    if (r_groups == 1 and k_pairs >= _merged_min_k()
+            and (k_pairs >= 4 or len(specs) <= _merged_max_specs())):
         # one contiguous run: merge the group axis into the tile rows —
         # O(gates) kernel body instead of the tiles-list kernel's
         # 2^k-unrolled refs. Measured on v5e (n=29, 4 MiB blocks): the
