@@ -262,7 +262,11 @@ def run_qft(n=QFT_N):
 
 
 DENSITY_N = 13
-DENSITY_LAYERS = 4
+# 2 layers = ONE flush segment (52 items): the 4-layer/2-segment variant's
+# pallas programs compile >1h cold on the remote relay (per-pass unrolled
+# kernels x ~20 passes/program); one segment keeps the cold compile inside
+# the probe budget without changing the per-op metric
+DENSITY_LAYERS = 2
 
 
 def bench_density(n):
@@ -459,6 +463,14 @@ def probe_density():
                                 env_extra={"ROCQ_MERGED_MIN_K": "4"})
         if rec is not None:
             rec["density_kernel"] = "tiles-list"
+    if rec is None:
+        # last resort: the plain einsum engine (no pallas) compiles in
+        # seconds — a real density number beats a missing one
+        rec = _probe_subprocess(["--density", str(DENSITY_N)],
+                                "density_ops_per_sec",
+                                env_extra={"ROCQ_DISABLE_PALLAS": "1"})
+        if rec is not None:
+            rec["density_kernel"] = "einsum"
     return rec
 
 
