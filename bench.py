@@ -455,17 +455,11 @@ def probe_density():
     rec = _probe_subprocess(["--density", str(DENSITY_N)],
                             "density_ops_per_sec")
     if rec is None:
-        # cold compiles of the rerouted merged-run kernel (k<4 single
-        # runs) can blow the budget; MIN_K=4 restores the tiles-list
-        # programs (identical HLO to prior rounds => warm cache)
-        rec = _probe_subprocess(["--density", str(DENSITY_N)],
-                                "density_ops_per_sec",
-                                env_extra={"ROCQ_MERGED_MIN_K": "4"})
-        if rec is not None:
-            rec["density_kernel"] = "tiles-list"
-    if rec is None:
-        # last resort: the plain einsum engine (no pallas) compiles in
-        # seconds — a real density number beats a missing one
+        # the density 2n-view's pallas programs OOM the remote compile
+        # helper under BOTH kernels (see ROADMAP: compile-helper OOM);
+        # the plain einsum engine compiles in seconds and is the mode
+        # the mid-round 58 ops/s measurement used — a real number beats
+        # a missing one
         rec = _probe_subprocess(["--density", str(DENSITY_N)],
                                 "density_ops_per_sec",
                                 env_extra={"ROCQ_DISABLE_PALLAS": "1"})

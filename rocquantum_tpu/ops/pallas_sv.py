@@ -364,21 +364,6 @@ def _merged_min_k() -> int:
     return int(os.environ.get("ROCQ_MERGED_MIN_K", "1"))
 
 
-def _merged_max_ctrl() -> int:
-    """Ceiling on NON-U (CNOT/controlled/diagonal) specs for PREFERRING
-    merged over tiles-list at k<4 (at k>=4 merged is mandatory:
-    tiles-list unrolls 2^k refs). Plain-U specs compose into scalar 2x2
-    products and cost the merged kernel ~nothing at compile time (the
-    n=30 REPS=32 headline pass carries 640 of them and compiles fine) —
-    but each controlled spec unrolls mask/branch work over the widened
-    row axis, and the density engine's 2n-view passes (~190 specs, about
-    half controlled) OOM-killed the remote compile helper. The
-    tiles-list kernel compiles those fine. Ansatz lead passes (28
-    CNOTs) keep the measured merged-kernel win."""
-    import os
-    return int(os.environ.get("ROCQ_MERGED_MAX_CTRL", "48"))
-
-
 def _compose_lane_matrix(gm_ref, idxs, specs, real_flags, pair_bits=(),
                          limit=0):
     """(R_re, R_im, is_real): R = G_1^T @ ... @ G_L^T so that applying all
@@ -1514,10 +1499,7 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
     re_v = re.reshape(shape)
     im_v = im.reshape(shape) if im is not None else None
     grid = (a_top,) + tuple(reversed(gaps))
-    if (r_groups == 1 and k_pairs >= _merged_min_k()
-            and (k_pairs >= 4
-                 or sum(1 for s in specs if s[0] != "U")
-                 <= _merged_max_ctrl())):
+    if r_groups == 1 and k_pairs >= _merged_min_k():
         # one contiguous run: merge the group axis into the tile rows —
         # O(gates) kernel body instead of the tiles-list kernel's
         # 2^k-unrolled refs. Measured on v5e (n=29, 4 MiB blocks): the
