@@ -313,6 +313,73 @@ def _spec_anchors(kinds, supports, limit):
     return anchors
 
 
+def _classify_spec(op: GateOp):
+    """Structure-only (kind, support) for one fused-kernel-eligible op —
+    the host-side twin of :func:`pallas_block_specs`'s branch order without
+    building any gate matrix. Used for pass-count planning; parameter
+    values never change a plan."""
+    base, controls, targets = _split_op(op)
+    if base == "D2M":
+        return "D2", (targets[0], targets[1])
+    if base == "X" and len(controls) == 1 and op.matrix is None:
+        return "CNOT", (controls[0], targets[0])
+    if op.matrix is None and len(controls) == 1 and base in _D2_BASES:
+        return "D2", (controls[0], targets[0])
+    if (op.matrix is None and not controls and len(targets) == 1
+            and base in _D2_BASES):
+        return "D2", (targets[0], targets[0])
+    if op.matrix is None and base == "RZZ" and not controls:
+        return "D2", (targets[0], targets[1])
+    if len(controls) == 1 and len(targets) == 1:
+        return "CU", (controls[0], targets[0])
+    return "U", (targets[0],)
+
+
+def planned_pass_count(ops: Sequence, num_qubits: int) -> int:
+    """Planned Pallas KERNEL PASSES for ``ops`` run fused on one device.
+    Host-side and structure-only. Non-kernel plan items count ZERO: raw
+    einsum ops compile cheaply at any count the op-budget chunking allows
+    (the ~190-op einsum-only density program compiles in seconds) — it is
+    the unrolled kernel passes that blow up the compile helper.
+
+    This is the density engine's segmentation metric: the remote compile
+    service dies on the many-pass x many-controlled-spec combination while
+    same-spec-count programs with few passes (and many-pass programs with
+    few controlled specs) compile fine, so a pure op/spec count cannot
+    separate the fatal programs from the fine ones — flushes split at the
+    REAL planned pass count instead (ROADMAP "compile-helper OOM")."""
+    from ..ops.pallas_sv import COL_QUBITS, max_kernel_qubit
+    from ..ops.relabel import plan_full_layer
+
+    ops = list(ops)
+    if not (_pallas_enabled() and num_qubits >= COL_QUBITS + 3):
+        return 0
+    limit = max_kernel_qubit(num_qubits) + 1
+    items = fuse_pallas_runs(ops, num_qubits - 1, num_qubits=num_qubits,
+                             relabel_reach=limit)
+    items = fuse_diagonals(items)
+    items = plan_fusion(items, max_fuse=2)
+    total = 0
+    for item in items:
+        if not isinstance(item, PallasBlock):
+            continue
+        kinds, supports = zip(*(_classify_spec(op) for op in item.ops))
+        anchors = _spec_anchors(kinds, supports, limit)
+        constrained = [q for a in anchors for q in a]
+        if not constrained or max(constrained) < limit:
+            total += 1
+            continue
+        try:
+            plan = plan_full_layer(num_qubits, list(supports), limit,
+                                   pair_ok=num_qubits > limit,
+                                   anchors=anchors)
+        except ValueError:
+            total += len(item.ops)
+            continue
+        total += len(plan)
+    return total
+
+
 def _plan_mixed(n, kinds, supports, limit):
     """Build the multi-geometry template plan (ROCQ_GEOMETRY=mixed): one
     PassTemplate per kernel geometry, anchors recomputed at each window

@@ -10,6 +10,7 @@ NoiseModel attachment.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -203,6 +204,19 @@ class DensityCircuit(_GateMethods):
     # programs (same rule as Circuit's 96-item segments).
     _SEGMENT_OPS = 90
 
+    # Kernel-pass budget per compiled program on the fused-kernel path: the
+    # remote compile service OOMs (SIGKILL) on the many-pass x
+    # many-controlled-spec combination the 2n-view density programs produce
+    # (3 planned passes x ~39 CU/CNOT specs per chunk at the n=13 rho bench
+    # workload), while programs with a similar spec count but few passes —
+    # or many passes but few controlled specs — compile fine. A pure
+    # op/spec count cannot separate
+    # them (tried and reverted), so flushes split at the REAL planned pass
+    # count (interpreter.planned_pass_count). ROCQ_DM_PASS_BUDGET overrides.
+    # Chip-measured at the n=13 bench workload: unsplit (3-pass x ~39-CU
+    # programs) SIGKILLs the helper; the split programs compile fine.
+    _PASS_BUDGET = 2
+
     def flush(self):
         if not self._queue:
             if self._rho is None:
@@ -227,8 +241,70 @@ class DensityCircuit(_GateMethods):
             acc += c
         if cur:
             chunks.append(cur)
-        for chunk in chunks:
-            self._flush_items(chunk)
+        subs = [sub for chunk in chunks
+                for sub in self._split_chunk_by_passes(chunk)]
+        if self._flush_subs_fused_pair(subs):
+            return
+        for sub in subs:
+            self._flush_items(sub)
+
+    def _item_ops_2n(self, item):
+        """Host-side 2n-view GateOps for one queue item (concrete params),
+        or None when the item falls back to the per-gate dense path.
+        Planning only — execution rebuilds these inside the traced run."""
+        from .compiler.ir import GateOp
+        n = self.num_qubits
+        kind = item[0]
+        if kind == "gate":
+            _, name, tgt, ctrl, vals, mat_key, adj = item
+            row, col = _gate_items_2n(n, name, tgt, ctrl, vals, mat_key, adj)
+            return None if row is None else [row, col]
+        if kind == "channel":
+            _, channel, prob, tgt = item
+            ks = dmops.CHANNELS[channel.lower()](prob)
+            s = dmops.kraus_superoperator(ks, xp=np)
+            out = []
+            for q in tgt:
+                fops = dmops.superop_kernel_ops(s, q, q + n)
+                out.extend(fops if fops is not None else
+                           [GateOp("UNITARY", (q, q + n), (), (), s)])
+            return out
+        _, mats, tgt = item
+        ks = [np.frombuffer(b, np.complex128).reshape(shape)
+              for b, shape in mats]
+        s = dmops.kraus_superoperator(ks, xp=np)
+        fops = dmops.superop_kernel_ops(s, tgt[0], tgt[0] + n) \
+            if len(tgt) == 1 else None
+        if fops is not None:
+            return fops
+        pos = tuple(tgt) + tuple(q + n for q in tgt)
+        return [GateOp("UNITARY", pos, (), (), s)]
+
+    def _split_chunk_by_passes(self, chunk):
+        """Split a flush chunk so each compiled program's planned
+        kernel-pass count stays within the pass budget — only on unsharded
+        fused-kernel paths (the ones whose big programs OOM the compile
+        helper); the sharded scheduler segments its own drains."""
+        from .compiler.interpreter import _pallas_enabled, planned_pass_count
+        from .ops.pallas_sv import COL_QUBITS
+        if (self.mesh is not None or not _pallas_enabled()
+                or 2 * self.num_qubits < COL_QUBITS + 3
+                or len(chunk) <= 1):
+            return [chunk]
+        budget = int(os.environ.get("ROCQ_DM_PASS_BUDGET",
+                                    self._PASS_BUDGET))
+        n2 = 2 * self.num_qubits
+        out, cur, cur_ops = [], [], []
+        for item in chunk:
+            ops = self._item_ops_2n(item) or []
+            if cur and planned_pass_count(cur_ops + ops, n2) > budget:
+                out.append(cur)
+                cur, cur_ops = [], []
+            cur.append(item)
+            cur_ops.extend(ops)
+        if cur:
+            out.append(cur)
+        return out
 
     def _flush_items(self, queue):
         # split angles into a runtime vector for structure-keyed caching

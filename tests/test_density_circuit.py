@@ -141,3 +141,66 @@ def test_long_queue_flush_segments_into_chained_programs():
     got = np.asarray(dmops.to_matrix(dc.state))
     want = np.asarray(dmops.to_matrix(rho))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pass_budget_split_shape(monkeypatch):
+    """Pass-aware segmentation (ROADMAP "compile-helper OOM"): at the TPU
+    bench workload shape (n=13 rho), the fused-kernel flush splits into
+    programs whose PLANNED kernel-pass count stays within the budget.
+    Host-side planning only — no execution at 2n=26 on CPU."""
+    monkeypatch.setenv("ROCQ_PALLAS_INTERPRET", "1")
+    import rocquantum_tpu as rocq
+    from rocquantum_tpu.compiler.interpreter import planned_pass_count
+    from rocquantum_tpu.density_circuit import DensityCircuit
+
+    n = 13
+    dc = DensityCircuit(n, rocq.Simulator())
+    for _ in range(2):
+        for q in range(n):
+            dc.ry(0.3 + 0.01 * q, q)
+        for q in range(n):
+            dc.apply_channel("depolarizing", 0.02, [q])
+    queue = list(dc._queue)
+    subs = dc._split_chunk_by_passes(queue)
+    assert len(subs) > 1
+    budget = dc._PASS_BUDGET
+    for sub in subs:
+        ops = []
+        for item in sub:
+            ops.extend(dc._item_ops_2n(item) or [])
+        assert planned_pass_count(ops, 2 * n) <= budget
+    # the split is a partition in order
+    assert [i for s in subs for i in s] == queue
+
+
+def test_pass_budget_split_matches_unsplit(monkeypatch):
+    """A budget of 0 forces a split at every planned kernel pass; the
+    resulting program chain must match the unsplit einsum path."""
+    monkeypatch.setenv("ROCQ_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("ROCQ_DM_PASS_BUDGET", "0")
+    import rocquantum_tpu as rocq
+    from rocquantum_tpu.density_circuit import DensityCircuit, _DM_RUN_CACHE
+
+    n = 8  # 2n = 16-qubit view: above the kernel threshold
+    sim = rocq.Simulator()
+
+    def build():
+        dc = DensityCircuit(n, sim)
+        for q in range(n):
+            dc.ry(0.3 + 0.01 * q, q)
+        for q in range(n):
+            dc.apply_channel("depolarizing", 0.02, [q])
+        return dc
+
+    dc = build()
+    assert len(dc._split_chunk_by_passes(list(dc._queue))) > 1
+    dc.flush()
+    split_rho = dc.get_density_matrix()
+
+    monkeypatch.delenv("ROCQ_DM_PASS_BUDGET")
+    monkeypatch.setenv("ROCQ_DISABLE_PALLAS", "1")
+    _DM_RUN_CACHE.clear()
+    dc2 = build()
+    dc2.flush()
+    np.testing.assert_allclose(split_rho, dc2.get_density_matrix(),
+                               atol=1e-5)
