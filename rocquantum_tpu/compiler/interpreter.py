@@ -347,7 +347,13 @@ def planned_pass_count(ops: Sequence, num_qubits: int) -> int:
     same-spec-count programs with few passes (and many-pass programs with
     few controlled specs) compile fine, so a pure op/spec count cannot
     separate the fatal programs from the fine ones — flushes split at the
-    REAL planned pass count instead (ROADMAP "compile-helper OOM")."""
+    REAL planned pass count instead (ROADMAP "compile-helper OOM").
+
+    This models the default-geometry plan only; execution may re-plan with
+    TALL_GEOMETRY and pick a SHORTER plan, and the planner fuses across
+    dense-fallback drain boundaries — so the count can overshoot and
+    over-split. That direction is safe (extra smaller programs, never a
+    fatal bigger one)."""
     from ..ops.pallas_sv import COL_QUBITS, max_kernel_qubit
     from ..ops.relabel import plan_full_layer
 

@@ -248,6 +248,95 @@ class DensityCircuit(_GateMethods):
         for sub in subs:
             self._flush_items(sub)
 
+    def _flush_subs_fused_pair(self, subs) -> bool:
+        """f32 fused-pair flush of a pass-budget-split sub chain: carry rho
+        as (re, im) float planes ACROSS the sub programs (compile_pair32_ir
+        on the 2n-qubit view) instead of a complex array, eliminating the
+        complex<->pair conversion passes every split program would
+        otherwise pay on entry/exit — and, while rho stays real (|0><0| is,
+        and many channels/gates preserve realness), the kernels run the
+        single-plane REAL-STATE mode at half the HBM traffic. Only eligible
+        when every item has a 2n-view kernel form; returns False (caller
+        uses the per-sub complex path) otherwise or when the split is
+        trivial. ROCQ_DISABLE_PAIR32 disables, like the Circuit analog
+        (api.py flush)."""
+        if (len(subs) <= 1 or self.mesh is not None or self._use_pair()
+                or os.environ.get("ROCQ_DISABLE_PAIR32")):
+            return False
+        from .compiler.interpreter import _pallas_enabled
+        if not _pallas_enabled():
+            return False
+        for sub in subs:
+            for item in sub:
+                if self._item_ops_2n(item) is None:
+                    return False  # dense fallback item: complex path
+        self._run_subs_pair32(subs)
+        return True
+
+    def _run_subs_pair32(self, subs):
+        """Execute the sub chain as 2n-view pair programs. Gate angles are
+        hoisted into ONE runtime param vector via ParamRef slots — the col
+        (conjugate) side's sign flips become extra negated vector entries —
+        so the compiled chain stays structure-keyed (compile_pair32_ir's
+        cache ignores ParamRef values)."""
+        from .compiler.interpreter import compile_pair32_ir
+        from .compiler.ir import CircuitIR, GateOp, ParamRef
+
+        n, n2 = self.num_qubits, 2 * self.num_qubits
+        values: List[float] = []
+
+        def ref(v):
+            values.append(float(v))
+            return ParamRef(len(values) - 1)
+
+        sub_irs = []
+        for sub in subs:
+            ops = []
+            for item in sub:
+                if item[0] == "gate" and item[4] and item[5] is None:
+                    _, name, tgt, ctrl, vals, _, adj = item
+                    key = name.upper()
+                    row_refs = tuple(ref(v) for v in vals)
+                    if key in _CONJ_SELF:
+                        col_params = row_refs
+                    elif key in _CONJ_NEGATE:
+                        col_params = tuple(ref(-v) for v in vals)
+                    elif key == "U3" and len(vals) == 3:
+                        col_params = (row_refs[0], ref(-vals[1]),
+                                      ref(-vals[2]))
+                    else:
+                        # no slot rule for this name: bake concrete params
+                        # (still correct; forfeits cache sharing across
+                        # angle values for this gate only)
+                        del values[len(values) - len(vals):]
+                        ops.extend(_gate_items_2n(n, name, tgt, ctrl, vals,
+                                                  None, adj))
+                        continue
+                    ops.append(GateOp(key, tuple(q + n for q in tgt),
+                                      tuple(q + n for q in ctrl), row_refs,
+                                      None, adj))
+                    ops.append(GateOp(key, tuple(tgt), tuple(ctrl),
+                                      col_params, None, adj))
+                else:
+                    ops.extend(self._item_ops_2n(item))
+            sub_irs.append(CircuitIR(n2, ops))
+        fns = [compile_pair32_ir(ir) for ir in sub_irs]
+        if self._rho is None:
+            # |0><0| is REAL: enter the chain single-plane (im=None)
+            pair = (jax.jit(lambda: jnp.real(dmops.init_density(n)))(), None)
+        else:
+            pair = tuple(jax.jit(
+                lambda r: (jnp.real(r), jnp.imag(r)))(self._rho))
+        params = jnp.asarray(values, dtype=config.real_dtype()) if values \
+            else jnp.zeros((0,), dtype=config.real_dtype())
+        for fn in fns:
+            pair = fn(pair, params)
+        re, im = pair
+        if im is None:
+            self._rho = jax.jit(lambda r: r.astype(config.complex_dtype()))(re)
+        else:
+            self._rho = jax.jit(jax.lax.complex)(re, im)
+
     def _item_ops_2n(self, item):
         """Host-side 2n-view GateOps for one queue item (concrete params),
         or None when the item falls back to the per-gate dense path.
@@ -287,12 +376,20 @@ class DensityCircuit(_GateMethods):
         helper); the sharded scheduler segments its own drains."""
         from .compiler.interpreter import _pallas_enabled, planned_pass_count
         from .ops.pallas_sv import COL_QUBITS
-        if (self.mesh is not None or not _pallas_enabled()
+        if (self.mesh is not None or self._use_pair()
+                or not _pallas_enabled()
                 or 2 * self.num_qubits < COL_QUBITS + 3
                 or len(chunk) <= 1):
+            # fp64 pair flushes apply exact sequential ops (no fused
+            # kernels) — splitting cannot prevent the OOM this targets and
+            # only multiplies remote compiles
             return [chunk]
-        budget = int(os.environ.get("ROCQ_DM_PASS_BUDGET",
-                                    self._PASS_BUDGET))
+        try:
+            budget = int(os.environ.get("ROCQ_DM_PASS_BUDGET",
+                                        self._PASS_BUDGET))
+        except ValueError:
+            budget = self._PASS_BUDGET
+        budget = max(budget, 0)  # 0 = split at every planned pass
         n2 = 2 * self.num_qubits
         out, cur, cur_ops = [], [], []
         for item in chunk:

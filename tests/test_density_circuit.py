@@ -204,3 +204,61 @@ def test_pass_budget_split_matches_unsplit(monkeypatch):
     dc2.flush()
     np.testing.assert_allclose(split_rho, dc2.get_density_matrix(),
                                atol=1e-5)
+
+
+def test_fused_pair_split_chain(monkeypatch):
+    """The pass-budget split rides the f32 (re, im) pair carry ACROSS the
+    sub programs (_flush_subs_fused_pair): verify it engages, that the
+    conjugate-side sign handling (RZ negate, U3 mixed, S->SDG baked) is
+    right, and that entering with an existing complex rho works."""
+    monkeypatch.setenv("ROCQ_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("ROCQ_DM_PASS_BUDGET", "0")
+    import rocquantum_tpu as rocq
+    from rocquantum_tpu import density_circuit as dcm
+
+    n = 8
+    sim = rocq.Simulator()
+
+    def load(dc):
+        for q in range(n):
+            dc.h(q)
+        for q in range(n):
+            dc.rz(0.2 + 0.03 * q, q)
+        dc._enqueue("U3", (1,), (), (0.4, 0.5, 0.6))
+        dc.s(2)
+        for q in range(0, n - 1, 2):
+            dc.cx(q, q + 1)
+        for q in range(n):
+            dc.apply_channel("phase_flip", 0.05, [q])
+
+    engaged = {}
+    orig = dcm.DensityCircuit._run_subs_pair32
+
+    def spy(self, subs):
+        engaged["subs"] = len(subs)
+        return orig(self, subs)
+
+    monkeypatch.setattr(dcm.DensityCircuit, "_run_subs_pair32", spy)
+    dc = dcm.DensityCircuit(n, sim)
+    load(dc)
+    dc.flush()
+    assert engaged.get("subs", 0) > 1  # the fused-pair chain actually ran
+    # second flush enters with an existing complex rho
+    dc.ry(0.7, 0)
+    dc.rz(-0.1, 3)
+    dc.apply_channel("depolarizing", 0.02, [0])
+    rho_fused = dc.get_density_matrix()
+
+    monkeypatch.setenv("ROCQ_DISABLE_PALLAS", "1")
+    monkeypatch.delenv("ROCQ_DM_PASS_BUDGET")
+    dcm._DM_RUN_CACHE.clear()
+    dc2 = dcm.DensityCircuit(n, sim)
+    load(dc2)
+    dc2.flush()
+    dc2.ry(0.7, 0)
+    dc2.rz(-0.1, 3)
+    dc2.apply_channel("depolarizing", 0.02, [0])
+    np.testing.assert_allclose(rho_fused, dc2.get_density_matrix(),
+                               atol=1e-5)
+    tr = np.trace(rho_fused)
+    assert abs(tr - 1.0) < 1e-5
