@@ -48,6 +48,9 @@ def reps_for(n: int) -> int:
 SIZES = (30, 29, 28, 26, 24)
 PER_SIZE_TIMEOUT_S = 480
 QFT_TIMEOUT_S = 480
+# the density pallas chain is several split programs: slow to compile cold
+# (the persistent .jax_cache keeps the driver's run warm)
+DENSITY_TIMEOUT_S = 900
 QFT_N = 20
 QFT_BIG_N = 26  # 4.3x the floor at the n=20 per-amp rate: a real number
 TRANSFER_OVERHEAD_S = 0.035  # measured scalar device->host cost on axon
@@ -195,6 +198,7 @@ def probe_ansatz(n):
               if os.environ.get("ROCQ_ANSATZ_BODY") else ["8", "4", "2"])
     geos = ([os.environ["ROCQ_GEOMETRY"]]
             if os.environ.get("ROCQ_GEOMETRY") else ["mixed", ""])
+    last_err = None
     for body in bodies:
         best = None
         for geo in geos:
@@ -205,14 +209,39 @@ def probe_ansatz(n):
                                     "ansatz_gates_per_sec",
                                     timeout=PER_SIZE_TIMEOUT_S,
                                     env_extra=env)
-            if rec is not None and (best is None
-                                    or rec["ansatz_gates_per_sec"]
-                                    > best["ansatz_gates_per_sec"]):
+            if not _ok(rec):
+                last_err = rec["_error"]
+                continue
+            if (best is None or rec["ansatz_gates_per_sec"]
+                    > best["ansatz_gates_per_sec"]):
                 rec["ansatz_geometry"] = geo or "default"
                 best = rec
         if best is not None:
             return best
-    return None
+    return {"_error": last_err or "no ansatz body completed"}
+
+
+def measure_floor(reps: int = 5) -> float:
+    """The scalar device->host transfer floor, measured IN-PROCESS right
+    before the probe instead of assumed constant: the axon relay's
+    round-trip cost drifts with congestion (r3 recorded a 41.5 ms raw
+    wall-clock on a one-pass QFT whose r2 twin sat at the 35 ms floor —
+    the published number must not swing 15x on relay weather)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x)
+
+    x = jnp.arange(8, dtype=jnp.float32)
+    float(trivial(x))  # compile + warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(trivial(x))
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
 
 def bench_qft(n=QFT_N):
@@ -220,7 +249,8 @@ def bench_qft(n=QFT_N):
     reference's declared benchmark workload (benchmarks/run_benchmark.py:
     36-37, QFT 10-20). n=20 lands AT the measurement floor (the whole
     transform is one fused pass), so a larger-n probe carries the real
-    throughput number."""
+    throughput number. The floor is MEASURED in-process (measure_floor),
+    not assumed."""
     import jax
     _enable_compile_cache()
     import rocquantum_tpu as rocq
@@ -238,26 +268,28 @@ def bench_qft(n=QFT_N):
         return float(c.expval(rocq.PauliOperator({"Z0": 1.0})))
 
     run_once()  # compile + warm
+    floor = measure_floor()
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         run_once()
         times.append(time.perf_counter() - t0)
-    # the D2-fused QFT is one kernel pass: wall-clock lands AT the ~35 ms
-    # transfer floor, so the subtraction can underflow — report both the
-    # clamped value AND whether it hit the floor + the raw wall-clock
+    # the D2-fused QFT is one kernel pass: wall-clock lands AT the transfer
+    # floor, so the subtraction can underflow — report both the clamped
+    # value AND whether it hit the floor + the raw wall-clock + the floor
     raw = min(times)
-    secs = max(raw - TRANSFER_OVERHEAD_S, 1e-5)
-    floored = (raw - TRANSFER_OVERHEAD_S) <= 1e-5
-    return len(ir.ops), secs, floored, raw
+    secs = max(raw - floor, 1e-5)
+    floored = (raw - floor) <= 1e-3
+    return len(ir.ops), secs, floored, raw, floor
 
 
 def run_qft(n=QFT_N):
-    n_ops, secs, floored, raw = bench_qft(n)
+    n_ops, secs, floored, raw, floor = bench_qft(n)
     print(json.dumps({"qft_n": n, "qft_ops": n_ops,
                       "qft_ms": round(secs * 1e3, 2),
                       "qft_floor": floored,
-                      "qft_raw_wallclock_ms": round(raw * 1e3, 2)}))
+                      "qft_raw_wallclock_ms": round(raw * 1e3, 2),
+                      "qft_floor_ms": round(floor * 1e3, 2)}))
     return 0
 
 
@@ -424,7 +456,10 @@ def run_tensornet():
 
 def _probe_subprocess(args, key, timeout=QFT_TIMEOUT_S, env_extra=None):
     """Run this script with ``args`` in a timeout-guarded subprocess and
-    return the first JSON line containing ``key``."""
+    return the first JSON line containing ``key``. On failure returns
+    ``{"_error": reason}`` — NEVER None — so callers record an explicit
+    ``<metric>_error`` field instead of silently omitting the metric
+    (a missing key reads as "not measured" rather than "probe crashed")."""
     script = os.path.abspath(__file__)
     env = dict(os.environ)
     if env_extra:
@@ -434,9 +469,11 @@ def _probe_subprocess(args, key, timeout=QFT_TIMEOUT_S, env_extra=None):
                              capture_output=True, text=True,
                              timeout=timeout, env=env)
     except subprocess.TimeoutExpired:
-        return None
+        return {"_error": f"timeout after {timeout}s"}
     if out.returncode != 0:
-        return None
+        tail = (out.stderr or out.stdout or "").strip().splitlines()
+        detail = tail[-1][-300:] if tail else "no output"
+        return {"_error": f"exit code {out.returncode}: {detail}"}
     for line in out.stdout.splitlines():
         try:
             rec = json.loads(line)
@@ -444,7 +481,11 @@ def _probe_subprocess(args, key, timeout=QFT_TIMEOUT_S, env_extra=None):
             continue
         if key in rec:
             return rec
-    return None
+    return {"_error": "no JSON metric line in probe output"}
+
+
+def _ok(rec) -> bool:
+    return rec is not None and "_error" not in rec
 
 
 def probe_qft(n=QFT_N):
@@ -453,18 +494,21 @@ def probe_qft(n=QFT_N):
 
 def probe_density():
     rec = _probe_subprocess(["--density", str(DENSITY_N)],
-                            "density_ops_per_sec")
-    if rec is None:
-        # the density 2n-view's pallas programs OOM the remote compile
-        # helper under BOTH kernels (see ROADMAP: compile-helper OOM);
-        # the plain einsum engine compiles in seconds and is the mode
-        # the mid-round 58 ops/s measurement used — a real number beats
-        # a missing one
-        rec = _probe_subprocess(["--density", str(DENSITY_N)],
-                                "density_ops_per_sec",
-                                env_extra={"ROCQ_DISABLE_PALLAS": "1"})
-        if rec is not None:
-            rec["density_kernel"] = "einsum"
+                            "density_ops_per_sec",
+                            timeout=DENSITY_TIMEOUT_S)
+    if _ok(rec):
+        rec["density_kernel"] = "pallas"
+        return rec
+    pallas_err = rec["_error"]
+    # fall back to the plain einsum engine (compiles in seconds) so a
+    # compile-helper OOM on the pallas chain still yields a real number —
+    # but carry the pallas failure loudly
+    rec = _probe_subprocess(["--density", str(DENSITY_N)],
+                            "density_ops_per_sec",
+                            env_extra={"ROCQ_DISABLE_PALLAS": "1"})
+    if _ok(rec):
+        rec["density_kernel"] = "einsum"
+        rec["density_pallas_error"] = pallas_err
     return rec
 
 
@@ -476,16 +520,16 @@ def probe():
     for n in SIZES:
         rec = _probe_subprocess(["--size", str(n)], "gates_per_sec",
                                 timeout=PER_SIZE_TIMEOUT_S)
-        if rec is None and not os.environ.get("ROCQ_BENCH_REPS"):
+        if not _ok(rec) and not os.environ.get("ROCQ_BENCH_REPS"):
             # auto-tuned REPS fallback: a cold-cache compile at REPS=32 can
             # blow the per-size budget; shrink the program and retry
             for reps in ("16", "8"):
                 rec = _probe_subprocess(["--size", str(n)], "gates_per_sec",
                                         timeout=PER_SIZE_TIMEOUT_S,
                                         env_extra={"ROCQ_BENCH_REPS": reps})
-                if rec is not None:
+                if _ok(rec):
                     break
-        if rec is not None:
+        if _ok(rec):
             return rec["n"], rec["gates_per_sec"]
     return None, None
 
@@ -556,41 +600,61 @@ def main():
         # means gates are being fused into shared passes)
         "gbps": round(gates_per_sec * 16.0 * (1 << n_used) / 1e9, 1),
     }
-    qft = probe_qft() or probe_qft()  # mixed-gate QFT; one retry (the
-    # compile cache makes the second attempt cheap if the first timed out)
-    if qft is not None:
+    def retry(probe_fn):
+        """One retry on failure: the compile cache makes the second
+        attempt cheap if the first timed out cold."""
+        rec = probe_fn()
+        return rec if _ok(rec) else probe_fn()
+
+    qft = retry(probe_qft)
+    if _ok(qft):
         record["qft_n20_ms"] = qft["qft_ms"]
         record["qft_floor"] = qft.get("qft_floor", False)
         record["qft_raw_wallclock_ms"] = qft.get("qft_raw_wallclock_ms")
+        record["qft_floor_ms"] = qft.get("qft_floor_ms")
+    else:
+        record["qft_n20_error"] = qft["_error"]
     qft_big_n = min(n_used, QFT_BIG_N)
-    qft_big = probe_qft(qft_big_n) or probe_qft(qft_big_n)
-    if qft_big is not None:  # above the floor: the real QFT throughput
+    qft_big = retry(lambda: probe_qft(qft_big_n))
+    if _ok(qft_big):  # above the floor: the real QFT throughput
         record[f"qft_n{qft_big_n}_ms"] = qft_big["qft_ms"]
         record[f"qft_n{qft_big_n}_floor"] = qft_big.get("qft_floor", False)
-    ansatz = probe_ansatz(min(n_used, 29)) or probe_ansatz(min(n_used, 29))
-    if ansatz is not None:
+    else:
+        record[f"qft_n{qft_big_n}_error"] = qft_big["_error"]
+    ansatz = retry(lambda: probe_ansatz(min(n_used, 29)))
+    if _ok(ansatz):
         record["ansatz_gates_per_sec"] = ansatz["ansatz_gates_per_sec"]
         if "ansatz_geometry" in ansatz:
             record["ansatz_geometry"] = ansatz["ansatz_geometry"]
         record["ansatz_gbps"] = round(
             ansatz["ansatz_gates_per_sec"] * 16.0
             * (1 << min(n_used, 29)) / 1e9, 1)
-    density = probe_density() or probe_density()
-    if density is not None:
+    else:
+        record["ansatz_error"] = ansatz["_error"]
+    density = retry(probe_density)
+    if _ok(density):
         record["density_n13_ops_per_sec"] = density["density_ops_per_sec"]
         record["density_gbps"] = density["density_gbps"]
-        if "density_kernel" in density:
-            record["density_kernel"] = density["density_kernel"]
-    tn = probe_tensornet() or probe_tensornet()
-    if tn is not None:
+        record["density_kernel"] = density.get("density_kernel")
+        if "density_pallas_error" in density:
+            record["density_pallas_error"] = density["density_pallas_error"]
+    else:
+        record["density_error"] = density["_error"]
+    tn = retry(probe_tensornet)
+    if _ok(tn):
         record["tn_sliced_gflops"] = tn["tn_gflops"]
         record["tn_slices"] = tn["tn_slices"]
-    fp64 = _probe_subprocess(["--fp64", str(FP64_N)], "fp64_gates_per_sec")
-    if fp64 is not None:
+    else:
+        record["tn_error"] = tn["_error"]
+    fp64 = retry(lambda: _probe_subprocess(["--fp64", str(FP64_N)],
+                                           "fp64_gates_per_sec"))
+    if _ok(fp64):
         record["fp64_n26_gates_per_sec"] = fp64["fp64_gates_per_sec"]
         record["fp64_gbps"] = fp64["fp64_gbps"]
         if "fp64_norm_drift" in fp64:
             record["fp64_norm_drift"] = fp64["fp64_norm_drift"]
+    else:
+        record["fp64_error"] = fp64["_error"]
     print(json.dumps(record))
     return 0
 

@@ -356,3 +356,36 @@ def create_device_matrix_from_numpy(numpy_array: np.ndarray) -> DeviceBuffer:
     if arr.ndim != 2:
         raise RuntimeError("NumPy array must be 2D for matrix.")
     return DeviceBuffer(matrix=arr)
+
+
+# --- pinned host-buffer family (hipStateVec.h:296-325) -------------------
+# On TPU there is no user-managed pinned (page-locked) host memory: the
+# runtime stages host<->device transfers through its own buffers, and this
+# stack additionally forbids complex host transfers entirely (states move
+# as (real, imag) float pairs inside jitted programs). The surface is kept
+# so binding-level callers port unchanged; "pinned" here is a plain numpy
+# scratch buffer owned by the handle. See COMPONENTS.md "Pinned memory".
+
+def rocsv_ensure_pinned_buffer(handle: RocsvHandle,
+                               min_size_bytes: int) -> rocqStatus:
+    """rocsvEnsurePinnedBuffer (hipStateVec.h:307): grow-only scratch
+    allocation on the handle."""
+    if min_size_bytes < 0:
+        return rocqStatus.ERROR_INVALID_VALUE
+    buf = getattr(handle, "_pinned_buffer", None)
+    if buf is None or buf.nbytes < min_size_bytes:
+        handle._pinned_buffer = np.empty(int(min_size_bytes), np.uint8)
+    return rocqStatus.SUCCESS
+
+
+def rocsv_get_pinned_buffer_pointer(handle: RocsvHandle):
+    """rocsvGetPinnedBufferPointer (hipStateVec.h:315): the scratch buffer
+    (numpy array, the Python analog of a raw pointer) or None when not
+    allocated."""
+    return getattr(handle, "_pinned_buffer", None)
+
+
+def rocsv_free_pinned_buffer(handle: RocsvHandle) -> rocqStatus:
+    """rocsvFreePinnedBuffer (hipStateVec.h:324)."""
+    handle._pinned_buffer = None
+    return rocqStatus.SUCCESS

@@ -77,8 +77,12 @@ class Simulator:
         m = np.ascontiguousarray(numpy_matrix)
         re = jnp.asarray(m.real, dtype=config.real_dtype())
         im = jnp.asarray(m.imag, dtype=config.real_dtype())
-        return jax.jit(
-            lambda r, i: config.complex_from_parts(r, i))(re, im)
+        return _complex_from_parts_jit(re, im)
+
+
+_zeros_like_jit = jax.jit(jnp.zeros_like)
+_complex_from_parts_jit = jax.jit(
+    lambda r, i: config.complex_from_parts(r, i))
 
 
 class _GateMethods:
@@ -234,6 +238,14 @@ class _GateMethods:
 
 _INIT_CACHE = BoundedCache()
 
+# flush-plan cache: queue STRUCTURE -> (compiled segment chain, new layout,
+# mode). Re-planning a ~200-op queue (parametrize, swap elision,
+# segmentation, fusion planning) costs ~10 ms host-side per flush even when
+# every compiled program is already cached — at bench scale that host time
+# IS the wall-clock (the r3 QFT-n20 number was ~8 ms of planning on top of
+# the transfer floor). Structure-identical flushes skip planning entirely.
+_FLUSH_PLAN_CACHE = BoundedCache()
+
 # Long circuits compile as chained segments: dispatch between jitted calls
 # is ~30 us while one huge program can OOM-kill the XLA compiler (observed
 # at ~320 ops on the TPU compile service) and defeats executable reuse.
@@ -336,7 +348,7 @@ class Circuit(_GateMethods):
         not downgrade the single-plane carry."""
         re, im = self.state
         if im is None:
-            im = jax.jit(jnp.zeros_like)(re)
+            im = _zeros_like_jit(re)
         return re, im
 
     def _init_fn(self):
@@ -474,10 +486,62 @@ class Circuit(_GateMethods):
                                        is_adjoint))
         self._is_dirty = True
 
+    def _flush_plan_key(self):
+        """(plan_key, values) for the flush-plan fast path, or (None, None)
+        when the queue carries pre-existing ParamRefs (kernel-recorder
+        queues manage their own parameter vector — only fully-concrete
+        queues take the cached plan)."""
+        key_parts, values = [], []
+        for op in self._gate_queue:
+            key_parts.append(op.structural_key())
+            for p in op.params:
+                if isinstance(p, ParamRef):
+                    return None, None
+                values.append(float(p))
+        pair_sig = None
+        if isinstance(self._state, tuple):
+            pair_sig = (str(self._state[0].dtype), self._state[1] is None)
+        # env toggles that select the flush branch / kernel mode must key
+        # the plan (tests flip them between structurally-identical flushes)
+        import os
+        from .compiler.interpreter import _pallas_enabled, _pallas_interpret
+        env_sig = (_pallas_enabled(), _pallas_interpret(),
+                   bool(os.environ.get("ROCQ_DISABLE_PAIR32")))
+        return (tuple(key_parts), tuple(self._layout), self.num_qubits,
+                self.mesh, self.batch_size, config.get_precision(),
+                self._fuse, self._max_fuse, self._state is None,
+                pair_sig, env_sig), values
+
     def flush(self):
         """Compile and execute the queued gates (reference api.py:74-89; the
         fusion the reference stubs out is real here, passes.plan_fusion)."""
         if not self._is_dirty or not self._gate_queue:
+            return
+        plan_key, key_values = self._flush_plan_key()
+        plan = _FLUSH_PLAN_CACHE.get(plan_key) if plan_key else None
+        if plan is not None:
+            fns, new_layout, mode = plan
+            params = (jnp.asarray(key_values, dtype=config.real_dtype())
+                      if key_values
+                      else jnp.zeros((0,), dtype=config.real_dtype()))
+            state = self.state
+            if mode == "pair32":
+                pair = tuple(state)
+                for fn in fns:
+                    pair = fn(pair, params)
+                self._state = tuple(pair)
+            elif mode == "pair64":
+                re, im = state
+                for fn in fns:
+                    re, im = fn(re, im, params)
+                self._state = (re, im)
+            else:
+                for fn in fns:
+                    state = fn(state, params)
+                self._state = state
+            self._layout = list(new_layout)
+            self._gate_queue.clear()
+            self._is_dirty = False
             return
         ops, values = parametrize(self._gate_queue)
         if self.mesh is not None:
@@ -506,6 +570,7 @@ class Circuit(_GateMethods):
                 # kernels at half the HBM traffic
                 from .compiler.interpreter import compile_pair32_ir
                 pair = (re, im)
+                fns = []
                 for segment in segment_ops(ops, self.num_qubits,
                                            max_items=MAX_SEGMENT_OPS,
                                            fuse=self._fuse):
@@ -513,8 +578,12 @@ class Circuit(_GateMethods):
                                                      segment),
                                            fuse=self._fuse,
                                            max_fuse=self._max_fuse)
+                    fns.append(fn)
                     pair = fn(pair, params)
                 self._state = tuple(pair)
+                if plan_key:
+                    _FLUSH_PLAN_CACHE[plan_key] = (fns, tuple(self._layout),
+                                                   "pair32")
                 self._gate_queue.clear()
                 self._is_dirty = False
                 return
@@ -526,14 +595,19 @@ class Circuit(_GateMethods):
             # init_pair_batched), so the same programs run unchanged —
             # gates only touch qubits < n.
             from .ops import pairsim
+            fns = []
             for segment in segment_ops(ops, self.num_qubits,
                                        max_items=MAX_SEGMENT_OPS,
                                        fuse=False):
                 fn = pairsim.compile_pair_ir(
                     CircuitIR(self.num_qubits, segment),
                     sharding=self._sharding())
+                fns.append(fn)
                 re, im = fn(re, im, params)
             self._state = (re, im)
+            if plan_key:
+                _FLUSH_PLAN_CACHE[plan_key] = (fns, tuple(self._layout),
+                                               "pair64")
             self._gate_queue.clear()
             self._is_dirty = False
             return
@@ -541,6 +615,7 @@ class Circuit(_GateMethods):
         if self.mesh is not None:
             from .parallel.sharded import num_global_qubits
             n_global = num_global_qubits(self.mesh)
+        fns = []
         for segment in segment_ops(ops, self.num_qubits,
                                    max_items=MAX_SEGMENT_OPS,
                                    n_global=n_global, fuse=self._fuse):
@@ -549,8 +624,12 @@ class Circuit(_GateMethods):
                             sharding=self._sharding(),
                             batched=self.batch_size > 1,
                             batch_sharding=self._batch_sharding())
+            fns.append(fn)
             state = fn(state, params)
         self._state = state
+        if plan_key:
+            _FLUSH_PLAN_CACHE[plan_key] = (fns, tuple(self._layout),
+                                           "complex")
         self._gate_queue.clear()
         self._is_dirty = False
 

@@ -17,12 +17,67 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from . import config
 from .api import PauliOperator, Simulator, _GateMethods
 from .ops import density as dmops
 from .utils.cache import BoundedCache
 
+
+# Module-level jitted helpers: a fresh ``jax.jit(lambda ...)`` per call is
+# a NEW function identity — every invocation pays a retrace plus a remote
+# compile-cache round trip (~100 ms each on the axon relay; the r4 density
+# flush spent 440 ms/flush on exactly this).
+@functools.partial(jax.jit, static_argnums=0)
+def _init_rho_real(n: int):
+    """REAL plane of |0...0><0...0| (the f32 pair carry's entry state)."""
+    return jnp.real(dmops.init_density(n))
+
+
+@jax.jit
+def _complex_to_pair(r):
+    return jnp.real(r), jnp.imag(r)
+
+
+@jax.jit
+def _pair_to_complex(re, im):
+    return jax.lax.complex(re, im)
+
+
+@jax.jit
+def _real_to_complex64(re):
+    return re.astype(jnp.complex64)
+
+
+_DM_INIT_CACHE = BoundedCache()
+
 _DM_RUN_CACHE = BoundedCache()
+
+# flush-plan cache: queue STRUCTURE -> (sub partition lengths, fused-pair
+# plan). Re-planning the pass-budget split costs ~60 ms host-side per
+# flush at the n=13 bench workload (planned_pass_count re-plans the
+# growing op list per item) and the fused-pair op rebuild another ~30 ms —
+# structure-identical flushes skip both (same move as api.Circuit's
+# _FLUSH_PLAN_CACHE).
+_DM_PLAN_CACHE = BoundedCache()
+
+
+def _slot_rule(name, vals, mat_key):
+    """Which runtime-slot rule a parameterized gate's conjugate side uses
+    (None: params must be baked concrete — matrix gates, names without a
+    sign rule). Shared by the plan key and the plan builder so their
+    value-hoisting enumerations agree."""
+    if not vals or mat_key is not None:
+        return None
+    key = name.upper()
+    if key in _CONJ_SELF:
+        return "self"
+    if key in _CONJ_NEGATE:
+        return "negate"
+    if key == "U3" and len(vals) == 3:
+        return "u3"
+    return None
 
 # conjugation rules for named gates (U rho U†: the COLUMN side applies
 # conj(U); with the op's is_adjoint flag kept, (conj U)† == conj(U†))
@@ -183,20 +238,27 @@ class DensityCircuit(_GateMethods):
     def _init_rho(self):
         n = self.num_qubits
         sh = self._sharding()
-        if self._use_pair():
-            from .ops import pairdm
+        pair = self._use_pair()
+        key = (n, sh, pair, config.get_precision())
+        fn = _DM_INIT_CACHE.get(key)
+        if fn is None:
+            if pair:
+                from .ops import pairdm
 
-            def mk():
-                re, im = pairdm.init_density_pair(n)
-                if sh is not None:
-                    re = jax.lax.with_sharding_constraint(re, sh)
-                    im = jax.lax.with_sharding_constraint(im, sh)
-                return re, im
+                def mk():
+                    re, im = pairdm.init_density_pair(n)
+                    if sh is not None:
+                        re = jax.lax.with_sharding_constraint(re, sh)
+                        im = jax.lax.with_sharding_constraint(im, sh)
+                    return re, im
 
-            return jax.jit(mk)()
-        if sh is None:
-            return jax.jit(lambda: dmops.init_density(n))()
-        return jax.jit(lambda: dmops.init_density(n), out_shardings=sh)()
+                fn = jax.jit(mk)
+            elif sh is None:
+                fn = jax.jit(lambda: dmops.init_density(n))
+            else:
+                fn = jax.jit(lambda: dmops.init_density(n), out_shardings=sh)
+            _DM_INIT_CACHE[key] = fn
+        return fn()
 
     # Per-program op budget: gates expand to 2 ops on the 2n view and a
     # factored channel to ~4, and one >300-op jitted program OOM-kills the
@@ -217,13 +279,55 @@ class DensityCircuit(_GateMethods):
     # programs) SIGKILLs the helper; the split programs compile fine.
     _PASS_BUDGET = 2
 
+    def _plan_key(self, queue):
+        """(plan_key, hoisted queue values) for the flush-plan cache.
+        Slot-rule gate angles hoist out of the key (structure sharing
+        across parameter values); channel probabilities and matrix bytes
+        stay IN the key — they bake into factorized superoperators."""
+        parts, values = [], []
+        for item in queue:
+            if item[0] == "gate" and _slot_rule(item[1], item[4], item[5]):
+                parts.append(item[:4] + (("slots", len(item[4])),)
+                             + item[5:])
+                values.extend(item[4])
+            else:
+                parts.append(item)
+        from .compiler.interpreter import _pallas_enabled, _pallas_interpret
+        env = (_pallas_enabled(), _pallas_interpret(),
+               bool(os.environ.get("ROCQ_DISABLE_PAIR32")),
+               os.environ.get("ROCQ_DM_PASS_BUDGET"))
+        return (tuple(parts), self.num_qubits, self.mesh,
+                tuple(self._layout2n), config.get_precision(),
+                self._use_pair(), self._rho is None, env), values
+
     def flush(self):
         if not self._queue:
             if self._rho is None:
                 self._rho = self._init_rho()
             return
         queue, self._queue = list(self._queue), []
+        plan_key, qvalues = self._plan_key(queue)
+        plan = _DM_PLAN_CACHE.get(plan_key)
+        if plan is None:
+            subs = self._plan_subs(queue)
+            pair_plan = self._build_pair32_plan(subs)
+            _DM_PLAN_CACHE[plan_key] = (tuple(len(s) for s in subs),
+                                        pair_plan)
+        else:
+            lens, pair_plan = plan
+            subs, i = [], 0
+            for length in lens:
+                subs.append(queue[i:i + length])
+                i += length
+        if pair_plan is not None:
+            self._exec_pair32_plan(pair_plan, qvalues)
+            return
+        for sub in subs:
+            self._flush_items(sub)
 
+    def _plan_subs(self, queue):
+        """Chunk the queue by per-program op cost, then split each chunk at
+        the kernel-pass budget."""
         def cost(item):
             k = item[0]
             if k == "gate":
@@ -241,101 +345,97 @@ class DensityCircuit(_GateMethods):
             acc += c
         if cur:
             chunks.append(cur)
-        subs = [sub for chunk in chunks
+        return [sub for chunk in chunks
                 for sub in self._split_chunk_by_passes(chunk)]
-        if self._flush_subs_fused_pair(subs):
-            return
-        for sub in subs:
-            self._flush_items(sub)
 
-    def _flush_subs_fused_pair(self, subs) -> bool:
-        """f32 fused-pair flush of a pass-budget-split sub chain: carry rho
+    def _build_pair32_plan(self, subs):
+        """f32 fused-pair plan for a pass-budget-split sub chain: carry rho
         as (re, im) float planes ACROSS the sub programs (compile_pair32_ir
         on the 2n-qubit view) instead of a complex array, eliminating the
         complex<->pair conversion passes every split program would
         otherwise pay on entry/exit — and, while rho stays real (|0><0| is,
         and many channels/gates preserve realness), the kernels run the
-        single-plane REAL-STATE mode at half the HBM traffic. Only eligible
-        when every item has a 2n-view kernel form; returns False (caller
-        uses the per-sub complex path) otherwise or when the split is
-        trivial. ROCQ_DISABLE_PAIR32 disables, like the Circuit analog
-        (api.py flush)."""
+        single-plane REAL-STATE mode at half the HBM traffic.
+
+        Returns (fns, ref_map) — the compiled chain plus the recipe mapping
+        hoisted queue values to the runtime param vector (the conjugate
+        side's sign flips become extra negated entries) — or None when any
+        item lacks a 2n-view kernel form, the split is trivial, the circuit
+        is sharded/fp64, or ROCQ_DISABLE_PAIR32 is set (the caller then
+        uses the per-sub complex path, like the Circuit analog in
+        api.py flush)."""
         if (len(subs) <= 1 or self.mesh is not None or self._use_pair()
                 or os.environ.get("ROCQ_DISABLE_PAIR32")):
-            return False
-        from .compiler.interpreter import _pallas_enabled
+            return None
+        from .compiler.interpreter import _pallas_enabled, compile_pair32_ir
         if not _pallas_enabled():
-            return False
-        for sub in subs:
-            for item in sub:
-                if self._item_ops_2n(item) is None:
-                    return False  # dense fallback item: complex path
-        self._run_subs_pair32(subs)
-        return True
-
-    def _run_subs_pair32(self, subs):
-        """Execute the sub chain as 2n-view pair programs. Gate angles are
-        hoisted into ONE runtime param vector via ParamRef slots — the col
-        (conjugate) side's sign flips become extra negated vector entries —
-        so the compiled chain stays structure-keyed (compile_pair32_ir's
-        cache ignores ParamRef values)."""
-        from .compiler.interpreter import compile_pair32_ir
+            return None
         from .compiler.ir import CircuitIR, GateOp, ParamRef
 
         n, n2 = self.num_qubits, 2 * self.num_qubits
-        values: List[float] = []
-
-        def ref(v):
-            values.append(float(v))
-            return ParamRef(len(values) - 1)
-
+        ref_map: List[Tuple[int, float]] = []  # param[j] = sign * qvalues[i]
+        base = 0  # position in the hoisted queue-values vector
         sub_irs = []
         for sub in subs:
             ops = []
             for item in sub:
-                if item[0] == "gate" and item[4] and item[5] is None:
-                    _, name, tgt, ctrl, vals, _, adj = item
-                    key = name.upper()
-                    row_refs = tuple(ref(v) for v in vals)
-                    if key in _CONJ_SELF:
-                        col_params = row_refs
-                    elif key in _CONJ_NEGATE:
-                        col_params = tuple(ref(-v) for v in vals)
-                    elif key == "U3" and len(vals) == 3:
-                        col_params = (row_refs[0], ref(-vals[1]),
-                                      ref(-vals[2]))
-                    else:
-                        # no slot rule for this name: bake concrete params
-                        # (still correct; forfeits cache sharing across
-                        # angle values for this gate only)
-                        del values[len(values) - len(vals):]
-                        ops.extend(_gate_items_2n(n, name, tgt, ctrl, vals,
-                                                  None, adj))
-                        continue
-                    ops.append(GateOp(key, tuple(q + n for q in tgt),
-                                      tuple(q + n for q in ctrl), row_refs,
-                                      None, adj))
-                    ops.append(GateOp(key, tuple(tgt), tuple(ctrl),
-                                      col_params, None, adj))
-                else:
-                    ops.extend(self._item_ops_2n(item))
+                rule = _slot_rule(item[1], item[4], item[5]) \
+                    if item[0] == "gate" else None
+                if rule is None:
+                    item_ops = self._item_ops_2n(item)
+                    if item_ops is None:
+                        return None  # dense fallback item: complex path
+                    ops.extend(item_ops)
+                    continue
+                _, name, tgt, ctrl, vals, _, adj = item
+                key = name.upper()
+                row_refs = []
+                for j in range(len(vals)):
+                    ref_map.append((base + j, 1.0))
+                    row_refs.append(ParamRef(len(ref_map) - 1))
+                row_refs = tuple(row_refs)
+                if rule == "self":
+                    col_refs = row_refs
+                elif rule == "negate":
+                    col_refs = []
+                    for j in range(len(vals)):
+                        ref_map.append((base + j, -1.0))
+                        col_refs.append(ParamRef(len(ref_map) - 1))
+                    col_refs = tuple(col_refs)
+                else:  # u3: col = (v0, -v1, -v2)
+                    ref_map.append((base + 1, -1.0))
+                    ref_map.append((base + 2, -1.0))
+                    col_refs = (row_refs[0], ParamRef(len(ref_map) - 2),
+                                ParamRef(len(ref_map) - 1))
+                base += len(vals)
+                ops.append(GateOp(key, tuple(q + n for q in tgt),
+                                  tuple(q + n for q in ctrl), row_refs,
+                                  None, adj))
+                ops.append(GateOp(key, tuple(tgt), tuple(ctrl), col_refs,
+                                  None, adj))
             sub_irs.append(CircuitIR(n2, ops))
         fns = [compile_pair32_ir(ir) for ir in sub_irs]
+        return (fns, tuple(ref_map))
+
+    def _exec_pair32_plan(self, plan, qvalues):
+        """Run a cached fused-pair plan against the hoisted queue values."""
+        fns, ref_map = plan
+        n = self.num_qubits
+        params = (jnp.asarray([s * qvalues[i] for i, s in ref_map],
+                              dtype=config.real_dtype()) if ref_map
+                  else jnp.zeros((0,), dtype=config.real_dtype()))
         if self._rho is None:
             # |0><0| is REAL: enter the chain single-plane (im=None)
-            pair = (jax.jit(lambda: jnp.real(dmops.init_density(n)))(), None)
+            pair = (_init_rho_real(n), None)
         else:
-            pair = tuple(jax.jit(
-                lambda r: (jnp.real(r), jnp.imag(r)))(self._rho))
-        params = jnp.asarray(values, dtype=config.real_dtype()) if values \
-            else jnp.zeros((0,), dtype=config.real_dtype())
+            pair = tuple(_complex_to_pair(self._rho))
         for fn in fns:
             pair = fn(pair, params)
         re, im = pair
         if im is None:
-            self._rho = jax.jit(lambda r: r.astype(config.complex_dtype()))(re)
+            self._rho = _real_to_complex64(re)
         else:
-            self._rho = jax.jit(jax.lax.complex)(re, im)
+            self._rho = _pair_to_complex(re, im)
 
     def _item_ops_2n(self, item):
         """Host-side 2n-view GateOps for one queue item (concrete params),
@@ -799,7 +899,7 @@ class DensityCircuit(_GateMethods):
             return (np.asarray(re).reshape(dim, dim).astype(np.complex128)
                     + 1j * np.asarray(im).reshape(dim, dim))
         mat = dmops.to_matrix(self._rho)
-        re, im = jax.jit(lambda r: (jnp.real(r), jnp.imag(r)))(mat)
+        re, im = _complex_to_pair(mat)
         return np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
 
     def purity(self) -> float:
@@ -808,7 +908,7 @@ class DensityCircuit(_GateMethods):
         if self._use_pair():
             from .ops import pairdm
             return float(pairdm.purity_pair_dm_jit(*self._rho))
-        return float(jax.jit(dmops.purity)(self._rho))
+        return float(dmops.purity_dm_jit(self._rho))
 
     def expval(self, pauli_operator: PauliOperator) -> float:
         if not isinstance(pauli_operator, PauliOperator):

@@ -396,6 +396,7 @@ prob_one_dm_jit = jax.jit(prob_one_dm, static_argnums=(1,))
 collapse_dm_jit = jax.jit(collapse_dm, static_argnums=(1, 2))
 expval_z_dm_jit = jax.jit(expval_z_dm, static_argnums=(1,))
 sample_dm_jit = jax.jit(sample_dm, static_argnames=("qubits", "shots"))
+purity_dm_jit = jax.jit(purity)
 expval_pauli_product_z_dm_jit = jax.jit(expval_pauli_product_z_dm,
                                         static_argnames=("qubits",))
 expval_pauli_string_dm_jit = jax.jit(expval_pauli_string_dm,

@@ -1,15 +1,17 @@
 """Quantum error correction framework.
 
-API-parity rebuild of reference rocquantum/qec/framework.py: the
-QuantumErrorCode / Decoder ABCs and the QEC_Experiment orchestrator using
-the "circuit fragmentation" strategy — one circuit per stabilizer, measure
-the ancilla, decode the syndrome (:49-89).
+Same public surface as reference rocquantum/qec/framework.py (the
+QuantumErrorCode / Decoder ABCs and a QEC_Experiment running the
+"circuit fragmentation" strategy, :49-89) with a reworked orchestrator:
+syndrome extraction is its own reusable step, fragment/ancilla counts are
+validated up front (the reference would IndexError on a mismatch), and the
+measured probabilities are kept alongside the outcomes.
 """
 
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from typing import Any, Callable, Dict, List
+from typing import Any, Callable, Dict, List, Tuple
 
 from .. import api as roc_q
 from ..api import PauliOperator, QuantumProgram
@@ -40,29 +42,52 @@ class Decoder(ABC):
 
 
 class QEC_Experiment:
-    """Single-round QEC orchestrator (circuit fragmentation)."""
+    """Single-round QEC orchestrator (circuit fragmentation): each
+    stabilizer is measured on its own circuit fragment — embarrassingly
+    parallel programs sharing one structure-keyed compile cache."""
 
     def __init__(self, simulator: roc_q.Simulator):
         if not isinstance(simulator, roc_q.Simulator):
-            raise TypeError("A valid roc_q.Simulator instance is required.")
+            raise TypeError(
+                f"QEC_Experiment needs a rocquantum Simulator, got "
+                f"{type(simulator).__name__}")
         self.simulator = simulator
+
+    def extract_syndrome(self, code: QuantumErrorCode,
+                         initial_state_kernel: AnsatzKernel,
+                         num_qubits: int,
+                         ancilla_qubit_indices: List[int],
+                         ) -> Tuple[List[int], List[float]]:
+        """Measure every stabilizer's ancilla; returns (outcomes, probs).
+
+        Each fragment prepares the (possibly corrupted) encoded state,
+        entangles one stabilizer's parity onto its ancilla, and collapses
+        that ancilla — a mid-circuit measurement on the statevector
+        engine, not a full-state readback."""
+        fragments = code.generate_stabilizer_circuits(
+            initial_state_kernel, num_qubits, self.simulator)
+        if len(fragments) != len(ancilla_qubit_indices):
+            raise ValueError(
+                f"{type(code).__name__} produced {len(fragments)} "
+                f"stabilizer fragments but {len(ancilla_qubit_indices)} "
+                "ancilla indices were given")
+        outcomes, probs = [], []
+        for program, ancilla in zip(fragments, ancilla_qubit_indices):
+            bit, p = program.circuit_ref.measure(ancilla)
+            outcomes.append(bit)
+            probs.append(p)
+        return outcomes, probs
 
     def run_single_round(self, code: QuantumErrorCode, decoder: Decoder,
                          initial_state_kernel: AnsatzKernel, num_qubits: int,
                          ancilla_qubit_indices: List[int]) -> Dict[str, Any]:
-        stabilizer_circuits = code.generate_stabilizer_circuits(
-            initial_state_kernel, num_qubits, self.simulator)
-
-        syndrome = []
-        for i, stab_program in enumerate(stabilizer_circuits):
-            ancilla_idx = ancilla_qubit_indices[i]
-            outcome, _ = stab_program.circuit_ref.measure(ancilla_idx)
-            syndrome.append(outcome)
-
-        correction_operator = decoder.decode(syndrome)
-
+        """Extract the syndrome, decode it, report the correction."""
+        syndrome, probs = self.extract_syndrome(
+            code, initial_state_kernel, num_qubits, ancilla_qubit_indices)
+        correction = decoder.decode(syndrome)
         return {
             "syndrome": syndrome,
-            "correction_applied": str(correction_operator),
+            "syndrome_probs": probs,
+            "correction_applied": str(correction),
             "logical_operators": code.define_logical_operators(),
         }

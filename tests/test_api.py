@@ -341,3 +341,46 @@ class TestBatch:
         counts = c.sample_counts([0, 1], 300)
         assert set(counts) <= {"00", "11"}
         assert sum(counts.values()) == 300
+
+
+def test_flush_plan_cache_structure_reuse(monkeypatch):
+    """Structure-identical flushes skip re-planning (the r3 QFT bench paid
+    ~10 ms host planning per flush): same plan object is reused across
+    angle values, results stay correct, and pre-existing ParamRefs bypass
+    the cache."""
+    import numpy as np
+    import rocquantum_tpu as rocq
+    from rocquantum_tpu import api as api_mod
+
+    sim = rocq.Simulator()
+
+    def build(theta):
+        c = rocq.Circuit(3, sim)
+        c.h(0)
+        c.ry(theta, 1)
+        c.cx(0, 2)
+        c.flush()
+        return c
+
+    api_mod._FLUSH_PLAN_CACHE.clear()
+    c1 = build(0.3)
+    key1, vals1 = None, None
+    c2 = rocq.Circuit(3, sim)
+    c2.h(0)
+    c2.ry(0.9, 1)
+    c2.cx(0, 2)
+    key2, vals2 = c2._flush_plan_key()
+    assert key2 is not None and vals2 == [0.9]
+    assert api_mod._FLUSH_PLAN_CACHE.get(key2) is not None  # hit from c1
+    c2.flush()
+    # correctness across the cached plan: <Z1> = cos(theta)
+    z1_a = c1.expval(rocq.PauliOperator("Z1"))
+    z1_b = c2.expval(rocq.PauliOperator("Z1"))
+    assert abs(z1_a - np.cos(0.3)) < 1e-5
+    assert abs(z1_b - np.cos(0.9)) < 1e-5
+    # a queue holding a ParamRef must bypass the plan cache
+    from rocquantum_tpu.compiler.ir import ParamRef
+    c3 = rocq.Circuit(3, sim)
+    c3._enqueue("RY", (1,), (), (ParamRef(0),))
+    key3, vals3 = c3._flush_plan_key()
+    assert key3 is None and vals3 is None

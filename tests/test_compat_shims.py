@@ -249,3 +249,25 @@ class TestB1PerGateSurface:
         full = be.get_state_vector_full(h, d, 2)
         sl = be.get_state_vector_slice(h, d, 2, 1, 0)
         assert np.allclose(full, sl)
+
+
+def test_pinned_buffer_family():
+    """hipStateVec.h:296-325 pinned-memory surface: grow-only ensure,
+    pointer readback, free. On TPU this is a documented numpy-scratch
+    shim (no user-managed pinned host memory exists)."""
+    from rocq import _rocq_hip_backend as b
+
+    h = b.RocsvHandle()
+    assert b.rocsv_get_pinned_buffer_pointer(h) is None
+    assert b.rocsv_ensure_pinned_buffer(h, 1024) is b.rocqStatus.SUCCESS
+    buf = b.rocsv_get_pinned_buffer_pointer(h)
+    assert buf.nbytes == 1024
+    # large enough -> reused, not reallocated or shrunk
+    assert b.rocsv_ensure_pinned_buffer(h, 512) is b.rocqStatus.SUCCESS
+    assert b.rocsv_get_pinned_buffer_pointer(h) is buf
+    assert b.rocsv_ensure_pinned_buffer(h, 2048) is b.rocqStatus.SUCCESS
+    assert b.rocsv_get_pinned_buffer_pointer(h).nbytes == 2048
+    assert b.rocsv_free_pinned_buffer(h) is b.rocqStatus.SUCCESS
+    assert b.rocsv_get_pinned_buffer_pointer(h) is None
+    assert (b.rocsv_ensure_pinned_buffer(h, -1)
+            is b.rocqStatus.ERROR_INVALID_VALUE)

@@ -232,13 +232,13 @@ def test_fused_pair_split_chain(monkeypatch):
             dc.apply_channel("phase_flip", 0.05, [q])
 
     engaged = {}
-    orig = dcm.DensityCircuit._run_subs_pair32
+    orig = dcm.DensityCircuit._exec_pair32_plan
 
-    def spy(self, subs):
-        engaged["subs"] = len(subs)
-        return orig(self, subs)
+    def spy(self, plan, qvalues):
+        engaged["subs"] = len(plan[0])
+        return orig(self, plan, qvalues)
 
-    monkeypatch.setattr(dcm.DensityCircuit, "_run_subs_pair32", spy)
+    monkeypatch.setattr(dcm.DensityCircuit, "_exec_pair32_plan", spy)
     dc = dcm.DensityCircuit(n, sim)
     load(dc)
     dc.flush()
