@@ -188,16 +188,17 @@ def run_ansatz(n):
 
 
 def probe_ansatz(n):
-    """Deepest pass-sharing body that fits the compile budget wins: body=8
-    reaches the 2-passes/layer steady state under the MIXED geometry
-    planner (default-window lead pass + one lean thin chain pass per
-    layer), 3/layer under the single-geometry tall plan. Both geometries
-    are measured and the faster wins; shallower bodies are the compile-
-    budget fallback (warm .jax_cache makes 8 cheap)."""
+    """Deepest pass-sharing body that fits the compile budget wins
+    (shallower bodies are the compile-budget fallback; the warm
+    .jax_cache makes 8 cheap). Geometry: DEFAULT only — the mixed
+    2-passes/layer planner lost its bake-off decisively on chip
+    (r4 measured: default 1443.8 vs mixed 838.4 g/s at n=29/body=8;
+    fewer planned passes, slower passes — see ROADMAP). Set
+    ROCQ_GEOMETRY to re-measure an alternative."""
     bodies = ([os.environ["ROCQ_ANSATZ_BODY"]]
               if os.environ.get("ROCQ_ANSATZ_BODY") else ["8", "4", "2"])
     geos = ([os.environ["ROCQ_GEOMETRY"]]
-            if os.environ.get("ROCQ_GEOMETRY") else ["mixed", ""])
+            if os.environ.get("ROCQ_GEOMETRY") else [""])
     last_err = None
     for body in bodies:
         best = None
