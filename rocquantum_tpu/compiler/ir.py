@@ -52,15 +52,23 @@ class GateOp:
 
     def structural_key(self):
         """Hashable key ignoring concrete parameter values (so programs that
-        differ only in parameters share one compiled executable)."""
+        differ only in parameters share one compiled executable). Memoized
+        per instance — flows that reuse op objects (IR replays, flush-plan
+        keys, update_params loops) hash once; ``dataclasses.replace``
+        creates fresh instances, so the cache cannot go stale."""
+        cached = getattr(self, "_skey", None)
+        if cached is not None:
+            return cached
         mat_key = None
         if self.matrix is not None:
             mat_key = (self.matrix.shape, self.matrix.tobytes())
         param_key = tuple(
             p if isinstance(p, ParamRef) else ("dyn",) for p in self.params
         )
-        return (self.name, self.targets, self.controls, param_key, mat_key,
-                self.is_adjoint)
+        key = (self.name, self.targets, self.controls, param_key, mat_key,
+               self.is_adjoint)
+        object.__setattr__(self, "_skey", key)
+        return key
 
     def __repr__(self):
         parts = [f'gate_name = "{self.name}"']

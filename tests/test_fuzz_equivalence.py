@@ -204,3 +204,94 @@ def test_pallas_paths_match_plain_engine_fuzz(seed, monkeypatch):
     np.testing.assert_allclose(np.asarray(with_pallas), np.asarray(plain),
                                atol=3e-5, err_msg=f"seed={seed} n={n}")
     clear_cache()
+
+
+def test_fuzz_flush_plan_cache_hits(monkeypatch):
+    """Plan-cache correctness insurance: structurally-identical circuits
+    with DIFFERENT angles must produce correct states when the second one
+    rides the cached plan — across complex/pair32 carries, swap-elision
+    layout changes, multi-flush (measure boundaries skipped: collapse is
+    stochastic), and both density conjugation sides (RZ/U3)."""
+    import rocquantum_tpu as rocq
+    from rocquantum_tpu import api as api_mod
+    from rocquantum_tpu import density_circuit as dcm
+
+    monkeypatch.setenv("ROCQ_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(42)
+    names1q = ["H", "X", "RY", "RZ", "RX", "S", "T"]
+    n = 6
+
+    def random_structure(n_ops):
+        ops = []
+        for _ in range(n_ops):
+            kind = rng.integers(0, 4)
+            if kind == 0:
+                q = int(rng.integers(0, n))
+                ops.append((str(rng.choice(names1q)), (q,), ()))
+            elif kind == 1:
+                a, b = rng.choice(n, size=2, replace=False)
+                ops.append(("CNOT", (int(a),), (int(b),)))
+            elif kind == 2:
+                a, b = rng.choice(n, size=2, replace=False)
+                ops.append(("SWAP", (int(a), int(b)), ()))
+            else:
+                q = int(rng.integers(0, n))
+                ops.append(("U3", (q,), ()))
+        return ops
+
+    def run_sv(structure, angles):
+        c = rocq.Circuit(n, rocq.Simulator(seed=1))
+        it = iter(angles)
+        for name, tgt, ctrl in structure:
+            if name in ("RX", "RY", "RZ"):
+                c._enqueue(name, tgt, ctrl, (next(it),))
+            elif name == "U3":
+                c._enqueue(name, tgt, ctrl,
+                           (next(it), next(it), next(it)))
+            else:
+                c._enqueue(name, tgt, ctrl)
+            # interleaved flushes exercise multi-flush plan reuse
+        c.flush()
+        return c.get_statevector()
+
+    def run_dm(structure, angles):
+        dc = dcm.DensityCircuit(n, rocq.Simulator(seed=1))
+        it = iter(angles)
+        for name, tgt, ctrl in structure:
+            if name in ("RX", "RY", "RZ"):
+                dc._enqueue(name, tgt, ctrl, (next(it),))
+            elif name == "U3":
+                dc._enqueue(name, tgt, ctrl,
+                            (next(it), next(it), next(it)))
+            else:
+                dc._enqueue(name, tgt, ctrl)
+        dc.apply_channel("depolarizing", 0.03, [0])
+        return dc.get_density_matrix()
+
+    for trial in range(4):
+        structure = random_structure(12)
+        n_angles = sum(3 if s[0] == "U3" else 1
+                       for s in structure if s[0] in ("RX", "RY", "RZ",
+                                                      "U3"))
+        a1 = rng.uniform(-np.pi, np.pi, size=n_angles)
+        a2 = rng.uniform(-np.pi, np.pi, size=n_angles)
+        # first run populates the plan caches; second takes the hit path
+        api_mod._FLUSH_PLAN_CACHE.clear()
+        dcm._DM_PLAN_CACHE.clear()
+        sv1 = run_sv(structure, a1)
+        sv2_cached = run_sv(structure, a2)
+        # fresh-cache reference for the second angle set
+        api_mod._FLUSH_PLAN_CACHE.clear()
+        sv2_fresh = run_sv(structure, a2)
+        np.testing.assert_allclose(sv2_cached, sv2_fresh, atol=1e-5,
+                                   err_msg=f"sv plan-cache trial {trial}")
+        assert not np.allclose(sv1, sv2_cached)  # angles actually differ
+
+        rho1 = run_dm(structure, a1)
+        rho2_cached = run_dm(structure, a2)
+        dcm._DM_PLAN_CACHE.clear()
+        rho2_fresh = run_dm(structure, a2)
+        np.testing.assert_allclose(rho2_cached, rho2_fresh, atol=1e-5,
+                                   err_msg=f"dm plan-cache trial {trial}")
+        # sanity: density state is physical
+        assert abs(np.trace(rho2_cached) - 1) < 1e-5
