@@ -513,3 +513,37 @@ class TestShardedCircuitFuzz:
                                        err_msg=f"seed={seed}")
         finally:
             config.set_precision(old)
+
+
+def test_north_star_n32_sharded_compiles():
+    """BASELINE.json north star: the 32-qubit statevector sharded over an
+    8-device mesh. Execution needs v5e-8 hardware; what IS checkable here
+    is the full contract: the scheduled flush program at n=32 compiles
+    over the mesh with per-shard 2^29 buffers, relabels lowered to
+    all-to-all and ZERO all-gathers."""
+    import re
+    import jax
+    import jax.numpy as jnp
+    from rocquantum_tpu.compiler.ir import CircuitIR
+    from rocquantum_tpu.compiler.interpreter import compile_ir
+    from rocquantum_tpu.compiler.sharded_schedule import schedule_for_sharding
+    from rocquantum_tpu.parallel import (make_mesh, num_global_qubits,
+                                         state_sharding)
+
+    n = 32
+    mesh = make_mesh(8)
+    ir = CircuitIR(n)
+    ir.add("H", [n - 1])                  # global qubit -> relabel
+    ir.add("CNOT", [0], controls=[n - 1])
+    ir.add("RZ", [n - 1], params=[0.4])   # global diagonal: comm-free
+    ir.add("RY", [5], params=[0.3])
+    ops, _ = schedule_for_sharding(ir.ops, n, num_global_qubits(mesh))
+    fn = compile_ir(CircuitIR(n, ops), sharding=state_sharding(mesh),
+                    donate=False)
+    txt = jax.jit(lambda s, p: fn(s, p)).lower(
+        jax.ShapeDtypeStruct((1 << n,), jnp.complex64,
+                             sharding=state_sharding(mesh)),
+        jax.ShapeDtypeStruct((1,), jnp.float32)).compile().as_text()
+    assert re.findall("all-to-all", txt)
+    assert not re.findall("all-gather", txt)
+    assert "536870912" in txt  # 2^29 per-shard amplitudes
