@@ -38,13 +38,15 @@ def reps_for(n: int) -> int:
     """Layers per unrolled body: the multi-pair planner packs all REPS
     layers' gates into shared kernel passes (the window pass carries every
     layer's in-window gates), so HBM passes per layer shrink as REPS grows.
-    Measured (unrolled bodies): n=30 REPS 16 -> 2577, 32 -> 3486 gates/s;
-    n=29 REPS 32 -> 6662. Default 32 (= the whole measurement as ONE
-    body); the probe falls back 16 -> 8 on cold-compile timeouts."""
+    Measured (unrolled bodies, n=30): REPS 32 -> 5860, 64 -> 6692,
+    128 -> 8025 gates/s (r4 chip runs; r3 code measured 16 -> 2577,
+    32 -> 3486). Default 128 (= the whole measurement as ONE body; cold
+    compile ~34 min, warm .jax_cache seconds); the probe falls back
+    64 -> 32 -> 16 on cold-compile timeouts."""
     env = os.environ.get("ROCQ_BENCH_REPS")
     if env:
         return int(env)
-    return 32
+    return 128
 SIZES = (30, 29, 28, 26, 24)
 PER_SIZE_TIMEOUT_S = 480
 QFT_TIMEOUT_S = 480
@@ -74,6 +76,7 @@ def bench_at(n):
                                                      execute_pair, init_pair)
 
     reps = reps_for(n)
+    layers = max(LAYERS, reps)
     ir = CircuitIR(n, name="bench_layer")
     for _ in range(reps):
         for q in range(n):
@@ -101,7 +104,7 @@ def bench_at(n):
             re, im = init_real(n), None
         else:
             re, im = init_pair(n)
-        for _ in range(LAYERS // reps):
+        for _ in range(layers // reps):
             re, im = execute_pair(re, im, ops, params, low_width=low_w,
                                   high_width=high_w)
         # scalar output forces real synchronization on transfer
@@ -118,7 +121,7 @@ def bench_at(n):
         float(program(params))
         times.append(time.perf_counter() - t0)
     dt = max(min(times) - TRANSFER_OVERHEAD_S, 1e-9)
-    return (LAYERS * n) / dt
+    return (layers * n) / dt
 
 
 def run_single(n):
@@ -139,8 +142,8 @@ def bench_ansatz(n):
     from rocquantum_tpu.compiler.interpreter import (default_widths,
                                                      execute_pair, init_pair)
 
-    layers = 8
     body_layers = int(os.environ.get("ROCQ_ANSATZ_BODY", "2"))
+    layers = max(8, body_layers)  # deeper bodies = deeper pass sharing
     ir = CircuitIR(n, name="bench_ansatz")
     for _ in range(body_layers):
         for q in range(n):
@@ -189,14 +192,15 @@ def run_ansatz(n):
 
 def probe_ansatz(n):
     """Deepest pass-sharing body that fits the compile budget wins
-    (shallower bodies are the compile-budget fallback; the warm
-    .jax_cache makes 8 cheap). Geometry: DEFAULT only — the mixed
+    (r4 chip-measured at n=29: body 8 -> 1462, 16 -> 1563, 32 -> 1606
+    g/s; shallower bodies are the compile-budget fallback and the warm
+    .jax_cache makes 32 cheap). Geometry: DEFAULT only — the mixed
     2-passes/layer planner lost its bake-off decisively on chip
     (r4 measured: default 1443.8 vs mixed 838.4 g/s at n=29/body=8;
     fewer planned passes, slower passes — see ROADMAP). Set
     ROCQ_GEOMETRY to re-measure an alternative."""
     bodies = ([os.environ["ROCQ_ANSATZ_BODY"]]
-              if os.environ.get("ROCQ_ANSATZ_BODY") else ["8", "4", "2"])
+              if os.environ.get("ROCQ_ANSATZ_BODY") else ["32", "16", "8"])
     geos = ([os.environ["ROCQ_GEOMETRY"]]
             if os.environ.get("ROCQ_GEOMETRY") else [""])
     last_err = None
@@ -524,7 +528,7 @@ def probe():
         if not _ok(rec) and not os.environ.get("ROCQ_BENCH_REPS"):
             # auto-tuned REPS fallback: a cold-cache compile at REPS=32 can
             # blow the per-size budget; shrink the program and retry
-            for reps in ("16", "8"):
+            for reps in ("64", "32", "16"):
                 rec = _probe_subprocess(["--size", str(n)], "gates_per_sec",
                                         timeout=PER_SIZE_TIMEOUT_S,
                                         env_extra={"ROCQ_BENCH_REPS": reps})
