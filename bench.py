@@ -45,7 +45,7 @@ def reps_for(n: int) -> int:
     64 -> 32 -> 16 on cold-compile timeouts."""
     env = os.environ.get("ROCQ_BENCH_REPS")
     if env:
-        return int(env)
+        return max(1, int(env))  # 0 would divide-by-zero the unroll
     return 128
 SIZES = (30, 29, 28, 26, 24)
 PER_SIZE_TIMEOUT_S = 480
@@ -121,7 +121,7 @@ def bench_at(n):
         float(program(params))
         times.append(time.perf_counter() - t0)
     dt = max(min(times) - TRANSFER_OVERHEAD_S, 1e-9)
-    return (layers * n) / dt
+    return ((layers // reps) * reps * n) / dt  # count EXECUTED layers
 
 
 def run_single(n):
@@ -142,7 +142,7 @@ def bench_ansatz(n):
     from rocquantum_tpu.compiler.interpreter import (default_widths,
                                                      execute_pair, init_pair)
 
-    body_layers = int(os.environ.get("ROCQ_ANSATZ_BODY", "2"))
+    body_layers = max(1, int(os.environ.get("ROCQ_ANSATZ_BODY", "2")))
     layers = max(8, body_layers)  # deeper bodies = deeper pass sharing
     ir = CircuitIR(n, name="bench_ansatz")
     for _ in range(body_layers):
@@ -181,7 +181,7 @@ def bench_ansatz(n):
         float(program(params))
         times.append(time.perf_counter() - t0)
     dt = max(min(times) - TRANSFER_OVERHEAD_S, 1e-9)
-    return (layers * 2 * n) / dt
+    return ((layers // body_layers) * body_layers * 2 * n) / dt
 
 
 def run_ansatz(n):
@@ -502,7 +502,10 @@ def probe_density():
                             "density_ops_per_sec",
                             timeout=DENSITY_TIMEOUT_S)
     if _ok(rec):
-        rec["density_kernel"] = "pallas"
+        # honor a caller-exported kill switch: the first attempt inherits
+        # the env, so its success is NOT a pallas measurement then
+        rec["density_kernel"] = ("einsum" if os.environ.get(
+            "ROCQ_DISABLE_PALLAS") else "pallas")
         return rec
     pallas_err = rec["_error"]
     # fall back to the plain einsum engine (compiles in seconds) so a
@@ -513,7 +516,8 @@ def probe_density():
                             env_extra={"ROCQ_DISABLE_PALLAS": "1"})
     if _ok(rec):
         rec["density_kernel"] = "einsum"
-        rec["density_pallas_error"] = pallas_err
+    # carry the pallas diagnostic even when the fallback ALSO failed
+    rec["density_pallas_error"] = pallas_err
     return rec
 
 
