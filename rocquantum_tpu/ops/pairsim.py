@@ -146,32 +146,32 @@ def _rows_from_numpy(mh):
     return re_rows, im_rows
 
 
-def _ry_rows(theta):
-    theta = jnp.asarray(theta, config.real_dtype())
+def _ry_rows(theta, dtype=None):
+    theta = jnp.asarray(theta, dtype or config.real_dtype())
     c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
     return [[c, -s], [s, c]], None
 
 
-def _rx_rows(theta):
-    theta = jnp.asarray(theta, config.real_dtype())
+def _rx_rows(theta, dtype=None):
+    theta = jnp.asarray(theta, dtype or config.real_dtype())
     c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
     return [[c, 0.0], [0.0, c]], [[0.0, -s], [-s, 0.0]]
 
 
-def _rz_rows(theta):
-    theta = jnp.asarray(theta, config.real_dtype())
+def _rz_rows(theta, dtype=None):
+    theta = jnp.asarray(theta, dtype or config.real_dtype())
     c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
     return [[c, 0.0], [0.0, c]], [[-s, 0.0], [0.0, s]]
 
 
-def _p_rows(lam):
-    lam = jnp.asarray(lam, config.real_dtype())
+def _p_rows(lam, dtype=None):
+    lam = jnp.asarray(lam, dtype or config.real_dtype())
     return ([[1.0, 0.0], [0.0, jnp.cos(lam)]],
             [[0.0, 0.0], [0.0, jnp.sin(lam)]])
 
 
-def _rzz_rows(theta):
-    theta = jnp.asarray(theta, config.real_dtype())
+def _rzz_rows(theta, dtype=None):
+    theta = jnp.asarray(theta, dtype or config.real_dtype())
     c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
     re = [[0.0] * 4 for _ in range(4)]
     im = [[0.0] * 4 for _ in range(4)]
@@ -181,10 +181,11 @@ def _rzz_rows(theta):
     return re, im
 
 
-def _u3_rows(theta, phi, lam):
-    theta = jnp.asarray(theta, config.real_dtype())
-    phi = jnp.asarray(phi, config.real_dtype())
-    lam = jnp.asarray(lam, config.real_dtype())
+def _u3_rows(theta, phi, lam, dtype=None):
+    dt = dtype or config.real_dtype()
+    theta = jnp.asarray(theta, dt)
+    phi = jnp.asarray(phi, dt)
+    lam = jnp.asarray(lam, dt)
     c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
     re = [[c, -jnp.cos(lam) * s],
           [jnp.cos(phi) * s, jnp.cos(phi + lam) * c]]
@@ -198,14 +199,16 @@ _ROWS_BUILDERS = {"RX": _rx_rows, "RY": _ry_rows, "RZ": _rz_rows,
                   "RZZ": _rzz_rows}
 
 
-def gate_rows(name: str, params=()):
+def gate_rows(name: str, params=(), dtype=None):
     """(re, im) SCALAR ROWS of a named gate's matrix; ``im`` is None for
-    real matrices. Traced params supported (the energy-fn path)."""
+    real matrices. Traced params supported (the energy-fn path).
+    ``dtype`` overrides the row dtype for parameterized gates (the df64
+    engine requests f64 rows regardless of the global precision)."""
     key = name.upper()
     if key in ("CNOT", "CX"):
         key = "X"
     if key in _ROWS_BUILDERS:
-        return _ROWS_BUILDERS[key](*params)
+        return _ROWS_BUILDERS[key](*params, dtype=dtype)
     if key in G.FIXED:
         return _rows_from_numpy(np.asarray(G.FIXED[key]))
     raise ValueError(f"Unknown gate name: {name}")
@@ -251,7 +254,7 @@ def op_rows_targets(op, params_resolved: Sequence = None, dtype=None):
             m_im = [[jnp.imag(m[i, j]).astype(rdt)
                      for j in range(dim)] for i in range(dim)]
     else:
-        m_re, m_im = gate_rows(op.name, pvals)
+        m_re, m_im = gate_rows(op.name, pvals, dtype=dtype)
     if op.is_adjoint:
         m_re, m_im = _rows_adjoint(m_re, m_im)
     tgts = list(op.targets)
