@@ -59,17 +59,45 @@ def _require_x64():
 # ---------------------------------------------------------------------------
 # Error-free transformations (f32)
 # ---------------------------------------------------------------------------
-# All four rely only on IEEE round-to-nearest f32 add/mul — chip-validated
-# (experiments/df64_tpu.py): XLA does not reassociate float ops, and a
-# contraction of ``a*b - p`` into fma(a, b, -p) only ever makes the error
-# term MORE exact, never less.
+# The pure-f32 formulations (Knuth two-sum, Dekker two-prod via Veltkamp
+# split) rely on IEEE round-to-nearest f32 add/mul with NO cross-statement
+# rewriting. On TPU that holds — chip-validated: experiments/df64_tpu.py
+# measures the EFT residuals bit-exact on the v5e VPU. On the CPU backend
+# it does NOT: XLA:CPU's LLVM codegen CONTRACTS ``s - a*b`` into an fma
+# using the UNROUNDED product (verified: eager 0.0 vs jit -2^-24 on a
+# discriminating input), which silently destroys the compensation when XLA
+# duplicates the product into a consumer fusion (jitted df_mul error jumps
+# 8e-15 -> 1.2e-7; optimization_barrier does not survive to fusion time).
+# So on CPU the error terms are computed through native f64 instead —
+# exact by construction (24-bit operands), immune to contraction (an f64
+# fma of exact-in-f64 products is the same value), and cheaper than
+# Dekker. The TPU path never executes f64.
 
 _SPLIT32 = 4097.0  # 2^12 + 1: Veltkamp split constant for the 24-bit mantissa
+
+
+def _f64_eft():
+    """True on backends whose compiler contracts f32 mul-adds (CPU)."""
+    if jax.default_backend() != "cpu":
+        return False
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "df64 arithmetic on the CPU backend needs jax_enable_x64: "
+            "XLA:CPU contracts f32 mul-adds into fma (breaking the "
+            "f32-only error-free transformations), so the error terms "
+            "route through real f64 there")
+    return True
+
+
+def _f64(x):
+    return jnp.asarray(x, jnp.float64)
 
 
 def two_sum(a, b):
     """s + e == a + b exactly, s = fl(a + b). 6 flops (Knuth)."""
     s = a + b
+    if _f64_eft():
+        return s, ((_f64(a) + _f64(b)) - _f64(s)).astype(jnp.float32)
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
     return s, e
@@ -78,6 +106,8 @@ def two_sum(a, b):
 def quick_two_sum(a, b):
     """two_sum under the precondition |a| >= |b| (or a == 0). 3 flops."""
     s = a + b
+    if _f64_eft():
+        return s, ((_f64(a) + _f64(b)) - _f64(s)).astype(jnp.float32)
     e = b - (s - a)
     return s, e
 
@@ -91,8 +121,10 @@ def _veltkamp(a):
 
 def two_prod(a, b):
     """p + e == a * b exactly, p = fl(a * b). Dekker via Veltkamp split
-    (17 flops) — correct whether or not the backend contracts to FMA."""
+    on TPU (17 flops); exact f64 residual on CPU (see header)."""
     p = a * b
+    if _f64_eft():
+        return p, (_f64(a) * _f64(b) - _f64(p)).astype(jnp.float32)
     ah, al = _veltkamp(a)
     bh, bl = _veltkamp(b)
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
