@@ -402,6 +402,70 @@ def run_fp64(n):
     return 0
 
 
+def bench_df64(n):
+    """Double precision via the DOUBLE-FLOAT engine (set_precision('df64'),
+    ops/pallas_df64): each f64 plane carried as a hi/lo f32 pair, whole RY
+    layers fused into single HBM passes of compensated-f32 VPU arithmetic —
+    the two levers (pass fusion, native f32 units) the exact-f64 pair
+    engine can never have on v5e (docs/FP64_GUIDE.md "the fp64 throughput
+    ceiling"). Accuracy contract ~1e-14/op (49-bit mantissa); the probe
+    gates on norm drift and reports it."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    _enable_compile_cache()
+    from rocquantum_tpu import config
+    config.set_precision("df64")
+    from rocquantum_tpu.compiler.ir import CircuitIR, ParamRef
+    from rocquantum_tpu.compiler.interpreter import execute_df64
+    from rocquantum_tpu.ops import df64 as dfm
+
+    reps = int(os.environ.get("ROCQ_BENCH_DF64_REPS", "16"))
+    ir = CircuitIR(n, name="bench_df64_layer")
+    for _ in range(reps):
+        for q in range(n):
+            ir.add("RY", [q], params=[ParamRef(q)])
+    ops = list(ir.ops)
+
+    @jax.jit
+    def program(params):
+        # real carry: RY layers keep the state real, so the fused kernels
+        # stream TWO f32 planes (hi/lo) — the same bytes/pass as ONE f64
+        # plane, with every layer's gates shared per pass (unrolled body,
+        # same rationale as bench_at)
+        rh = jnp.zeros((1 << n,), jnp.float32).at[0].set(1.0)
+        rl = jnp.zeros((1 << n,), jnp.float32)
+        planes = execute_df64((rh, rl, None, None), ops, params)
+        re = dfm.promote_f64(planes[0], planes[1])
+        total = jnp.sum(re * re)
+        if planes[2] is not None:
+            im = dfm.promote_f64(planes[2], planes[3])
+            total = total + jnp.sum(im * im)
+        return total
+
+    params = jnp.asarray(np.linspace(0.1, 1.0, n), jnp.float64)
+    norm = float(program(params))  # compile + warmup
+    drift = abs(norm - 1.0)
+    assert drift < 1e-8, f"df64 norm drifted: {norm}"
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(program(params))
+        times.append(time.perf_counter() - t0)
+    dt = max(min(times) - TRANSFER_OVERHEAD_S, 1e-9)
+    return reps * n / dt, drift
+
+
+def run_df64(n):
+    gps, drift = bench_df64(n)
+    print(json.dumps({"df64_n": n, "df64_gates_per_sec": round(gps, 2),
+                      # effective GB/s of the one-pass-per-gate f64 model
+                      # (32 B/amp/gate) — directly comparable to fp64_gbps
+                      "df64_gbps": round(gps * 32.0 * (1 << n) / 1e9, 1),
+                      "df64_norm_drift": float(f"{drift:.2e}")}))
+    return 0
+
+
 TN_DIM = 8192  # 4.4 TFLOP of GEMM: ~10x the 35 ms transfer floor, so
           # the timing is stable (d=4096 measured at the floor, 2x swings)
 TN_SLICES = 4
@@ -571,6 +635,7 @@ def main():
     parser.add_argument("--density", type=int, default=None)
     parser.add_argument("--tensornet", action="store_true")
     parser.add_argument("--fp64", type=int, default=None)
+    parser.add_argument("--df64", type=int, default=None)
     args = parser.parse_args()
     if args.qft is not None:
         return run_qft(args.qft)
@@ -582,6 +647,8 @@ def main():
         return run_tensornet()
     if args.fp64 is not None:
         return run_fp64(args.fp64)
+    if args.df64 is not None:
+        return run_df64(args.df64)
     if args.size is not None:
         return run_single(args.size)
 
@@ -664,6 +731,15 @@ def main():
             record["fp64_norm_drift"] = fp64["fp64_norm_drift"]
     else:
         record["fp64_error"] = fp64["_error"]
+    df64 = retry(lambda: _probe_subprocess(["--df64", str(FP64_N)],
+                                           "df64_gates_per_sec",
+                                           timeout=DENSITY_TIMEOUT_S))
+    if _ok(df64):
+        record["df64_n26_gates_per_sec"] = df64["df64_gates_per_sec"]
+        record["df64_gbps"] = df64["df64_gbps"]
+        record["df64_norm_drift"] = df64.get("df64_norm_drift")
+    else:
+        record["df64_error"] = df64["_error"]
     print(json.dumps(record))
     return 0
 

@@ -341,6 +341,17 @@ class Circuit(_GateMethods):
                 and _pallas_enabled()
                 and not os.environ.get("ROCQ_DISABLE_PAIR32"))
 
+    def _use_df64(self) -> bool:
+        """fp64 circuits run the DOUBLE-FLOAT engine (hi/lo f32 planes on
+        the fused compensated-f32 kernels; ~1e-14-per-op accuracy) when
+        opted in via ``set_precision("df64")`` / ROCQ_DF64 — the route past
+        the exact-f64 pair engine's v5e hardware ceiling
+        (docs/FP64_GUIDE.md). Single-device, unbatched only; the state stays
+        the exact-f64 pair between flushes, so every readback/measurement
+        twin is unchanged."""
+        return (config.df64_enabled() and self.mesh is None
+                and self.batch_size == 1)
+
     def _pair_full(self):
         """The pair state with the imaginary plane materialized (real-
         carried states store ``(re, None)``); readback/measurement twins
@@ -356,14 +367,18 @@ class Circuit(_GateMethods):
         if self._use_pair():
             from .ops import pairsim
             sharding = self._sharding()
-            key = (n, b, "pair", sharding, config.get_precision())
+            key = (n, b, "pair", sharding, config.get_precision(),
+                   self._use_df64())
             fn = _INIT_CACHE.get(key)
             if fn is None:
-                if (config.get_precision() != "double" and b == 1
-                        and sharding is None):
-                    # f32 pair carry: |0...0> is REAL — ship only the real
-                    # plane; flush keeps it single-plane while the circuit's
-                    # gates stay real (compile_pair32_ir)
+                if (b == 1 and sharding is None
+                        and (config.get_precision() != "double"
+                             or self._use_df64())):
+                    # pair carry with a REAL |0...0>: ship only the real
+                    # plane; flush keeps it single-plane while the
+                    # circuit's gates stay real (compile_pair32_ir for f32,
+                    # compile_df64_fused_ir for df64-mode fp64 — half the
+                    # HBM traffic either way)
                     base = jax.jit(lambda: pairsim.init_pair(n)[0])
                     fn = lambda: (base(), None)  # noqa: E731
                     _INIT_CACHE[key] = fn
@@ -464,7 +479,9 @@ class Circuit(_GateMethods):
                 return
             fn = pairsim.compile_pair_ir(CircuitIR(self.num_qubits, ops),
                                          sharding=self._sharding())
-            re, im = fn(*self._state,
+            # a df64-mode real carry stores (re, None): materialize the
+            # imaginary plane for the exact pair relabel program
+            re, im = fn(*self._pair_full(),
                         jnp.zeros((0,), dtype=config.real_dtype()))
             self._state = (re, im)
             self._layout = list(range(self.num_qubits))
@@ -506,7 +523,8 @@ class Circuit(_GateMethods):
         import os
         from .compiler.interpreter import _pallas_enabled, _pallas_interpret
         env_sig = (_pallas_enabled(), _pallas_interpret(),
-                   bool(os.environ.get("ROCQ_DISABLE_PAIR32")))
+                   bool(os.environ.get("ROCQ_DISABLE_PAIR32")),
+                   config.df64_enabled())
         return (tuple(key_parts), tuple(self._layout), self.num_qubits,
                 self.mesh, self.batch_size, config.get_precision(),
                 self._fuse, self._max_fuse, self._state is None,
@@ -525,7 +543,7 @@ class Circuit(_GateMethods):
                       if key_values
                       else jnp.zeros((0,), dtype=config.real_dtype()))
             state = self.state
-            if mode == "pair32":
+            if mode in ("pair32", "df64"):
                 pair = tuple(state)
                 for fn in fns:
                     pair = fn(pair, params)
@@ -584,6 +602,30 @@ class Circuit(_GateMethods):
                 if plan_key:
                     _FLUSH_PLAN_CACHE[plan_key] = (fns, tuple(self._layout),
                                                    "pair32")
+                self._gate_queue.clear()
+                self._is_dirty = False
+                return
+            if self._use_df64():
+                # fp64 via the DOUBLE-FLOAT engine: segments compile onto
+                # the fused compensated-f32 kernels (hi/lo split and f64
+                # promotion live inside the program; the held state stays
+                # the exact-f64 pair). im stays None while the circuit is
+                # real — single-plane-pair kernels at half the HBM traffic.
+                from .compiler.interpreter import compile_df64_fused_ir
+                pair = (re, im)
+                fns = []
+                for segment in segment_ops(ops, self.num_qubits,
+                                           max_items=MAX_SEGMENT_OPS,
+                                           fuse=self._fuse):
+                    fn = compile_df64_fused_ir(
+                        CircuitIR(self.num_qubits, segment),
+                        fuse=self._fuse, max_fuse=self._max_fuse)
+                    fns.append(fn)
+                    pair = fn(pair, params)
+                self._state = tuple(pair)
+                if plan_key:
+                    _FLUSH_PLAN_CACHE[plan_key] = (fns, tuple(self._layout),
+                                                   "df64")
                 self._gate_queue.clear()
                 self._is_dirty = False
                 return

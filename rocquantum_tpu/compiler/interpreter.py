@@ -534,6 +534,253 @@ def _apply_pallas_block_pair(re: jnp.ndarray, im: jnp.ndarray,
                              interpret=interpret)
 
 
+# ---------------------------------------------------------------------------
+# df64 (double-float) fused execution: the hi/lo-f32 twin of the pair path.
+# Everything here is STRICTLY REAL arithmetic — complex128 programs abort
+# the TPU x64 rewriter (see ops/pairsim.py), so gate coefficients come from
+# pairsim's real f64 row builders and are split hi/lo (ops/df64.split_f64)
+# instead of going through _base_matrix/_diag_vector's complex forms.
+# ---------------------------------------------------------------------------
+
+def _diag_parts_df(op: GateOp, params):
+    """(2,) diagonal of the op's base gate as REAL f64 scalar lists
+    ``(re, im|None)`` — the real-arithmetic twin of :func:`_diag_vector`."""
+    base, _, _ = _split_op(op)
+    sign = -1.0 if op.is_adjoint else 1.0
+    if base in _DIAG_VECS:
+        d = np.conj(_DIAG_VECS[base]) if op.is_adjoint else _DIAG_VECS[base]
+        re = [float(d[0].real), float(d[1].real)]
+        if np.any(np.imag(d)):
+            return re, [float(d[0].imag), float(d[1].imag)]
+        return re, None
+    if base == "RZ":
+        (theta,) = _resolve_params(op, params)
+        theta = jnp.asarray(theta, jnp.float64) * sign
+        c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
+        return [c, c], [-s, s]
+    if base in ("P", "PHASE"):
+        (lam,) = _resolve_params(op, params)
+        lam = jnp.asarray(lam, jnp.float64) * sign
+        return [1.0, jnp.cos(lam)], [0.0, jnp.sin(lam)]
+    raise ValueError(f"gate {op.name} is not diagonal")
+
+
+def _base_rows_df(op: GateOp, params):
+    """The op's BASE 2x2 as f64 scalar rows ``(m_re, m_im|None)`` (controls
+    handled by the caller's spec kind)."""
+    from ..ops import pairsim
+    base, _, _ = _split_op(op)
+    if op.matrix is not None:
+        if isinstance(op.matrix, np.ndarray):
+            m_re, m_im = pairsim._rows_from_numpy(
+                np.asarray(op.matrix, np.complex128))
+        else:  # traced matrix: scalar extraction, like op_rows_targets
+            m = jnp.asarray(op.matrix)
+            dim = m.shape[0]
+            m_re = [[jnp.real(m[i, j]).astype(jnp.float64)
+                     for j in range(dim)] for i in range(dim)]
+            m_im = [[jnp.imag(m[i, j]).astype(jnp.float64)
+                     for j in range(dim)] for i in range(dim)]
+    else:
+        m_re, m_im = pairsim.gate_rows(base, _resolve_params(op, params),
+                                       dtype=jnp.float64)
+    if op.is_adjoint:
+        m_re, m_im = pairsim._rows_adjoint(m_re, m_im)
+    return m_re, m_im
+
+
+def pallas_block_specs_df64(block: PallasBlock, params):
+    """(kinds, supports, gate_mats, real_flags) for a PallasBlock in the
+    df64 kernel's (K, 2, 2, 4) hi/lo layout — the branch structure of
+    :func:`pallas_block_specs` with every matrix built by real f64
+    arithmetic and split hi/lo (ops/pallas_df64.pack_rows_df64)."""
+    from ..ops.pallas_df64 import pack_rows_df64
+    rows, kinds, supports, real_flags = [], [], [], []
+    eye_rows = ([[1.0, 0.0], [0.0, 1.0]], None)
+    for op in block.ops:
+        base, controls, targets = _split_op(op)
+        if base == "D2M":
+            m = np.asarray(op.matrix, np.complex128)
+            if op.is_adjoint:
+                m = np.conj(m)
+            m_re = [[float(m[i, j].real) for j in range(2)]
+                    for i in range(2)]
+            m_im = None if not np.any(m.imag) else \
+                [[float(m[i, j].imag) for j in range(2)] for i in range(2)]
+            kinds.append("D2")
+            supports.append((targets[0], targets[1]))
+        elif base == "X" and len(controls) == 1 and op.matrix is None:
+            kinds.append("CNOT")
+            supports.append((controls[0], targets[0]))
+            m_re, m_im = eye_rows  # placeholder, unused by the CNOT path
+        elif (op.matrix is None and len(controls) == 1
+              and base in _D2_BASES):
+            d_re, d_im = _diag_parts_df(op, params)
+            m_re = [[1.0, 1.0], [d_re[0], d_re[1]]]
+            m_im = None if d_im is None else \
+                [[0.0, 0.0], [d_im[0], d_im[1]]]
+            kinds.append("D2")
+            supports.append((controls[0], targets[0]))
+        elif (op.matrix is None and not controls and len(targets) == 1
+              and base in _D2_BASES):
+            d_re, d_im = _diag_parts_df(op, params)
+            m_re = [[d_re[0], d_re[0]], [d_re[1], d_re[1]]]
+            m_im = None if d_im is None else \
+                [[d_im[0], d_im[0]], [d_im[1], d_im[1]]]
+            kinds.append("D2")
+            supports.append((targets[0], targets[0]))
+        elif op.matrix is None and base == "RZZ" and not controls:
+            (theta,) = _resolve_params(op, params)
+            theta = jnp.asarray(theta, jnp.float64)
+            if op.is_adjoint:
+                theta = -theta
+            c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
+            m_re = [[c, c], [c, c]]
+            m_im = [[-s, s], [s, -s]]
+            kinds.append("D2")
+            supports.append((targets[0], targets[1]))
+        elif len(controls) == 1 and len(targets) == 1:
+            m_re, m_im = _base_rows_df(op, params)
+            kinds.append("CU")
+            supports.append((controls[0], targets[0]))
+        else:
+            m_re, m_im = _base_rows_df(op, params)
+            kinds.append("U")
+            supports.append((targets[0],))
+        rows.append((m_re, m_im))
+        real_flags.append(m_im is None)
+    return kinds, supports, pack_rows_df64(rows), real_flags
+
+
+def _run_pallas_specs_df64(planes, kinds, supports, gm, real_flags,
+                           interpret: bool = False):
+    """The df64 twin of :func:`_run_pallas_specs`: plan kernel passes with
+    the shared scheduler (ops/relabel.plan_full_layer) and run each through
+    ops/pallas_df64.apply_fused_layer_df64. ``planes[2] is None`` selects
+    the REAL-state carry (2 planes instead of 4 — half the HBM traffic)."""
+    from ..ops.pallas_df64 import apply_fused_layer_df64
+    from ..ops.pallas_sv import (TALL_GEOMETRY, max_kernel_qubit,
+                                 max_pair_bits_for)
+    from ..ops.relabel import plan_full_layer
+
+    rh, rl, ih, il = planes
+    n = rh.shape[-1].bit_length() - 1
+    limit = max_kernel_qubit(n) + 1
+    anchors = _spec_anchors(kinds, supports, limit)
+    constrained = [q for a in anchors for q in a]
+    if not constrained or max(constrained) < limit:
+        specs = tuple((k,) + tuple(s) for k, s in zip(kinds, supports))
+        return apply_fused_layer_df64(rh, rl, ih, il, specs, gm,
+                                      real_flags=real_flags,
+                                      interpret=interpret)
+    plan = plan_full_layer(n, supports, limit, pair_ok=n > limit,
+                           anchors=anchors)
+    if len(plan) > 2 and os.environ.get("ROCQ_GEOMETRY", "").lower() != \
+            "default":
+        # tall geometry buys pair capacity, same bake-off as the f32 path
+        gcol, gtile = TALL_GEOMETRY
+        geo_limit = min(gcol, n) + min(gtile, n - min(gcol, n))
+        if n > geo_limit:
+            geo_anchors = _spec_anchors(kinds, supports, geo_limit)
+            try:
+                geo_plan = plan_full_layer(
+                    n, supports, geo_limit, pair_ok=True,
+                    anchors=geo_anchors,
+                    max_pairs=max_pair_bits_for(gcol, gtile),
+                    geometry=TALL_GEOMETRY)
+                if len(geo_plan) < len(plan):
+                    plan = geo_plan
+            except ValueError:
+                pass
+    # pair-free pass relief: same rule as the f32 path (tall window passes
+    # pay ~2x grid overhead; tiles exist only to buy pair capacity)
+    import dataclasses
+    relieved = []
+    for item in plan:
+        if (getattr(item, "geometry", None) is not None
+                and not getattr(item, "pair_bits", ())):
+            ok = True
+            for spec_kind, pos in zip((kinds[i] for i in item.gate_idx),
+                                      item.positions):
+                anch = (pos[1:] if spec_kind in ("CNOT", "CU")
+                        and pos[0] >= limit else pos)
+                if spec_kind != "D2" and any(q >= limit for q in anch):
+                    ok = False
+                    break
+            if ok:
+                item = dataclasses.replace(item, geometry=None)
+        relieved.append(item)
+    for item in relieved:
+        gm_i = gm[np.asarray(item.gate_idx)]
+        flags = tuple(real_flags[i] for i in item.gate_idx)
+        specs = tuple((kinds[i],) + tuple(p)
+                      for i, p in zip(item.gate_idx, item.positions))
+        rh, rl, ih, il = apply_fused_layer_df64(
+            rh, rl, ih, il, specs, gm_i, real_flags=flags,
+            pair_bits=item.pair_bits,
+            geometry=getattr(item, "geometry", None), interpret=interpret)
+    return rh, rl, ih, il
+
+
+def _apply_pallas_block_df64(planes, block: PallasBlock, params,
+                             interpret: bool = False):
+    kinds, supports, gm, real_flags = pallas_block_specs_df64(block, params)
+    if planes[2] is None and not all(real_flags):
+        # a complex gate entered a known-real state: materialize the
+        # imaginary planes and continue on the 4-plane path
+        planes = (planes[0], planes[1], jnp.zeros_like(planes[0]),
+                  jnp.zeros_like(planes[1]))
+    return _run_pallas_specs_df64(planes, kinds, supports, gm, real_flags,
+                                  interpret=interpret)
+
+
+def execute_df64(planes, ops: Sequence,
+                 params: Optional[jnp.ndarray] = None,
+                 fuse: bool = True, max_fuse: int = 2,
+                 use_pallas: Optional[bool] = None):
+    """``execute_pair`` on a df64 (hi/lo f32) four-plane state: PallasBlocks
+    run the fused compensated-f32 kernels (ops/pallas_df64) in one HBM pass
+    per planned kernel pass; every other item applies exactly per-op via
+    ops/df64 (one pass per gate, still ~1e-16-per-op accurate).
+
+    ``planes = (re_hi, re_lo, im_hi, im_lo)``; ``planes[2] is None``
+    declares the state KNOWN-REAL — all-real blocks then stream 2 planes
+    instead of 4, and the first complex gate materializes the imaginary
+    planes. Returns planes with the same convention."""
+    n = planes[0].shape[-1].bit_length() - 1
+    items = list(ops)
+    if use_pallas is None:
+        use_pallas = fuse and _pallas_enabled()
+    if use_pallas:
+        from ..ops.pallas_sv import COL_QUBITS, max_kernel_qubit
+        if n >= COL_QUBITS + 3:
+            items = fuse_pallas_runs(items, n - 1, num_qubits=n,
+                                     relabel_reach=max_kernel_qubit(n) + 1)
+    if fuse:
+        items = fuse_diagonals(items)
+    plan = plan_fusion(items, max_fuse=max_fuse) if fuse else items
+    from ..ops import df64 as dfm
+    for item in plan:
+        if isinstance(item, PallasBlock):
+            planes = _apply_pallas_block_df64(planes, item, params,
+                                              interpret=_pallas_interpret())
+            continue
+        members = list(item.ops) if isinstance(item, (DiagBlock, FusedBlock)) \
+            else [item]
+        if planes[2] is None:
+            planes = (planes[0], planes[1], jnp.zeros_like(planes[0]),
+                      jnp.zeros_like(planes[1]))
+        for op in members:
+            if op.name == "SWAP_BITS":
+                planes = tuple(
+                    sv.swap_index_bits(p, op.targets[0], op.targets[1],
+                                       use_transpose=True) for p in planes)
+            else:
+                planes = dfm.apply_op_df64(planes, op,
+                                           _resolve_params(op, params))
+    return planes
+
+
 def _apply_pallas_block_sharded(state: jnp.ndarray, block: PallasBlock,
                                 params, sharding) -> jnp.ndarray:
     """Sharded fused-kernel path: shard_map the kernel over the mesh — each
@@ -1081,6 +1328,67 @@ def compile_pair32_ir(ir: CircuitIR, fuse: bool = True, max_fuse: int = 2):
         re, im = pair
         return execute_pair(re, im, ops, params, fuse=fuse,
                             max_fuse=max_fuse)
+
+    _EXEC_CACHE[key] = run
+    return run
+
+
+def compile_df64_fused_ir(ir: CircuitIR, fuse: bool = True,
+                          max_fuse: int = 2):
+    """Return a jitted ``f((re, im_or_None), params) -> (re, im_or_None)``
+    over :func:`execute_df64` on an exact-f64 pair state — the double-float
+    engine as a Circuit flush backend (``rocquantum_tpu.set_precision
+    ('df64')`` / ROCQ_DF64=1).
+
+    The program splits each f64 plane into a hi/lo f32 pair (exact to the
+    df64 working precision, ~2^-49 relative), runs the circuit on the fused
+    compensated-f32 Pallas kernels (whole gate LAYERS per HBM pass, native
+    f32 VPU arithmetic — the two levers the exact-f64 pair engine can never
+    have on v5e, docs/FP64_GUIDE.md), and promotes back to exact f64 at the
+    boundary. ``im is None`` carries a KNOWN-REAL state at half the
+    traffic, exactly like compile_pair32_ir."""
+    baked = tuple(float(p) for op in ir.ops for p in op.params
+                  if not isinstance(p, ParamRef))
+    key = (ir.structural_key(), baked, fuse, max_fuse, "df64",
+           _pallas_enabled(), _pallas_interpret())
+    cached = _EXEC_CACHE.get(key)
+    if cached is not None:
+        return cached
+    segments = segment_ops(list(ir.ops), ir.num_qubits,
+                           max_items=MAX_SEGMENT_ITEMS, fuse=fuse)
+    if len(segments) > 1:
+        seg_fns = [compile_df64_fused_ir(CircuitIR(ir.num_qubits, seg,
+                                                   name=f"{ir.name}.seg{i}"),
+                                         fuse=fuse, max_fuse=max_fuse)
+                   for i, seg in enumerate(segments)]
+
+        def chained(pair, params):
+            for f in seg_fns:
+                pair = f(pair, params)
+            return pair
+
+        _EXEC_CACHE[key] = chained
+        return chained
+    ops = list(ir.ops)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(pair, params):
+        from ..ops import df64 as dfm
+        re, im = pair
+        rh = re.astype(jnp.float32)
+        rl = (re - rh.astype(jnp.float64)).astype(jnp.float32)
+        if im is None:
+            planes = (rh, rl, None, None)
+        else:
+            ih = im.astype(jnp.float32)
+            il = (im - ih.astype(jnp.float64)).astype(jnp.float32)
+            planes = (rh, rl, ih, il)
+        planes = execute_df64(planes, ops, params, fuse=fuse,
+                              max_fuse=max_fuse)
+        out_re = dfm.promote_f64(planes[0], planes[1])
+        out_im = None if planes[2] is None \
+            else dfm.promote_f64(planes[2], planes[3])
+        return out_re, out_im
 
     _EXEC_CACHE[key] = run
     return run

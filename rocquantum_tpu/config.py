@@ -18,6 +18,7 @@ import jax.numpy as jnp
 @dataclasses.dataclass
 class _Config:
     precision: str = "single"  # "single" | "double"
+    df64: bool = False  # double-float (hi/lo f32) engine for fp64 circuits
 
     @property
     def complex_dtype(self):
@@ -36,20 +37,39 @@ _CONFIG = _Config()
 
 
 def set_precision(precision: str) -> None:
-    """Set global simulation precision: ``"single"`` or ``"double"``.
+    """Set global simulation precision: ``"single"``, ``"double"``, or
+    ``"df64"``.
 
     Double precision enables ``jax_enable_x64``; this affects newly created
-    states only.
+    states only. ``"df64"`` is double precision with the DOUBLE-FLOAT
+    engine opted in: fp64 circuits carry each f64 plane as a hi/lo float32
+    pair and run the fused compensated-f32 kernels (ops/df64.py,
+    ops/pallas_df64.py) — ~1e-14-per-op accuracy (49-bit effective
+    mantissa) instead of exact f64, at far higher throughput than the f64
+    hardware ceiling on v5e (docs/FP64_GUIDE.md). ``get_precision()``
+    reports "double" in df64 mode — the state dtype and every readback
+    contract are unchanged; only the flush engine differs.
     """
-    if precision not in ("single", "double"):
-        raise ValueError(f"precision must be 'single' or 'double', got {precision!r}")
-    if precision == "double":
+    if precision not in ("single", "double", "df64"):
+        raise ValueError("precision must be 'single', 'double' or 'df64', "
+                         f"got {precision!r}")
+    if precision in ("double", "df64"):
         jax.config.update("jax_enable_x64", True)
-    _CONFIG.precision = precision
+    _CONFIG.df64 = precision == "df64"
+    _CONFIG.precision = "double" if precision == "df64" else precision
 
 
 def get_precision() -> str:
     return _CONFIG.precision
+
+
+def df64_enabled() -> bool:
+    """True when fp64 circuits should run the double-float engine: opted in
+    via ``set_precision("df64")`` or the ROCQ_DF64 env knob."""
+    import os
+    if _CONFIG.precision != "double":
+        return False
+    return _CONFIG.df64 or bool(os.environ.get("ROCQ_DF64"))
 
 
 def complex_dtype():

@@ -127,11 +127,13 @@ def _df_gate_step(re, im, p_re, p_im, is_one, coeffs, real_mat=False):
 
 def _roll_pair(pair, dist, size, axis, is_one):
     """Partner fetch for one df64 plane pair: two rolls + a parity select
-    per plane (pure movement — exact)."""
-    fwd = (pltpu.roll(pair[0], size - dist, axis),
-           pltpu.roll(pair[1], size - dist, axis))
-    bwd = (pltpu.roll(pair[0], dist, axis),
-           pltpu.roll(pair[1], dist, axis))
+    per plane (pure movement — exact). Shifts pinned to i32: df64 programs
+    run under jax_enable_x64, where a Python-int shift becomes an i64
+    scalar that Mosaic's tpu.dynamic_rotate rejects."""
+    fw = np.int32(size - dist)
+    bw = np.int32(dist)
+    fwd = (pltpu.roll(pair[0], fw, axis), pltpu.roll(pair[1], fw, axis))
+    bwd = (pltpu.roll(pair[0], bw, axis), pltpu.roll(pair[1], bw, axis))
     return df_select(is_one, bwd, fwd)
 
 
@@ -165,6 +167,21 @@ def _df_cnot(re, im, c, t, is_one_cache, col_qubits, tile_rows, m_c=None):
         return new_re, None
     p_im = _roll_pair(im, dist, size, axis, is_one)
     return new_re, df_select(m_c, p_im, im)
+
+
+def _df_cu(re, im, c, t, is_one_cache, coeffs, col_qubits, tile_rows,
+           m_c=None, real_mat=False):
+    """Controlled dense 1q gate (CRX/CRY/controlled-matrix): the df64
+    target update applies only where the control bit is 1 (the
+    pallas_sv._cu_roll twin — selects are movement, exact)."""
+    if m_c is None:
+        m_c = is_one_cache(c)
+    g_re, g_im = _df_roll_gate(re, im, t, is_one_cache, coeffs, col_qubits,
+                               tile_rows, real_mat=real_mat)
+    new_re = df_select(m_c, g_re, re)
+    if im is None:
+        return new_re, None
+    return new_re, df_select(m_c, g_im, im)
 
 
 def _df_x(re, im, t, is_one_cache, col_qubits, tile_rows):
@@ -231,6 +248,12 @@ def _kernel_df(gm_ref, *refs, specs: Tuple[Tuple, ...],
             m_c = _free_bit_sel(c, (), limit) if c >= limit else None
             re, im = _df_cnot(re, im, c, spec[2], is_one, col_qubits,
                               tile_rows, m_c=m_c)
+        elif spec[0] == "CU":
+            c = spec[1]
+            m_c = _free_bit_sel(c, (), limit) if c >= limit else None
+            re, im = _df_cu(re, im, c, spec[2], is_one,
+                            _coeffs_df(gm_ref, k), col_qubits, tile_rows,
+                            m_c=m_c, real_mat=real_flags[k])
         elif spec[0] == "D2":
             def _sel(q):
                 return is_one(q) if q < limit else _free_bit_sel(q, (),
@@ -340,6 +363,70 @@ def _kernel_multi_df(gm_ref, *refs, specs: Tuple[Tuple, ...],
             tiles = [_df_cnot(re, im, c, tq, is_one, col_qubits,
                               tile_rows, m_c=m_c) for (re, im) in tiles]
             continue
+        if spec[0] == "CU":
+            c, tq = spec[1], spec[2]
+            c_pair, t_pair = c in bitpos, tq in bitpos
+            cs = _coeffs_df(gm_ref, k)
+            rm = real_flags[k]
+            # control mask: per-combo constant (pair), grid-resolved scalar
+            # (free), or in-tile boolean array — pallas_sv._kernel_multi's
+            # CU branch with the combines swapped for df64
+            m_c = None if c_pair else (
+                _free_bit_sel(c, pair_bits, limit) if c >= limit
+                else is_one(c))
+            if t_pair:
+                (a_re, a_im), (b_re, b_im), (c_re, c_im), (d_re, d_im) = cs
+                new = []
+                for combo, (re, im) in enumerate(tiles):
+                    if c_pair and not pair_is_one(combo, c):
+                        new.append((re, im))
+                        continue
+                    p_re, p_im = tiles[pair_partner(combo, tq)]
+                    if pair_is_one(combo, tq):
+                        x0_re, x0_im, x1_re, x1_im = p_re, p_im, re, im
+                        u_re, u_im, v_re, v_im = c_re, c_im, d_re, d_im
+                    else:
+                        x0_re, x0_im, x1_re, x1_im = re, im, p_re, p_im
+                        u_re, u_im, v_re, v_im = a_re, a_im, b_re, b_im
+                    if x0_im is None:
+                        assert rm, "real-state plane requires a real CU"
+                        n_re = df_add(df_mul(u_re, x0_re),
+                                      df_mul(v_re, x1_re))
+                        n_im = None
+                    elif rm:
+                        n_re = df_add(df_mul(u_re, x0_re),
+                                      df_mul(v_re, x1_re))
+                        n_im = df_add(df_mul(u_re, x0_im),
+                                      df_mul(v_re, x1_im))
+                    else:
+                        t1 = df_mul(u_im, x0_im)
+                        t2 = df_mul(v_im, x1_im)
+                        n_re = df_add(df_add(df_mul(u_re, x0_re),
+                                             df_neg(t1)),
+                                      df_add(df_mul(v_re, x1_re),
+                                             df_neg(t2)))
+                        n_im = df_add(df_add(df_mul(u_re, x0_im),
+                                             df_mul(u_im, x0_re)),
+                                      df_add(df_mul(v_re, x1_im),
+                                             df_mul(v_im, x1_re)))
+                    if c_pair:
+                        new.append((n_re, n_im))
+                    else:
+                        new.append((df_select(m_c, n_re, re),
+                                    df_select(m_c, n_im, im)
+                                    if im is not None else None))
+                tiles = new
+            elif c_pair:
+                tiles = [
+                    _df_roll_gate(re, im, tq, is_one, cs, col_qubits,
+                                  tile_rows, real_mat=rm)
+                    if pair_is_one(combo, c) else (re, im)
+                    for combo, (re, im) in enumerate(tiles)]
+            else:
+                tiles = [_df_cu(re, im, c, tq, is_one, cs, col_qubits,
+                                tile_rows, m_c=m_c, real_mat=rm)
+                         for (re, im) in tiles]
+            continue
         q = spec[1]
         cs = _coeffs_df(gm_ref, k)
         if q in bitpos:
@@ -420,7 +507,7 @@ def apply_fused_layer_df64(rh: jnp.ndarray, rl: jnp.ndarray,
     for spec in specs:
         if spec[0] == "D2":
             continue
-        if spec[0] == "CNOT":
+        if spec[0] in ("CNOT", "CU"):
             paired_qubits.append(spec[2])
             if spec[1] < limit:
                 paired_qubits.append(spec[1])

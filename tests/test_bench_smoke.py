@@ -18,6 +18,7 @@ def _run(args, env_extra=None, timeout=280):
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["ROCQ_BENCH_REPS"] = "2"
+    env["ROCQ_BENCH_DF64_REPS"] = "2"
     if env_extra:
         env.update(env_extra)
     out = subprocess.run(
@@ -34,6 +35,7 @@ def _run(args, env_extra=None, timeout=280):
     (["--ansatz", "10"], "ansatz_gates_per_sec"),
     (["--density", "4"], "density_ops_per_sec"),
     (["--fp64", "8"], "fp64_gates_per_sec"),
+    (["--df64", "8"], "df64_gates_per_sec"),
 ])
 def test_probe_runs(args, key):
     import json
