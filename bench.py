@@ -1,6 +1,22 @@
 """Benchmark: state-vector gate throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Emits each metric as its own JSON line THE MOMENT its probe finishes
+(``{"bench_partial": true, ...}``) and always ends with ONE merged JSON
+record line {"metric", "value", "unit", "vs_baseline", ...} — the round-4
+lesson: a bench that prints only at the end records NOTHING when a global
+timeout strikes (BENCH_r04: rc=124, empty tail). Three guards make the
+final line unconditional:
+
+  * a wall-clock deadline (ROCQ_BENCH_DEADLINE_S, default 2700 s): probes
+    are skipped/clipped as it nears and a watchdog thread prints whatever
+    has been banked, then exits;
+  * a SIGTERM/SIGINT handler (GNU ``timeout`` sends TERM first) that kills
+    the active probe subprocess and prints the banked record;
+  * cold-cache detection: a stamp in .jax_cache records the source
+    fingerprint of the last fully-primed run; on a cold cache the REPS
+    ladder ESCALATES (16 -> 32 -> 64 ...) banking each success, instead of
+    burning the whole budget on the warm-path REPS=128 program whose cold
+    compile takes ~34 min.
 
 Methodology notes (this environment's axon relay backend):
   * ``block_until_ready`` does NOT synchronize — timings must be forced by
@@ -22,16 +38,33 @@ which the reference's one-kernel-per-gate HIP design cannot do.
 """
 
 import argparse
+import hashlib
 import json
 import os
+import signal
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
 
 HBM_BYTES_PER_SEC = 819e9  # v5e
 LAYERS = 32
+
+BENCH_DEADLINE_S = float(os.environ.get("ROCQ_BENCH_DEADLINE_S", "2700"))
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    """Seconds left before the self-imposed deadline."""
+    return BENCH_DEADLINE_S - (time.monotonic() - _T0)
+
+
+def _clip_timeout(t: float, reserve: float = 30.0) -> float:
+    """A probe timeout that always leaves ``reserve`` seconds to emit the
+    final record before the deadline."""
+    return max(20.0, min(float(t), _remaining() - reserve))
 
 
 def reps_for(n: int) -> int:
@@ -47,14 +80,24 @@ def reps_for(n: int) -> int:
     if env:
         return max(1, int(env))  # 0 would divide-by-zero the unroll
     return 128
-SIZES = (30, 29, 28, 26, 24)
+def _env_sizes(name, default):
+    v = os.environ.get(name)
+    if not v:
+        return default
+    return tuple(int(x) for x in v.replace(",", " ").split())
+
+
+# every size is env-overridable so the FULL orchestration (banking, ladders,
+# final merge) can be smoke-tested on CPU at tiny sizes
+SIZES = _env_sizes("ROCQ_BENCH_SIZES", (30, 29, 28, 26, 24))
 PER_SIZE_TIMEOUT_S = 480
 QFT_TIMEOUT_S = 480
 # the density pallas chain is several split programs: slow to compile cold
 # (the persistent .jax_cache keeps the driver's run warm)
 DENSITY_TIMEOUT_S = 900
-QFT_N = 20
-QFT_BIG_N = 26  # 4.3x the floor at the n=20 per-amp rate: a real number
+QFT_N = int(os.environ.get("ROCQ_BENCH_QFT_N", "20"))
+# 4.3x the floor at the n=20 per-amp rate: a real number
+QFT_BIG_N = int(os.environ.get("ROCQ_BENCH_QFT_BIG_N", "26"))
 TRANSFER_OVERHEAD_S = 0.035  # measured scalar device->host cost on axon
 
 
@@ -65,6 +108,117 @@ def _enable_compile_cache():
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Cold-cache detection (the persistent compile cache is SOURCE-LOCATION
+# sensitive: editing any traced file invalidates its programs, CLAUDE.md)
+# ---------------------------------------------------------------------------
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_STAMP_PATH = os.path.join(_REPO, ".jax_cache", "bench_stamp.json")
+
+
+def _source_fingerprint() -> str:
+    """sha256 over bench.py + every library .py that a bench program can
+    trace — if ANY of them changed since the last primed run, the
+    persistent compile cache misses and every compile runs cold."""
+    h = hashlib.sha256()
+    files = [os.path.join(_REPO, "bench.py")]
+    for dirpath, dirnames, names in os.walk(os.path.join(_REPO,
+                                                         "rocquantum_tpu")):
+        dirnames.sort()
+        for nm in sorted(names):
+            if nm.endswith(".py"):
+                files.append(os.path.join(dirpath, nm))
+    for f in files:
+        h.update(os.path.relpath(f, _REPO).encode())
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
+
+
+def cache_is_warm() -> bool:
+    try:
+        with open(_STAMP_PATH) as fh:
+            stamp = json.load(fh)
+        return stamp.get("fingerprint") == _source_fingerprint()
+    except (OSError, ValueError):
+        return False
+
+
+def write_cache_stamp():
+    os.makedirs(os.path.dirname(_STAMP_PATH), exist_ok=True)
+    with open(_STAMP_PATH, "w") as fh:
+        json.dump({"fingerprint": _source_fingerprint(),
+                   "time": time.time()}, fh)
+
+
+# ---------------------------------------------------------------------------
+# Incremental record banking: every metric is printed the moment it lands,
+# and the merged record line is emitted exactly once — by the normal exit
+# path, the deadline watchdog, or the SIGTERM handler, whichever fires.
+# ---------------------------------------------------------------------------
+
+_RECORD = {}
+_RECORD_LOCK = threading.Lock()
+_FINAL_EMITTED = False
+_ACTIVE_PROC = None  # the probe subprocess a signal handler must reap
+
+
+def _bank(**fields):
+    with _RECORD_LOCK:
+        _RECORD.update(fields)
+    line = dict(fields)
+    line["bench_partial"] = True
+    print(json.dumps(line), flush=True)
+
+
+def _emit_final() -> None:
+    global _FINAL_EMITTED
+    with _RECORD_LOCK:
+        if _FINAL_EMITTED:
+            return
+        _FINAL_EMITTED = True
+        rec = dict(_RECORD)
+    # the driver's contract: metric/value/unit/vs_baseline always present
+    rec.setdefault("metric", "1q-gate throughput (statevector, complex64)")
+    rec.setdefault("value", 0.0)
+    rec.setdefault("unit", "gates/s")
+    rec.setdefault("vs_baseline", 0.0)
+    rec["bench_elapsed_s"] = round(time.monotonic() - _T0, 1)
+    print(json.dumps(rec), flush=True)
+
+
+def _install_guards():
+    def on_signal(signum, frame):
+        proc = _ACTIVE_PROC
+        if proc is not None:
+            try:
+                proc.kill()
+            except OSError:
+                pass
+        _bank(bench_interrupted=signal.Signals(signum).name)
+        _emit_final()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
+
+    def watchdog():
+        _bank(bench_deadline_hit=True)
+        proc = _ACTIVE_PROC
+        if proc is not None:
+            try:
+                proc.kill()
+            except OSError:
+                pass
+        _emit_final()
+        os._exit(0)
+
+    t = threading.Timer(max(_remaining(), 1.0), watchdog)
+    t.daemon = True
+    t.start()
 
 
 def bench_at(n):
@@ -190,29 +344,38 @@ def run_ansatz(n):
     return 0
 
 
-def probe_ansatz(n):
+def probe_ansatz(n, warm: bool = True):
     """Deepest pass-sharing body that fits the compile budget wins
     (r4 chip-measured at n=29: body 8 -> 1462, 16 -> 1563, 32 -> 1606
     g/s; shallower bodies are the compile-budget fallback and the warm
-    .jax_cache makes 32 cheap). Geometry: DEFAULT only — the mixed
-    2-passes/layer planner lost its bake-off decisively on chip
-    (r4 measured: default 1443.8 vs mixed 838.4 g/s at n=29/body=8;
-    fewer planned passes, slower passes — see ROADMAP). Set
+    .jax_cache makes 32 cheap). Cold cache: the ladder ESCALATES from 8,
+    banking each success (same rationale as probe_1q). Geometry: DEFAULT
+    only — the mixed 2-passes/layer planner lost its bake-off decisively
+    on chip (r4 measured: default 1443.8 vs mixed 838.4 g/s at
+    n=29/body=8; fewer planned passes, slower passes — see ROADMAP). Set
     ROCQ_GEOMETRY to re-measure an alternative."""
-    bodies = ([os.environ["ROCQ_ANSATZ_BODY"]]
-              if os.environ.get("ROCQ_ANSATZ_BODY") else ["32", "16", "8"])
+    if os.environ.get("ROCQ_ANSATZ_BODY"):
+        bodies = [os.environ["ROCQ_ANSATZ_BODY"]]
+    elif warm:
+        bodies = ["32", "16", "8"]
+    else:
+        bodies = ["8", "16", "32"]
     geos = ([os.environ["ROCQ_GEOMETRY"]]
             if os.environ.get("ROCQ_GEOMETRY") else [""])
     last_err = None
+    overall = None
     for body in bodies:
+        if _remaining() < 60:
+            break
         best = None
+        t_att = time.monotonic()
         for geo in geos:
             env = {"ROCQ_ANSATZ_BODY": body}
             if geo:
                 env["ROCQ_GEOMETRY"] = geo
             rec = _probe_subprocess(["--ansatz", str(n)],
                                     "ansatz_gates_per_sec",
-                                    timeout=PER_SIZE_TIMEOUT_S,
+                                    timeout=_clip_timeout(PER_SIZE_TIMEOUT_S),
                                     env_extra=env)
             if not _ok(rec):
                 last_err = rec["_error"]
@@ -221,8 +384,19 @@ def probe_ansatz(n):
                     > best["ansatz_gates_per_sec"]):
                 rec["ansatz_geometry"] = geo or "default"
                 best = rec
+        dur = time.monotonic() - t_att
         if best is not None:
-            return best
+            if (overall is None or best["ansatz_gates_per_sec"]
+                    > overall["ansatz_gates_per_sec"]):
+                overall = best
+            if warm:
+                return best  # descending ladder: first success is best
+            if _remaining() < 2.5 * dur + 90:
+                break  # cold: no budget for the next rung
+        elif not warm and overall is not None:
+            break  # cold escalation failed: keep the banked body
+    if overall is not None:
+        return overall
     return {"_error": last_err or "no ansatz body completed"}
 
 
@@ -250,27 +424,26 @@ def measure_floor(reps: int = 5) -> float:
 
 
 def bench_qft(n=QFT_N):
-    """QFT wall-clock via the Circuit API (segmented execution) — the
-    reference's declared benchmark workload (benchmarks/run_benchmark.py:
-    36-37, QFT 10-20). n=20 lands AT the measurement floor (the whole
-    transform is one fused pass), so a larger-n probe carries the real
-    throughput number. The floor is MEASURED in-process (measure_floor),
-    not assumed."""
+    """QFT wall-clock via the compiled-program serving path
+    (rocq.compile_program): structure compiled once, each timed run
+    replays the cached chain + expval — the reference's declared
+    benchmark workload (benchmarks/run_benchmark.py:36-37, QFT 10-20)
+    without the per-iteration re-enqueue its loop pays. n=20 lands AT the
+    measurement floor (the whole transform is one fused pass), so a
+    larger-n probe carries the real throughput number. The floor is
+    MEASURED in-process (measure_floor), not assumed."""
     import jax
     _enable_compile_cache()
     import rocquantum_tpu as rocq
     from rocquantum_tpu.models import qft_ir
 
     ir = qft_ir(n)
-    sim = rocq.Simulator()
+    prog = rocq.compile_program(ir, rocq.Simulator(),
+                                observable=rocq.PauliOperator({"Z0": 1.0}))
 
     def run_once():
-        c = rocq.Circuit(n, sim)
-        for op in ir.ops:
-            c._enqueue(op.name, op.targets, op.controls, op.params, op.matrix)
-        c.flush()
         # scalar read forces synchronization on this backend
-        return float(c.expval(rocq.PauliOperator({"Z0": 1.0})))
+        return float(prog.run())
 
     run_once()  # compile + warm
     floor = measure_floor()
@@ -298,7 +471,9 @@ def run_qft(n=QFT_N):
     return 0
 
 
-DENSITY_N = 13
+DENSITY_N = int(os.environ.get("ROCQ_BENCH_DENSITY_N", "13"))
+# second rho size: scaling evidence beyond one point
+DENSITY_N2 = int(os.environ.get("ROCQ_BENCH_DENSITY_N2", "14"))
 # 2 layers = ONE flush segment (52 items): the 4-layer/2-segment variant's
 # pallas programs compile >1h cold on the remote relay (per-pass unrolled
 # kernels x ~20 passes/program); one segment keeps the cold compile inside
@@ -350,7 +525,7 @@ def run_density(n):
     return 0
 
 
-FP64_N = 26
+FP64_N = int(os.environ.get("ROCQ_BENCH_FP64_N", "26"))
 FP64_REPS = 2
 
 
@@ -420,7 +595,14 @@ def bench_df64(n):
     from rocquantum_tpu.compiler.interpreter import execute_df64
     from rocquantum_tpu.ops import df64 as dfm
 
-    reps = int(os.environ.get("ROCQ_BENCH_DF64_REPS", "16"))
+    # CPU guard (smoke tests): XLA:CPU compile time is SUPER-LINEAR in the
+    # unrolled df64 gate count (measured: 6 gates 2.9 s, 12 gates 50 s at
+    # n=6; optimization_barrier and backend-opt-level flags do not tame
+    # it), so the CPU default is ONE layer — same probe body, linear-sized
+    # program. The TPU path (fused Pallas kernels via Mosaic) keeps the
+    # measured-best default.
+    default_reps = "1" if jax.default_backend() == "cpu" else "16"
+    reps = int(os.environ.get("ROCQ_BENCH_DF64_REPS", default_reps))
     ir = CircuitIR(n, name="bench_df64_layer")
     for _ in range(reps):
         for q in range(n):
@@ -466,8 +648,9 @@ def run_df64(n):
     return 0
 
 
-TN_DIM = 8192  # 4.4 TFLOP of GEMM: ~10x the 35 ms transfer floor, so
-          # the timing is stable (d=4096 measured at the floor, 2x swings)
+# d=8192: 4.4 TFLOP of GEMM, ~10x the 35 ms transfer floor, so the timing
+# is stable (d=4096 measured at the floor, 2x swings)
+TN_DIM = int(os.environ.get("ROCQ_BENCH_TN_DIM", "8192"))
 TN_SLICES = 4
 
 
@@ -528,22 +711,31 @@ def _probe_subprocess(args, key, timeout=QFT_TIMEOUT_S, env_extra=None):
     return the first JSON line containing ``key``. On failure returns
     ``{"_error": reason}`` — NEVER None — so callers record an explicit
     ``<metric>_error`` field instead of silently omitting the metric
-    (a missing key reads as "not measured" rather than "probe crashed")."""
+    (a missing key reads as "not measured" rather than "probe crashed").
+    The child is tracked in ``_ACTIVE_PROC`` so the SIGTERM handler /
+    deadline watchdog can reap it before emitting the final record."""
+    global _ACTIVE_PROC
     script = os.path.abspath(__file__)
     env = dict(os.environ)
     if env_extra:
         env.update(env_extra)
+    proc = subprocess.Popen([sys.executable, script] + list(args),
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True, env=env)
+    _ACTIVE_PROC = proc
     try:
-        out = subprocess.run([sys.executable, script] + list(args),
-                             capture_output=True, text=True,
-                             timeout=timeout, env=env)
+        stdout, stderr = proc.communicate(timeout=timeout)
     except subprocess.TimeoutExpired:
-        return {"_error": f"timeout after {timeout}s"}
-    if out.returncode != 0:
-        tail = (out.stderr or out.stdout or "").strip().splitlines()
+        proc.kill()
+        proc.communicate()
+        return {"_error": f"timeout after {round(timeout)}s"}
+    finally:
+        _ACTIVE_PROC = None
+    if proc.returncode != 0:
+        tail = (stderr or stdout or "").strip().splitlines()
         detail = tail[-1][-300:] if tail else "no output"
-        return {"_error": f"exit code {out.returncode}: {detail}"}
-    for line in out.stdout.splitlines():
+        return {"_error": f"exit code {proc.returncode}: {detail}"}
+    for line in stdout.splitlines():
         try:
             rec = json.loads(line)
         except json.JSONDecodeError:
@@ -589,22 +781,67 @@ def probe_tensornet():
     return _probe_subprocess(["--tensornet"], "tn_gflops")
 
 
-def probe():
+def probe_1q(warm: bool):
+    """The headline 1q-layer metric with a cache-state-aware REPS ladder.
+
+    Warm cache: every program is seconds to load — go straight to the
+    measured-best REPS=128 and DESCEND on failure. Cold cache: compile
+    time roughly doubles per REPS doubling (r4 chip data: 128 ~34 min),
+    so ESCALATE from 16, banking each success immediately, and only climb
+    while the remaining deadline budget affords ~2.5x the last attempt's
+    wall-clock. Returns (n, gates_per_sec, reps) or (None, None, None)."""
+    env_reps = os.environ.get("ROCQ_BENCH_REPS")
     for n in SIZES:
-        rec = _probe_subprocess(["--size", str(n)], "gates_per_sec",
-                                timeout=PER_SIZE_TIMEOUT_S)
-        if not _ok(rec) and not os.environ.get("ROCQ_BENCH_REPS"):
-            # auto-tuned REPS fallback: a cold-cache compile at REPS=32 can
-            # blow the per-size budget; shrink the program and retry
-            for reps in ("64", "32", "16"):
-                rec = _probe_subprocess(["--size", str(n)], "gates_per_sec",
-                                        timeout=PER_SIZE_TIMEOUT_S,
-                                        env_extra={"ROCQ_BENCH_REPS": reps})
-                if _ok(rec):
-                    break
-        if _ok(rec):
-            return rec["n"], rec["gates_per_sec"]
-    return None, None
+        if _remaining() < 60:
+            return None, None, None
+        if env_reps:
+            ladder = [env_reps]
+        elif warm:
+            ladder = ["128", "64", "32", "16"]
+        else:
+            ladder = ["16", "32", "64", "128"]
+        best = None
+        for reps in ladder:
+            if _remaining() < 60:
+                break
+            t_att = time.monotonic()
+            rec = _probe_subprocess(
+                ["--size", str(n)], "gates_per_sec",
+                timeout=_clip_timeout(PER_SIZE_TIMEOUT_S),
+                env_extra={"ROCQ_BENCH_REPS": reps})
+            dur = time.monotonic() - t_att
+            if _ok(rec):
+                if best is None or rec["gates_per_sec"] > best[1]:
+                    best = (rec["n"], rec["gates_per_sec"], int(reps))
+                    _bank_1q(*best)
+                if warm or env_reps:
+                    return best  # descending ladder: first success is best
+                if _remaining() < 2.5 * dur + 90:
+                    return best  # cold: no budget for the next rung
+            else:
+                if not warm and best is not None:
+                    return best  # cold escalation failed: keep the bank
+                if not warm and best is None:
+                    break  # cold REPS=16 failed: a smaller n, not more REPS
+        if best is not None:
+            return best
+    return None, None, None
+
+
+def _bank_1q(n_used: int, gates_per_sec: float, reps: int):
+    ideal = HBM_BYTES_PER_SEC / (16.0 * (1 << n_used))
+    _bank(**{
+        "metric": (f"1q-gate throughput, {n_used}-qubit statevector "
+                   "(complex64)"),
+        "value": round(gates_per_sec, 2),
+        "unit": "gates/s",
+        "vs_baseline": round(gates_per_sec / ideal, 3),
+        # achieved effective HBM bandwidth of the one-pass-per-gate model:
+        # value * 16 bytes * 2^n (SURVEY §6 roofline; > physical HBM BW
+        # means gates are being fused into shared passes)
+        "gbps": round(gates_per_sec * 16.0 * (1 << n_used) / 1e9, 1),
+        "bench_reps": reps,
+    })
 
 
 def _wait_for_backend(attempts: int = 6, delay_s: int = 90) -> bool:
@@ -614,16 +851,150 @@ def _wait_for_backend(attempts: int = 6, delay_s: int = 90) -> bool:
     burning every probe's timeout against a dead relay."""
     code = "import jax; jax.devices()"
     for i in range(attempts):
+        if _remaining() < 120:
+            return False  # leave room to emit the final record
         try:
             out = subprocess.run([sys.executable, "-c", code],
-                                 capture_output=True, timeout=240)
+                                 capture_output=True,
+                                 timeout=_clip_timeout(240))
             if out.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
             pass
         if i < attempts - 1:
-            time.sleep(delay_s)
+            time.sleep(min(delay_s, max(_remaining() - 120, 0)))
     return False
+
+
+def _retry(probe_fn, floor_s: float = 120.0):
+    """One retry on failure: the compile cache makes the second attempt
+    cheap if the first timed out cold — but only when deadline remains."""
+    rec = probe_fn()
+    if _ok(rec) or _remaining() < floor_s:
+        return rec
+    return probe_fn()
+
+
+def _skip(label: str) -> bool:
+    """True when the deadline leaves no room for another probe; banks the
+    skip so the record says 'not attempted', never silence."""
+    if _remaining() < 120:
+        _bank(**{f"{label}_skipped": "deadline"})
+        return True
+    return False
+
+
+def main_orchestrate():
+    _install_guards()
+    warm = cache_is_warm()
+    _bank(bench_cache_warm=warm,
+          bench_deadline_s=BENCH_DEADLINE_S)
+    if not _wait_for_backend():
+        _bank(error="TPU backend unavailable (relay outage persisted "
+                    "through pre-flight retries)")
+        _emit_final()
+        return 1
+    n_used, gates_per_sec, reps_used = probe_1q(warm)
+    if gates_per_sec is None:
+        _bank(error="no 1q size completed within budget")
+        n_used = SIZES[0]
+
+    if not _skip("qft_n20"):
+        qft = _retry(probe_qft)
+        if _ok(qft):
+            _bank(qft_n20_ms=qft["qft_ms"],
+                  qft_floor=qft.get("qft_floor", False),
+                  qft_raw_wallclock_ms=qft.get("qft_raw_wallclock_ms"),
+                  qft_floor_ms=qft.get("qft_floor_ms"))
+        else:
+            _bank(qft_n20_error=qft["_error"])
+    qft_big_n = min(n_used, QFT_BIG_N)
+    if not _skip(f"qft_n{qft_big_n}"):
+        qft_big = _retry(lambda: probe_qft(qft_big_n))
+        if _ok(qft_big):  # above the floor: the real QFT throughput
+            _bank(**{f"qft_n{qft_big_n}_ms": qft_big["qft_ms"],
+                     f"qft_n{qft_big_n}_floor": qft_big.get("qft_floor",
+                                                            False)})
+        else:
+            _bank(**{f"qft_n{qft_big_n}_error": qft_big["_error"]})
+
+    if not _skip("ansatz"):
+        ansatz = probe_ansatz(min(n_used, 29), warm=warm)
+        if _ok(ansatz):
+            fields = {"ansatz_gates_per_sec": ansatz["ansatz_gates_per_sec"],
+                      "ansatz_gbps": round(
+                          ansatz["ansatz_gates_per_sec"] * 16.0
+                          * (1 << min(n_used, 29)) / 1e9, 1)}
+            if "ansatz_geometry" in ansatz:
+                fields["ansatz_geometry"] = ansatz["ansatz_geometry"]
+            _bank(**fields)
+        else:
+            _bank(ansatz_error=ansatz["_error"])
+
+    if not _skip("density"):
+        density = _retry(probe_density)
+        if _ok(density):
+            _bank(density_n13_ops_per_sec=density["density_ops_per_sec"],
+                  density_gbps=density["density_gbps"],
+                  density_kernel=density.get("density_kernel"),
+                  **({"density_pallas_error":
+                      density["density_pallas_error"]}
+                     if "density_pallas_error" in density else {}))
+        else:
+            _bank(density_error=density["_error"])
+    # a second rho size (VERDICT r4 #8): scaling evidence for the
+    # HBM-roofline claim beyond one point (n=14 rho = 2^28 amplitudes)
+    if not _skip("density_n14"):
+        d14 = _retry(lambda: _probe_subprocess(
+            ["--density", str(DENSITY_N2)], "density_ops_per_sec",
+            timeout=_clip_timeout(DENSITY_TIMEOUT_S)))
+        if _ok(d14):
+            _bank(density_n14_ops_per_sec=d14["density_ops_per_sec"],
+                  density_n14_gbps=d14["density_gbps"])
+        else:
+            _bank(density_n14_error=d14["_error"])
+
+    if not _skip("tn"):
+        tn = _retry(probe_tensornet)
+        if _ok(tn):
+            _bank(tn_sliced_gflops=tn["tn_gflops"], tn_slices=tn["tn_slices"])
+        else:
+            _bank(tn_error=tn["_error"])
+
+    if not _skip("fp64"):
+        fp64 = _retry(lambda: _probe_subprocess(
+            ["--fp64", str(FP64_N)], "fp64_gates_per_sec",
+            timeout=_clip_timeout(QFT_TIMEOUT_S)))
+        if _ok(fp64):
+            _bank(fp64_n26_gates_per_sec=fp64["fp64_gates_per_sec"],
+                  fp64_gbps=fp64["fp64_gbps"],
+                  **({"fp64_norm_drift": fp64["fp64_norm_drift"]}
+                     if "fp64_norm_drift" in fp64 else {}))
+        else:
+            _bank(fp64_error=fp64["_error"])
+
+    if not _skip("df64"):
+        df64 = _retry(lambda: _probe_subprocess(
+            ["--df64", str(FP64_N)], "df64_gates_per_sec",
+            timeout=_clip_timeout(DENSITY_TIMEOUT_S)))
+        if _ok(df64):
+            _bank(df64_n26_gates_per_sec=df64["df64_gates_per_sec"],
+                  df64_gbps=df64["df64_gbps"],
+                  df64_norm_drift=df64.get("df64_norm_drift"))
+        else:
+            _bank(df64_error=df64["_error"])
+
+    with _RECORD_LOCK:
+        complete = (not any(k.endswith("_error") or k.endswith("_skipped")
+                            or k == "error" for k in _RECORD)
+                    and reps_used == 128)
+    if complete:
+        # every warm-path program is now in .jax_cache for these sources:
+        # stamp it so the next run takes the warm ladders directly
+        write_cache_stamp()
+        _bank(bench_cache_stamped=True)
+    _emit_final()
+    return 0
 
 
 def main():
@@ -651,97 +1022,7 @@ def main():
         return run_df64(args.df64)
     if args.size is not None:
         return run_single(args.size)
-
-    if not _wait_for_backend():
-        print(json.dumps({"metric": "gates_per_sec", "value": 0.0,
-                          "unit": "gates/s", "vs_baseline": 0.0,
-                          "error": "TPU backend unavailable (relay outage "
-                                   "persisted through pre-flight retries)"}))
-        return 1
-    n_used, gates_per_sec = probe()
-    if gates_per_sec is None:
-        print(json.dumps({"metric": "gates_per_sec", "value": 0.0,
-                          "unit": "gates/s", "vs_baseline": 0.0,
-                          "error": "no size completed within budget"}))
-        return 1
-    ideal = HBM_BYTES_PER_SEC / (16.0 * (1 << n_used))
-    record = {
-        "metric": (f"1q-gate throughput, {n_used}-qubit statevector "
-                   "(complex64)"),
-        "value": round(gates_per_sec, 2),
-        "unit": "gates/s",
-        "vs_baseline": round(gates_per_sec / ideal, 3),
-        # achieved effective HBM bandwidth of the one-pass-per-gate model:
-        # value * 16 bytes * 2^n (SURVEY §6 roofline; > physical HBM BW
-        # means gates are being fused into shared passes)
-        "gbps": round(gates_per_sec * 16.0 * (1 << n_used) / 1e9, 1),
-    }
-    def retry(probe_fn):
-        """One retry on failure: the compile cache makes the second
-        attempt cheap if the first timed out cold."""
-        rec = probe_fn()
-        return rec if _ok(rec) else probe_fn()
-
-    qft = retry(probe_qft)
-    if _ok(qft):
-        record["qft_n20_ms"] = qft["qft_ms"]
-        record["qft_floor"] = qft.get("qft_floor", False)
-        record["qft_raw_wallclock_ms"] = qft.get("qft_raw_wallclock_ms")
-        record["qft_floor_ms"] = qft.get("qft_floor_ms")
-    else:
-        record["qft_n20_error"] = qft["_error"]
-    qft_big_n = min(n_used, QFT_BIG_N)
-    qft_big = retry(lambda: probe_qft(qft_big_n))
-    if _ok(qft_big):  # above the floor: the real QFT throughput
-        record[f"qft_n{qft_big_n}_ms"] = qft_big["qft_ms"]
-        record[f"qft_n{qft_big_n}_floor"] = qft_big.get("qft_floor", False)
-    else:
-        record[f"qft_n{qft_big_n}_error"] = qft_big["_error"]
-    ansatz = retry(lambda: probe_ansatz(min(n_used, 29)))
-    if _ok(ansatz):
-        record["ansatz_gates_per_sec"] = ansatz["ansatz_gates_per_sec"]
-        if "ansatz_geometry" in ansatz:
-            record["ansatz_geometry"] = ansatz["ansatz_geometry"]
-        record["ansatz_gbps"] = round(
-            ansatz["ansatz_gates_per_sec"] * 16.0
-            * (1 << min(n_used, 29)) / 1e9, 1)
-    else:
-        record["ansatz_error"] = ansatz["_error"]
-    density = retry(probe_density)
-    if _ok(density):
-        record["density_n13_ops_per_sec"] = density["density_ops_per_sec"]
-        record["density_gbps"] = density["density_gbps"]
-        record["density_kernel"] = density.get("density_kernel")
-        if "density_pallas_error" in density:
-            record["density_pallas_error"] = density["density_pallas_error"]
-    else:
-        record["density_error"] = density["_error"]
-    tn = retry(probe_tensornet)
-    if _ok(tn):
-        record["tn_sliced_gflops"] = tn["tn_gflops"]
-        record["tn_slices"] = tn["tn_slices"]
-    else:
-        record["tn_error"] = tn["_error"]
-    fp64 = retry(lambda: _probe_subprocess(["--fp64", str(FP64_N)],
-                                           "fp64_gates_per_sec"))
-    if _ok(fp64):
-        record["fp64_n26_gates_per_sec"] = fp64["fp64_gates_per_sec"]
-        record["fp64_gbps"] = fp64["fp64_gbps"]
-        if "fp64_norm_drift" in fp64:
-            record["fp64_norm_drift"] = fp64["fp64_norm_drift"]
-    else:
-        record["fp64_error"] = fp64["_error"]
-    df64 = retry(lambda: _probe_subprocess(["--df64", str(FP64_N)],
-                                           "df64_gates_per_sec",
-                                           timeout=DENSITY_TIMEOUT_S))
-    if _ok(df64):
-        record["df64_n26_gates_per_sec"] = df64["df64_gates_per_sec"]
-        record["df64_gbps"] = df64["df64_gbps"]
-        record["df64_norm_drift"] = df64.get("df64_norm_drift")
-    else:
-        record["df64_error"] = df64["_error"]
-    print(json.dumps(record))
-    return 0
+    return main_orchestrate()
 
 
 if __name__ == "__main__":

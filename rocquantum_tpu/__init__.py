@@ -15,6 +15,8 @@ from .api import (  # noqa: F401
     Circuit,
     PauliOperator,
     QuantumProgram,
+    CompiledProgram,
+    compile_program,
     Kernel,
     kernel,
     build,

@@ -346,11 +346,14 @@ class Circuit(_GateMethods):
         the fused compensated-f32 kernels; ~1e-14-per-op accuracy) when
         opted in via ``set_precision("df64")`` / ROCQ_DF64 — the route past
         the exact-f64 pair engine's v5e hardware ceiling
-        (docs/FP64_GUIDE.md). Single-device, unbatched only; the state stays
-        the exact-f64 pair between flushes, so every readback/measurement
-        twin is unchanged."""
-        return (config.df64_enabled() and self.mesh is None
-                and self.batch_size == 1)
+        (docs/FP64_GUIDE.md). Covers single-device AND sharded circuits
+        (the reference's precision switch is engine-global,
+        hipStateVec.h:7-15): sharded flushes shard_map the fused kernels
+        and ride the same all-to-all relabel schedule as every other
+        engine. Unbatched only (batched fp64 rides the flat pair engine);
+        the state stays the exact-f64 pair between flushes, so every
+        readback/measurement twin is unchanged."""
+        return config.df64_enabled() and self.batch_size == 1
 
     def _pair_full(self):
         """The pair state with the imaginary plane materialized (real-
@@ -612,14 +615,19 @@ class Circuit(_GateMethods):
                 # the exact-f64 pair). im stays None while the circuit is
                 # real — single-plane-pair kernels at half the HBM traffic.
                 from .compiler.interpreter import compile_df64_fused_ir
+                ng = 0
+                if self.mesh is not None:
+                    from .parallel.sharded import num_global_qubits
+                    ng = num_global_qubits(self.mesh)
                 pair = (re, im)
                 fns = []
                 for segment in segment_ops(ops, self.num_qubits,
                                            max_items=MAX_SEGMENT_OPS,
-                                           fuse=self._fuse):
+                                           fuse=self._fuse, n_global=ng):
                     fn = compile_df64_fused_ir(
                         CircuitIR(self.num_qubits, segment),
-                        fuse=self._fuse, max_fuse=self._max_fuse)
+                        fuse=self._fuse, max_fuse=self._max_fuse,
+                        sharding=self._sharding())
                     fns.append(fn)
                     pair = fn(pair, params)
                 self._state = tuple(pair)
@@ -861,6 +869,102 @@ class Circuit(_GateMethods):
         sim = getattr(self, "simulator", None)
         if sim is not None and getattr(sim, "_active_circuits", 0) > 0:
             sim._active_circuits -= 1
+
+
+class CompiledProgram:
+    """A structure-cached end-to-end program: |0..0> -> circuit ->
+    (optionally) an observable readback — the SERVING hot path.
+
+    The Circuit API pays per-run host work even with a warm flush-plan
+    cache: op re-enqueueing plus structural hashing of the whole queue
+    (``_flush_plan_key``), ~2-5 ms at QFT-n=20 scale (220 ops) on the
+    relay. ``compile_program`` captures the compiled chain ONCE (init
+    program, flush-plan segment fns, final layout, observable program) and
+    ``run()`` replays it with a dict-lookup's worth of host work. The
+    reference's benchmark loop re-enqueues every iteration
+    (benchmarks/run_benchmark.py:36-44); this is the rebuilt framework's
+    answer for repeat execution of a fixed-structure circuit.
+
+    ``run(params)`` optionally overrides the parameter VALUES (the
+    structure, including parameter count, is fixed at compile time) — a
+    parameter sweep costs zero recompiles and zero re-hashing."""
+
+    def __init__(self, circuit: "Circuit", plan, init_fn, params,
+                 observable: Optional["PauliOperator"]):
+        self._circ = circuit
+        self._plan = plan
+        self._init_fn = init_fn
+        self._params = params
+        self._obs = observable
+
+    @property
+    def num_params(self) -> int:
+        return int(self._params.shape[0])
+
+    def run(self, params: Optional[Sequence[float]] = None):
+        """Execute the program from |0..0>. Returns ``expval(observable)``
+        as a float when an observable was given, else the (stateful)
+        Circuit handle positioned at the final state for readbacks."""
+        c = self._circ
+        p = self._params
+        if params is not None:
+            p = jnp.asarray(params, dtype=config.real_dtype())
+            if p.shape != self._params.shape:
+                raise ValueError(
+                    f"expected {self._params.shape[0]} parameter values, "
+                    f"got {p.shape}")
+        fns, layout, mode = self._plan
+        state = self._init_fn()
+        if mode in ("pair32", "df64"):
+            pair = tuple(state)
+            for fn in fns:
+                pair = fn(pair, p)
+            c._state = tuple(pair)
+        elif mode == "pair64":
+            re, im = state
+            for fn in fns:
+                re, im = fn(re, im, p)
+            c._state = (re, im)
+        else:
+            st = state
+            for fn in fns:
+                st = fn(st, p)
+            c._state = st
+        c._layout = list(layout)
+        c._gate_queue.clear()
+        c._is_dirty = False
+        if self._obs is None:
+            return c
+        return c.expval(self._obs)
+
+
+def compile_program(ir: CircuitIR, simulator: Optional[Simulator] = None,
+                    observable: Optional["PauliOperator"] = None,
+                    mesh=None, fuse: bool = True,
+                    max_fuse: int = 2) -> CompiledProgram:
+    """Compile ``ir`` (concrete parameters only) into a
+    :class:`CompiledProgram`. The first call pays one Circuit flush (which
+    populates the structure-keyed plan cache); the returned object replays
+    the captured chain on every ``run()``."""
+    sim = simulator if simulator is not None else Simulator()
+    c = Circuit(ir.num_qubits, sim, mesh=mesh, fuse=fuse, max_fuse=max_fuse)
+    for op in ir.ops:
+        c._enqueue(op.name, op.targets, op.controls, op.params, op.matrix,
+                   op.is_adjoint)
+    plan_key, values = c._flush_plan_key()
+    if plan_key is None:
+        raise ValueError(
+            "compile_program needs fully-concrete parameters (found "
+            "ParamRef slots); use QuantumProgram.update_params for "
+            "recorder-managed parameter vectors")
+    init_fn = c._init_fn()  # capture BEFORE flush: same engine decision
+    c.flush()
+    plan = _FLUSH_PLAN_CACHE.get(plan_key)
+    if plan is None:  # pragma: no cover - flush always stores concrete keys
+        raise RuntimeError("flush did not cache a plan for this program")
+    params = (jnp.asarray(values, dtype=config.real_dtype()) if values
+              else jnp.zeros((0,), dtype=config.real_dtype()))
+    return CompiledProgram(c, plan, init_fn, params, observable)
 
 
 class PauliOperator:

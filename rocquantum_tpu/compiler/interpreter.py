@@ -734,10 +734,52 @@ def _apply_pallas_block_df64(planes, block: PallasBlock, params,
                                   interpret=interpret)
 
 
+def _apply_pallas_block_df64_sharded(planes, block: PallasBlock, params,
+                                     sharding):
+    """Sharded df64 fused-kernel path — the four-plane (or two-plane
+    real-carry) twin of :func:`_apply_pallas_block_sharded`: shard_map the
+    compensated-f32 kernels over the mesh, each device streaming its LOCAL
+    hi/lo plane slices through VMEM. Gates here touch only local index
+    bits (the sharded scheduler localized the rest), so the pass is one
+    local-HBM sweep with zero ICI traffic."""
+    from jax.sharding import PartitionSpec as P
+
+    kinds, supports, gm, real_flags = pallas_block_specs_df64(block, params)
+    interpret = _pallas_interpret()
+    if planes[2] is None and not all(real_flags):
+        planes = (planes[0], planes[1], jnp.zeros_like(planes[0]),
+                  jnp.zeros_like(planes[1]))
+    real_carry = planes[2] is None
+
+    if real_carry:
+        def local_fn2(rh, rl, g):
+            out = _run_pallas_specs_df64((rh, rl, None, None), kinds,
+                                         supports, g, real_flags,
+                                         interpret=interpret)
+            return out[0], out[1]
+
+        rh, rl = jax.shard_map(
+            local_fn2, mesh=sharding.mesh,
+            in_specs=(sharding.spec, sharding.spec, P()),
+            out_specs=(sharding.spec, sharding.spec),
+            check_vma=False)(planes[0], planes[1], gm)
+        return rh, rl, None, None
+
+    def local_fn4(rh, rl, ih, il, g):
+        return _run_pallas_specs_df64((rh, rl, ih, il), kinds, supports, g,
+                                      real_flags, interpret=interpret)
+
+    return jax.shard_map(
+        local_fn4, mesh=sharding.mesh,
+        in_specs=(sharding.spec,) * 4 + (P(),),
+        out_specs=(sharding.spec,) * 4,
+        check_vma=False)(*planes, gm)
+
+
 def execute_df64(planes, ops: Sequence,
                  params: Optional[jnp.ndarray] = None,
                  fuse: bool = True, max_fuse: int = 2,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None, sharding=None):
     """``execute_pair`` on a df64 (hi/lo f32) four-plane state: PallasBlocks
     run the fused compensated-f32 kernels (ops/pallas_df64) in one HBM pass
     per planned kernel pass; every other item applies exactly per-op via
@@ -746,24 +788,47 @@ def execute_df64(planes, ops: Sequence,
     ``planes = (re_hi, re_lo, im_hi, im_lo)``; ``planes[2] is None``
     declares the state KNOWN-REAL — all-real blocks then stream 2 planes
     instead of 4, and the first complex gate materializes the imaginary
-    planes. Returns planes with the same convention."""
+    planes. Returns planes with the same convention.
+
+    ``sharding``: a NamedSharding over the flat amplitude axis — the
+    caller (Circuit.flush) has already localized gates onto non-device-
+    selecting bits via schedule_for_sharding; PallasBlocks then shard_map
+    the kernels (zero ICI traffic per pass), per-op fallbacks partition
+    under SPMD (rolls on local bits stay local; SWAP_BITS relabels lower
+    to all-to-all transposes, same contract as the f32/pair engines)."""
     n = planes[0].shape[-1].bit_length() - 1
     items = list(ops)
     if use_pallas is None:
         use_pallas = fuse and _pallas_enabled()
     if use_pallas:
         from ..ops.pallas_sv import COL_QUBITS, max_kernel_qubit
-        if n >= COL_QUBITS + 3:
-            items = fuse_pallas_runs(items, n - 1, num_qubits=n,
-                                     relabel_reach=max_kernel_qubit(n) + 1)
+        n_loc = n if sharding is None else \
+            n - (_sv_shard_count(sharding) - 1).bit_length()
+        if n_loc >= COL_QUBITS + 3:
+            items = fuse_pallas_runs(items, n_loc - 1, num_qubits=n_loc,
+                                     relabel_reach=max_kernel_qubit(n_loc)
+                                     + 1)
     if fuse:
         items = fuse_diagonals(items)
     plan = plan_fusion(items, max_fuse=max_fuse) if fuse else items
     from ..ops import df64 as dfm
+
+    def pin(planes):
+        if sharding is None:
+            return planes
+        return tuple(p if p is None
+                     else jax.lax.with_sharding_constraint(p, sharding)
+                     for p in planes)
+
     for item in plan:
         if isinstance(item, PallasBlock):
-            planes = _apply_pallas_block_df64(planes, item, params,
-                                              interpret=_pallas_interpret())
+            if sharding is not None:
+                planes = _apply_pallas_block_df64_sharded(planes, item,
+                                                          params, sharding)
+            else:
+                planes = _apply_pallas_block_df64(
+                    planes, item, params, interpret=_pallas_interpret())
+            planes = pin(planes)
             continue
         members = list(item.ops) if isinstance(item, (DiagBlock, FusedBlock)) \
             else [item]
@@ -778,6 +843,7 @@ def execute_df64(planes, ops: Sequence,
             else:
                 planes = dfm.apply_op_df64(planes, op,
                                            _resolve_params(op, params))
+            planes = pin(planes)
     return planes
 
 
@@ -1334,7 +1400,7 @@ def compile_pair32_ir(ir: CircuitIR, fuse: bool = True, max_fuse: int = 2):
 
 
 def compile_df64_fused_ir(ir: CircuitIR, fuse: bool = True,
-                          max_fuse: int = 2):
+                          max_fuse: int = 2, sharding=None):
     """Return a jitted ``f((re, im_or_None), params) -> (re, im_or_None)``
     over :func:`execute_df64` on an exact-f64 pair state — the double-float
     engine as a Circuit flush backend (``rocquantum_tpu.set_precision
@@ -1346,20 +1412,30 @@ def compile_df64_fused_ir(ir: CircuitIR, fuse: bool = True,
     f32 VPU arithmetic — the two levers the exact-f64 pair engine can never
     have on v5e, docs/FP64_GUIDE.md), and promotes back to exact f64 at the
     boundary. ``im is None`` carries a KNOWN-REAL state at half the
-    traffic, exactly like compile_pair32_ir."""
+    traffic, exactly like compile_pair32_ir.
+
+    ``sharding`` compiles the SHARDED df64 program: gates must already be
+    localized (Circuit.flush runs schedule_for_sharding first); fused
+    blocks shard_map the kernels, the state planes stay pinned to the
+    sharding throughout (the engine-global precision-switch parity the
+    reference's hipStateVec.h:7-15 regime implies)."""
     baked = tuple(float(p) for op in ir.ops for p in op.params
                   if not isinstance(p, ParamRef))
     key = (ir.structural_key(), baked, fuse, max_fuse, "df64",
-           _pallas_enabled(), _pallas_interpret())
+           _pallas_enabled(), _pallas_interpret(), sharding)
     cached = _EXEC_CACHE.get(key)
     if cached is not None:
         return cached
+    n_global = 0 if sharding is None else \
+        (_sv_shard_count(sharding) - 1).bit_length()
     segments = segment_ops(list(ir.ops), ir.num_qubits,
-                           max_items=MAX_SEGMENT_ITEMS, fuse=fuse)
+                           max_items=MAX_SEGMENT_ITEMS, fuse=fuse,
+                           n_global=n_global)
     if len(segments) > 1:
         seg_fns = [compile_df64_fused_ir(CircuitIR(ir.num_qubits, seg,
                                                    name=f"{ir.name}.seg{i}"),
-                                         fuse=fuse, max_fuse=max_fuse)
+                                         fuse=fuse, max_fuse=max_fuse,
+                                         sharding=sharding)
                    for i, seg in enumerate(segments)]
 
         def chained(pair, params):
@@ -1383,11 +1459,20 @@ def compile_df64_fused_ir(ir: CircuitIR, fuse: bool = True,
             ih = im.astype(jnp.float32)
             il = (im - ih.astype(jnp.float64)).astype(jnp.float32)
             planes = (rh, rl, ih, il)
+        if sharding is not None:
+            planes = tuple(
+                p if p is None
+                else jax.lax.with_sharding_constraint(p, sharding)
+                for p in planes)
         planes = execute_df64(planes, ops, params, fuse=fuse,
-                              max_fuse=max_fuse)
+                              max_fuse=max_fuse, sharding=sharding)
         out_re = dfm.promote_f64(planes[0], planes[1])
         out_im = None if planes[2] is None \
             else dfm.promote_f64(planes[2], planes[3])
+        if sharding is not None:
+            out_re = jax.lax.with_sharding_constraint(out_re, sharding)
+            if out_im is not None:
+                out_im = jax.lax.with_sharding_constraint(out_im, sharding)
         return out_re, out_im
 
     _EXEC_CACHE[key] = run

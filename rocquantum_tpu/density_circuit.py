@@ -295,7 +295,8 @@ class DensityCircuit(_GateMethods):
         from .compiler.interpreter import _pallas_enabled, _pallas_interpret
         env = (_pallas_enabled(), _pallas_interpret(),
                bool(os.environ.get("ROCQ_DISABLE_PAIR32")),
-               os.environ.get("ROCQ_DM_PASS_BUDGET"))
+               os.environ.get("ROCQ_DM_PASS_BUDGET"),
+               config.df64_enabled())
         return (tuple(parts), self.num_qubits, self.mesh,
                 tuple(self._layout2n), config.get_precision(),
                 self._use_pair(), self._rho is None, env), values
@@ -357,17 +358,30 @@ class DensityCircuit(_GateMethods):
         and many channels/gates preserve realness), the kernels run the
         single-plane REAL-STATE mode at half the HBM traffic.
 
-        Returns (fns, ref_map) — the compiled chain plus the recipe mapping
-        hoisted queue values to the runtime param vector (the conjugate
-        side's sign flips become extra negated entries) — or None when any
-        item lacks a 2n-view kernel form, the split is trivial, the circuit
-        is sharded/fp64, or ROCQ_DISABLE_PAIR32 is set (the caller then
-        uses the per-sub complex path, like the Circuit analog in
-        api.py flush)."""
-        if (len(subs) <= 1 or self.mesh is not None or self._use_pair()
+        In df64 mode (``set_precision("df64")``) the SAME 2n-view sub IRs
+        compile onto the double-float engine instead
+        (compile_df64_fused_ir): rho carried as the exact-f64 pair between
+        flushes, hi/lo f32 planes through the fused compensated-f32
+        kernels inside — the density twin of the Circuit df64 flush
+        (VERDICT r4 #4; the reference's precision switch is engine-global,
+        hipStateVec.h:7-15).
+
+        Returns (fns, ref_map, mode) — the compiled chain plus the recipe
+        mapping hoisted queue values to the runtime param vector (the
+        conjugate side's sign flips become extra negated entries) — or
+        None when any item lacks a 2n-view kernel form, the split is
+        trivial, the circuit is sharded/exact-fp64, or
+        ROCQ_DISABLE_PAIR32 is set (the caller then uses the per-sub
+        complex/pair path, like the Circuit analog in api.py flush)."""
+        df64 = config.df64_enabled()
+        if (self.mesh is not None or (self._use_pair() and not df64)
                 or os.environ.get("ROCQ_DISABLE_PAIR32")):
             return None
-        from .compiler.interpreter import _pallas_enabled, compile_pair32_ir
+        if len(subs) <= 1 and not df64:
+            return None
+        from .compiler.interpreter import (_pallas_enabled,
+                                           compile_df64_fused_ir,
+                                           compile_pair32_ir)
         if not _pallas_enabled():
             return None
         from .compiler.ir import CircuitIR, GateOp, ParamRef
@@ -414,16 +428,35 @@ class DensityCircuit(_GateMethods):
                 ops.append(GateOp(key, tuple(tgt), tuple(ctrl), col_refs,
                                   None, adj))
             sub_irs.append(CircuitIR(n2, ops))
+        if df64:
+            fns = [compile_df64_fused_ir(ir) for ir in sub_irs]
+            return (fns, tuple(ref_map), "df64")
         fns = [compile_pair32_ir(ir) for ir in sub_irs]
-        return (fns, tuple(ref_map))
+        return (fns, tuple(ref_map), "pair32")
 
     def _exec_pair32_plan(self, plan, qvalues):
         """Run a cached fused-pair plan against the hoisted queue values."""
-        fns, ref_map = plan
+        fns, ref_map, mode = plan
         n = self.num_qubits
         params = (jnp.asarray([s * qvalues[i] for i, s in ref_map],
                               dtype=config.real_dtype()) if ref_map
                   else jnp.zeros((0,), dtype=config.real_dtype()))
+        if mode == "df64":
+            # rho is held as the exact-f64 pair (the pairdm state form);
+            # |0><0| is REAL, so a fresh chain enters single-plane
+            if self._rho is None:
+                pair = (jnp.zeros((1 << (2 * n),), jnp.float64)
+                        .at[0].set(1.0), None)
+            else:
+                pair = tuple(self._rho)
+            for fn in fns:
+                pair = fn(pair, params)
+            re, im = pair
+            if im is None:
+                # the pairdm readback twins expect both planes
+                im = jnp.zeros_like(re)
+            self._rho = (re, im)
+            return
         if self._rho is None:
             # |0><0| is REAL: enter the chain single-plane (im=None)
             pair = (_init_rho_real(n), None)
@@ -476,7 +509,8 @@ class DensityCircuit(_GateMethods):
         helper); the sharded scheduler segments its own drains."""
         from .compiler.interpreter import _pallas_enabled, planned_pass_count
         from .ops.pallas_sv import COL_QUBITS
-        if (self.mesh is not None or self._use_pair()
+        if (self.mesh is not None
+                or (self._use_pair() and not config.df64_enabled())
                 or not _pallas_enabled()
                 or 2 * self.num_qubits < COL_QUBITS + 3
                 or len(chunk) <= 1):

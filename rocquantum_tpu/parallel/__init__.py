@@ -5,4 +5,5 @@ from .sharded import (  # noqa: F401
     sharded_init_state,
     swap_index_bits_sharded,
     num_global_qubits,
+    count_collectives,
 )

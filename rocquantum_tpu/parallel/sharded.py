@@ -109,6 +109,28 @@ def swap_index_bits_sharded(state: jax.Array, q1: int, q2: int,
     return do(state)
 
 
+def count_collectives(hlo_text: str) -> dict:
+    """Count collective ops in compiled-HLO text — the sharded scheduler's
+    communication budget, made assertable.
+
+    A scheduler regression that doubles communication changes these counts
+    without failing any numeric test; dryrun_multichip and
+    tests/test_sharded.py pin EXACT counts for canonical workloads
+    (VERDICT r4 #7; the reference's swap cost model: MULTI_GPU_GUIDE.md:
+    44-78). Counts instruction DEFINITIONS (``= <shape> <op>(``), so each
+    collective is counted once regardless of how often its name is
+    referenced."""
+    counts = {}
+    for op in ("all-to-all", "all-gather", "all-reduce",
+               "collective-permute", "reduce-scatter"):
+        # an instruction DEFINITION is the only place the bare op name is
+        # followed by '(' (references carry a %name.N suffix); async pairs
+        # (<op>-start / <op>-done) count once, via -start
+        counts[op] = (hlo_text.count(f" {op}(")
+                      + hlo_text.count(f" {op}-start("))
+    return counts
+
+
 def compile_sharded(fn, mesh: Mesh, axis_name: str = SV_AXIS,
                     donate: bool = True):
     """jit ``fn(state, params) -> state`` with the sharded-state layout

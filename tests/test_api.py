@@ -384,3 +384,59 @@ def test_flush_plan_cache_structure_reuse(monkeypatch):
     c3._enqueue("RY", (1,), (), (ParamRef(0),))
     key3, vals3 = c3._flush_plan_key()
     assert key3 is None and vals3 is None
+
+
+def test_compile_program_replay_and_sweep():
+    """compile_program (the serving hot path): repeat runs replay the
+    cached chain with no re-enqueue/re-hash; parameter-value overrides
+    sweep without recompiles; results match the per-run Circuit API."""
+    import jax.numpy as jnp
+    from rocquantum_tpu.compiler.ir import CircuitIR
+
+    n = 4
+    ir = CircuitIR(n)
+    ir.add("H", [0])
+    ir.add("RY", [1], params=[0.3])
+    ir.add("CNOT", [2], controls=[0])
+    ir.add("RZ", [3], params=[0.5])
+    obs = rocq.PauliOperator("Z1")
+
+    prog = rocq.compile_program(ir, rocq.Simulator(seed=2), observable=obs)
+    v1 = prog.run()
+    v2 = prog.run()  # replay: identical
+    assert abs(v1 - v2) < 1e-7
+    assert abs(v1 - np.cos(0.3)) < 1e-5
+
+    # parameter sweep: same structure, new values, no re-hash
+    assert prog.num_params == 2
+    v3 = prog.run([0.9, 0.5])
+    assert abs(v3 - np.cos(0.9)) < 1e-5
+    with pytest.raises(ValueError):
+        prog.run([0.1])  # wrong arity
+
+    # reference: the plain Circuit API
+    c = rocq.Circuit(n, rocq.Simulator(seed=2))
+    c.h(0)
+    c.ry(0.9, 1)
+    c.cx(0, 2)
+    c.rz(0.5, 3)
+    assert abs(v3 - c.expval(obs)) < 1e-6
+
+    # no observable: run() returns the positioned Circuit handle
+    prog2 = rocq.compile_program(ir, rocq.Simulator(seed=2))
+    h = prog2.run()
+    ref = rocq.Circuit(ir.num_qubits, rocq.Simulator())
+    for op in ir.ops:
+        ref._enqueue(op.name, op.targets, op.controls, op.params, op.matrix,
+                     op.is_adjoint)
+    ref.flush()
+    np.testing.assert_allclose(h.get_statevector(), ref.get_statevector(),
+                               atol=1e-6)
+
+
+def test_compile_program_rejects_param_refs():
+    from rocquantum_tpu.compiler.ir import CircuitIR, ParamRef
+    ir = CircuitIR(2)
+    ir.add("RY", [0], params=[ParamRef(0)])
+    with pytest.raises(ValueError):
+        rocq.compile_program(ir, rocq.Simulator())

@@ -18,7 +18,9 @@ def _run(args, env_extra=None, timeout=280):
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["ROCQ_BENCH_REPS"] = "2"
-    env["ROCQ_BENCH_DF64_REPS"] = "2"
+    # df64 reps deliberately NOT forced: XLA:CPU compile time is
+    # super-linear in the unrolled df64 gate count, so the probe's own
+    # CPU guard (reps=1) is exactly what this smoke run must exercise
     if env_extra:
         env.update(env_extra)
     out = subprocess.run(
@@ -48,3 +50,39 @@ def test_probe_runs(args, key):
             assert rec[key] > 0
             return
     raise AssertionError(f"no {key} line in bench output")
+
+
+def test_orchestration_emits_incrementally():
+    """The full no-args orchestration at tiny CPU sizes: every probe's
+    metric must appear as its own flushed partial line AND in the final
+    merged record — the round-4 failure mode (single end-of-run print,
+    global timeout => empty tail) must stay dead."""
+    import json
+    out = _run([], env_extra={
+        "ROCQ_BENCH_SIZES": "8",
+        "ROCQ_BENCH_QFT_N": "6",
+        "ROCQ_BENCH_QFT_BIG_N": "7",
+        "ROCQ_BENCH_DENSITY_N": "3",
+        "ROCQ_BENCH_DENSITY_N2": "4",
+        "ROCQ_BENCH_FP64_N": "6",
+        "ROCQ_BENCH_TN_DIM": "64",
+        "ROCQ_BENCH_DEADLINE_S": "600",
+        "ROCQ_ANSATZ_BODY": "2",
+    }, timeout=600)
+    lines = [json.loads(ln) for ln in out.splitlines()
+             if ln.startswith("{")]
+    partials = [ln for ln in lines if ln.get("bench_partial")]
+    finals = [ln for ln in lines if "bench_elapsed_s" in ln]
+    assert len(finals) == 1, out
+    final = finals[0]
+    # the driver contract fields
+    for k in ("metric", "value", "unit", "vs_baseline"):
+        assert k in final, final
+    assert final["value"] > 0, final
+    # each subsystem's metric landed as a partial BEFORE the final line
+    banked = {k for p in partials for k in p}
+    for k in ("value", "qft_n20_ms", "ansatz_gates_per_sec",
+              "density_n13_ops_per_sec", "density_n14_ops_per_sec",
+              "tn_sliced_gflops", "fp64_n26_gates_per_sec",
+              "df64_n26_gates_per_sec"):
+        assert k in banked and k in final, (k, sorted(banked), final)

@@ -262,3 +262,57 @@ def test_fused_pair_split_chain(monkeypatch):
                                atol=1e-5)
     tr = np.trace(rho_fused)
     assert abs(tr - 1.0) < 1e-5
+
+
+def test_density_df64_plan(monkeypatch):
+    """Density df64 (VERDICT r4 #4): in ``set_precision("df64")`` mode the
+    flush compiles the 2n-view item stream onto the double-float engine
+    (compile_df64_fused_ir through _build_pair32_plan), carrying rho as
+    the exact-f64 pair — and matches the exact pairdm engine to df64
+    accuracy. The circuit is kept SHORT: the per-op df64 fallback's
+    XLA:CPU compile cost is super-linear in gate count (bench.py guard)."""
+    monkeypatch.setenv("ROCQ_PALLAS_INTERPRET", "1")
+    import jax.numpy as jnp
+    import rocquantum_tpu as rocq
+    from rocquantum_tpu import config
+    from rocquantum_tpu import density_circuit as dcm
+
+    n = 3
+    old = config.get_precision()
+    config.set_precision("df64")
+    try:
+        engaged = {}
+        orig = dcm.DensityCircuit._exec_pair32_plan
+
+        def spy(self, plan, qvalues):
+            engaged["mode"] = plan[2]
+            return orig(self, plan, qvalues)
+
+        monkeypatch.setattr(dcm.DensityCircuit, "_exec_pair32_plan", spy)
+
+        def load(dc):
+            dc.h(0)
+            dc.ry(0.3, 1)
+            dc.cx(0, 2)
+            dc.rz(0.4, 2)
+            dc.apply_channel("depolarizing", 0.05, [1])
+
+        dc = dcm.DensityCircuit(n, rocq.Simulator(seed=1))
+        load(dc)
+        dc.flush()
+        assert engaged.get("mode") == "df64", engaged
+        assert isinstance(dc._rho, tuple)
+        assert dc._rho[0].dtype == jnp.float64
+        z = dc.expval(rocq.PauliOperator("Z0"))
+
+        # exact pairdm reference (same precision contract, no df64 engine)
+        config.set_precision("double")
+        dc2 = dcm.DensityCircuit(n, rocq.Simulator(seed=1))
+        load(dc2)
+        dc2.flush()
+        z2 = dc2.expval(rocq.PauliOperator("Z0"))
+        assert abs(z - z2) < 1e-10, (z, z2)
+        np.testing.assert_allclose(dc.get_density_matrix(),
+                                   dc2.get_density_matrix(), atol=1e-10)
+    finally:
+        config.set_precision(old)

@@ -490,6 +490,73 @@ class TestShardedCircuitFuzz:
                                    cb.get_probabilities([0, n - 1]),
                                    atol=2e-5)
 
+    def test_sharded_df64_matches_unsharded(self, monkeypatch):
+        """Sharded df64 (VERDICT r4 #4): the double-float engine covers
+        sharded circuits too — the engine-global precision-switch parity
+        of the reference (hipStateVec.h:7-15). Per-op (sub-pallas-size)
+        path: sharded flush tracks the unsharded df64 run to df64
+        accuracy, state stays the exact-f64 pair over the mesh."""
+        from rocquantum_tpu import config
+        monkeypatch.setenv("ROCQ_PALLAS_INTERPRET", "1")
+        old = config.get_precision()
+        config.set_precision("df64")
+        try:
+            mesh = make_mesh(8)
+            n = 8
+
+            def drive(c):
+                c.h(n - 1)              # global qubit -> relabel
+                c.cx(n - 1, 0)          # global control
+                c.rz(0.4, n - 1)        # global diagonal: comm-free
+                c.ry(0.7, n - 2)
+                c.cz(n - 2, 1)
+                c.flush()
+                return c
+
+            ca = drive(rocq.Circuit(n, rocq.Simulator(seed=3), mesh=mesh))
+            cb = drive(rocq.Circuit(n, rocq.Simulator(seed=3)))
+            assert ca._use_df64() and cb._use_df64()
+            assert isinstance(ca._state, tuple)
+            assert ca._state[0].dtype == jnp.float64
+            assert len(ca._state[0].sharding.device_set) == 8
+            np.testing.assert_allclose(ca.get_statevector(),
+                                       cb.get_statevector(), atol=1e-12)
+        finally:
+            config.set_precision(old)
+
+    def test_sharded_df64_pallas_blocks(self, monkeypatch):
+        """Sharded df64 at fused-kernel size (n_loc >= 15): PallasBlocks
+        run shard_mapped compensated-f32 kernels per shard (interpret mode
+        here); result tracks the exact-f64 pair engine."""
+        from rocquantum_tpu import config
+        from rocquantum_tpu.ops import pairsim
+        monkeypatch.setenv("ROCQ_PALLAS_INTERPRET", "1")
+        old = config.get_precision()
+        config.set_precision("df64")
+        try:
+            mesh = make_mesh(8)
+            n = 18  # n_loc = 15 = COL_QUBITS + 3: the fused path engages
+
+            def drive(c):
+                for q in range(n):
+                    c.ry(0.1 + 0.03 * q, q)
+                for q in range(0, n - 1, 2):
+                    c.cx(q, q + 1)
+                c.rz(0.21, n - 1)
+                c.flush()
+                return c
+
+            ca = drive(rocq.Circuit(n, rocq.Simulator(seed=4), mesh=mesh))
+            assert ca._use_df64()
+            assert len(ca._state[0].sharding.device_set) == 8
+            # exact-f64 pair engine reference (unsharded)
+            config.set_precision("double")
+            cb = drive(rocq.Circuit(n, rocq.Simulator(seed=4)))
+            np.testing.assert_allclose(ca.get_statevector(),
+                                       cb.get_statevector(), atol=1e-11)
+        finally:
+            config.set_precision(old)
+
     @pytest.mark.parametrize("seed", [10, 11])
     def test_random_circuits_match_fp64_pair(self, seed):
         """Same fuzz at double precision: the sharded PAIR engine tracks
@@ -513,6 +580,61 @@ class TestShardedCircuitFuzz:
                                        err_msg=f"seed={seed}")
         finally:
             config.set_precision(old)
+
+
+@requires_multi
+def test_collective_counts_pinned():
+    """EXACT communication budget for canonical sharded workloads
+    (VERDICT r4 #7): a scheduler regression that doubles collectives
+    changes these counts without failing any numeric test — so the counts
+    themselves are the test. Budgets (measured from compiled HLO, also
+    asserted by __graft_entry__.dryrun_multichip):
+      * H(global)+CNOT(global->0)+RY: one relabel in + one back = 2
+        all-to-alls, nothing else;
+      * global diagonals (CZ, RZ): ZERO collectives;
+      * one RY-column+CNOT-ring ansatz layer: 3 global qubits = 3 relabel
+        round-trips = 6 all-to-alls."""
+    import re  # noqa: F401
+    from rocquantum_tpu.compiler.sharded_schedule import schedule_for_sharding
+    from rocquantum_tpu.parallel import count_collectives
+
+    n = 12
+    mesh = make_mesh(8)
+
+    def counts_of(ir):
+        ops, _ = schedule_for_sharding(ir.ops, n, num_global_qubits(mesh))
+        fn = compile_ir(CircuitIR(n, ops), sharding=state_sharding(mesh),
+                        donate=False)
+        n_params = sum(len(op.params) for op in ir.ops)
+        txt = jax.jit(lambda s, p: fn(s, p)).lower(
+            jax.ShapeDtypeStruct((1 << n,), jnp.complex64,
+                                 sharding=state_sharding(mesh)),
+            jax.ShapeDtypeStruct((max(n_params, 1),), jnp.float32)
+        ).compile().as_text()
+        return count_collectives(txt)
+
+    canonical = CircuitIR(n)
+    canonical.add("H", [n - 1])
+    canonical.add("CNOT", [0], controls=[n - 1])
+    canonical.add("RY", [n - 2], params=[0.3])
+    assert counts_of(canonical) == {
+        "all-to-all": 2, "all-gather": 0, "all-reduce": 0,
+        "collective-permute": 0, "reduce-scatter": 0}
+
+    diag = CircuitIR(n)
+    diag.add("CZ", [0, n - 1])
+    diag.add("RZ", [n - 1], params=[0.4])
+    assert all(v == 0 for v in counts_of(diag).values())
+
+    ansatz = CircuitIR(n)
+    for q in range(n):
+        ansatz.add("RY", [q], params=[0.1 * (q + 1)])
+    for q in range(n):
+        ansatz.add("CNOT", [(q + 1) % n], controls=[q])
+    acc = counts_of(ansatz)
+    assert acc == {
+        "all-to-all": 6, "all-gather": 0, "all-reduce": 0,
+        "collective-permute": 0, "reduce-scatter": 0}, acc
 
 
 def test_north_star_n32_sharded_compiles():
