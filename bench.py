@@ -899,6 +899,22 @@ def main_orchestrate():
         _bank(error="no 1q size completed within budget")
         n_used = SIZES[0]
 
+    # n=31 single-chip capacity probe: ONE 8 GiB f32 real-carry plane —
+    # reachable only with the kernel-layout init (init_zero_state_tiled;
+    # the r4 XLA pad->retile temp put the same program 260 MB over HBM).
+    # A separate banked metric: the headline stays at n=30 (absolute
+    # gates/s halve per extra qubit; vs_baseline is the comparable figure).
+    if n_used == 30 and not _skip("n31"):
+        n31 = _probe_subprocess(["--size", "31"], "gates_per_sec",
+                                timeout=_clip_timeout(PER_SIZE_TIMEOUT_S),
+                                env_extra={"ROCQ_BENCH_REPS": "16"})
+        if _ok(n31):
+            _bank(n31_gates_per_sec=round(n31["gates_per_sec"], 2),
+                  n31_gbps=round(n31["gates_per_sec"] * 16.0 * (1 << 31)
+                                 / 1e9, 1))
+        else:
+            _bank(n31_error=n31["_error"])
+
     if not _skip("qft_n20"):
         qft = _retry(probe_qft)
         if _ok(qft):

@@ -1088,10 +1088,30 @@ def execute(state: jnp.ndarray, ops: Sequence, params: Optional[jnp.ndarray] = N
     return state
 
 
+def _tiled_init_wanted(n: int) -> bool:
+    """Kernel-layout |0...0> init: only where the fused kernels will
+    consume it (real TPU, kernel-sized n) — the XLA ``pad`` init there
+    carries the flat {T(1024)} layout and forces a physical retiling copy
+    into the kernels' (R, C) view, which at n=31 is the 8 GiB temp that
+    OOMed the chip (ROADMAP r4 capacity edge)."""
+    from ..ops.pallas_sv import COL_QUBITS
+    if n < COL_QUBITS + 3 or _pallas_interpret() or not _pallas_enabled():
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def init_pair(n: int):
     """|0...0> as a (re, im) float32 pair — HALF the working-set of the
     complex64 + conversion path, which is what lets n=30 (8 GiB of state)
-    fit one 16 GiB v5e chip."""
+    fit one 16 GiB v5e chip. At kernel sizes on TPU the planes are written
+    in the fused kernels' tiled layout (init_zero_state_tiled) so no
+    retiling copy ever materializes."""
+    if _tiled_init_wanted(n):
+        from ..ops.pallas_sv import init_zero_state_tiled
+        return init_zero_state_tiled(n), jnp.zeros((1 << n,), jnp.float32)
     re = jnp.zeros((1 << n,), jnp.float32).at[0].set(1.0)
     im = jnp.zeros((1 << n,), jnp.float32)
     return re, im
@@ -1103,6 +1123,9 @@ def init_real(n: int):
     hardware-efficient RealAmplitudes ansatz family) keep a real state, so
     the fused kernels stream ONE plane instead of two: half the HBM
     traffic of the complex64 cost model per pass."""
+    if _tiled_init_wanted(n):
+        from ..ops.pallas_sv import init_zero_state_tiled
+        return init_zero_state_tiled(n)
     return jnp.zeros((1 << n,), jnp.float32).at[0].set(1.0)
 
 

@@ -36,8 +36,15 @@ from . import gates as G
 
 
 def init_pair(n: int, dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """|0...0> as a float pair."""
+    """|0...0> as a float pair. f32 planes at kernel size on TPU are
+    written in the fused kernels' tiled layout (no retiling copy — the
+    n=31 capacity fix, see interpreter._tiled_init_wanted)."""
     dt = dtype or config.real_dtype()
+    if dt == jnp.float32:
+        from ..compiler.interpreter import _tiled_init_wanted
+        if _tiled_init_wanted(n):
+            from .pallas_sv import init_zero_state_tiled
+            return init_zero_state_tiled(n), jnp.zeros((1 << n,), dt)
     re = jnp.zeros((1 << n,), dt).at[0].set(1.0)
     return re, jnp.zeros((1 << n,), dt)
 

@@ -43,8 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .df64 import df_add, df_mul, df_neg, df_select, split_f64
 from .pallas_sv import (COL_QUBITS, TILE_ROWS_LOG2, MAX_PAIR_GROUPS,
-                        _free_bit_sel, _grid_semantics, _mask_factory,
-                        _pair_groups, _prune_pair_bits, max_pair_bits_for)
+                        _free_bit_sel, _grid_semantics, _i32_map,
+                        _mask_factory, _pair_groups, _prune_pair_bits,
+                        max_pair_bits_for)
 
 
 # ---------------------------------------------------------------------------
@@ -536,14 +537,15 @@ def apply_fused_layer_df64(rh: jnp.ndarray, rl: jnp.ndarray,
     nplanes = len(planes)
 
     gspec = pl.BlockSpec((len(specs), 2, 2, 4),
-                         lambda *idx: (0,) * 4, memory_space=pltpu.VMEM)
+                         _i32_map(lambda *idx: (0,) * 4),
+                         memory_space=pltpu.VMEM)
 
     if not pair_bits:
         grid = (max(R // tile_rows, 1),)
         kernel = functools.partial(_kernel_df, specs=specs,
                                    real_flags=real_flags, col_qubits=col,
                                    tile_rows=tile_rows)
-        block = pl.BlockSpec((tile_rows, C), lambda i: (i, 0),
+        block = pl.BlockSpec((tile_rows, C), _i32_map(lambda i: (i, 0)),
                              memory_space=pltpu.VMEM)
         params = {}
         sem = _grid_semantics(len(grid))
@@ -594,7 +596,8 @@ def apply_fused_layer_df64(rh: jnp.ndarray, rl: jnp.ndarray,
             out.extend((0, idx[1 + j]))
         return tuple(out) + (0, 0)
 
-    block = pl.BlockSpec(block_shape, index_map, memory_space=pltpu.VMEM)
+    block = pl.BlockSpec(block_shape, _i32_map(index_map),
+                         memory_space=pltpu.VMEM)
     params = {}
     if not interpret:
         # paired blocks x planes must fit beside the double-buffered

@@ -296,6 +296,18 @@ _MIN_MID_DOT = 2
 _MIN_PAIR_DOT = 2
 
 
+def _i32_map(fn):
+    """Force a BlockSpec index map's outputs to int32. Under
+    ``jax_enable_x64`` (the df64/double regimes) Python-int literals in an
+    index map trace as i64, and Mosaic rejects the lowered map with
+    "failed to legalize operation 'func.return'" ((i64, ...) returns) on
+    real hardware — interpret mode masks this, which is why it first
+    surfaced on-chip (r5 df64 bench)."""
+    def wrapped(*idx):
+        return tuple(jnp.asarray(v, jnp.int32) for v in fn(*idx))
+    return wrapped
+
+
 def _grid_semantics(grid_len: int) -> dict:
     """ROCQ_GRID_PARALLEL=1 marks every grid dim "parallel": each grid step
     of the fused passes touches an independent block (identity in/out maps,
@@ -1433,7 +1445,8 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
     tile_rows = min(tile_rows, R)
 
     gspec = pl.BlockSpec((len(specs), 2, 2, 2),
-                         lambda *idx: (0,) * 4, memory_space=pltpu.VMEM)
+                         _i32_map(lambda *idx: (0,) * 4),
+                         memory_space=pltpu.VMEM)
 
     if not pair_bits:
         re2 = re.reshape(R, C)
@@ -1442,7 +1455,7 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
                                    real_flags=real_flags, col_qubits=col,
                                    tile_rows=tile_rows,
                                    use_mxu=_mxu_enabled())
-        block = pl.BlockSpec((tile_rows, C), lambda i: (i, 0),
+        block = pl.BlockSpec((tile_rows, C), _i32_map(lambda i: (i, 0)),
                              memory_space=pltpu.VMEM)
         params = {}
         sem = _grid_semantics(len(grid))
@@ -1533,7 +1546,8 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
             out.extend((0, idx[1 + j]))
         return tuple(out) + (0, 0)
 
-    block = pl.BlockSpec(block_shape, index_map, memory_space=pltpu.VMEM)
+    block = pl.BlockSpec(block_shape, _i32_map(index_map),
+                         memory_space=pltpu.VMEM)
     # paired blocks are 2^k x the unpaired ones; scoped-vmem must hold the
     # double-buffered in/out set (v5e physical VMEM is 128 MiB). The limit
     # scales with the paired-block bytes (measured: 4 MiB blocks need the
@@ -1570,6 +1584,47 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
         **params,
     )(gate_mats, re_v, im_v)
     return out_re.reshape(re.shape), out_im.reshape(im.shape)
+
+
+def init_zero_state_tiled(n: int, interpret: bool = False) -> jnp.ndarray:
+    """|0...0> as a flat (2^n,) f32 plane, WRITTEN by a Pallas kernel in
+    the fused kernels' native (R, C) tiled layout.
+
+    Why not ``jnp.zeros(...).at[0].set(1.0)``: XLA materializes that as a
+    ``pad`` with the flat 1-D {T(1024)} layout, and the first kernel
+    pass's (R, C)/{T(8,128)} view then needs a PHYSICAL retiling copy —
+    two full-state HLO temps. At n=31 (8 GiB planes) that copy is the
+    single-chip OOM of record (16.00 GiB program vs 15.75 GiB HBM,
+    ROADMAP r4 capacity-edge note). Emitting the state straight into the
+    kernel layout makes the downstream flat<->(R, C) reshapes cancel
+    structurally, so the whole unrolled in-place pass chain peaks at ONE
+    plane."""
+    col = min(COL_QUBITS, n)
+    tile_log2 = min(TILE_ROWS_LOG2, n - col)
+    tile_rows = 1 << tile_log2
+    C = 1 << col
+    R = 1 << (n - col)
+    tile_rows = min(tile_rows, R)
+    grid = (max(R // tile_rows, 1),)
+
+    def kernel(out_ref):
+        i = pl.program_id(0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, C), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, C), 1)
+        first = (i == 0) & (rows == 0) & (cols == 0)
+        out_ref[...] = jnp.where(first, 1.0, 0.0).astype(jnp.float32)
+
+    block = pl.BlockSpec((tile_rows, C), _i32_map(lambda i: (i, 0)),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct((R, C), jnp.float32),
+        interpret=interpret,
+    )()
+    return out.reshape((1 << n,))
 
 
 def pack_gate_mats(mats: List[np.ndarray]) -> np.ndarray:

@@ -104,6 +104,7 @@ def _rotate_bits_down_pallas(x: jnp.ndarray, n: int, shift: int,
 
     Requires shift <= n - 17 (no wrap of the 10-bit window) and n >= 17.
     """
+    from .pallas_sv import _i32_map
     size = n - ROT_LO
     s = shift % size
     if s == 0:
@@ -123,11 +124,11 @@ def _rotate_bits_down_pallas(x: jnp.ndarray, n: int, shift: int,
         kernel,
         grid=(hi_count, 1 << s),
         in_specs=[pl.BlockSpec((1, 1 << 10, 1 << ROT_LO),
-                               lambda h, t: (h, 0, t),
+                               _i32_map(lambda h, t: (h, 0, t)),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 32, 32, 1 << ROT_LO),
-                               lambda h, t, _hi=hi_count: (t * _hi + h,
-                                                           0, 0, 0),
+                               _i32_map(lambda h, t, _hi=hi_count:
+                                        (t * _hi + h, 0, 0, 0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
         interpret=interpret,

@@ -1037,3 +1037,13 @@ def test_execute_pair_real_plane(monkeypatch):
     re2, im2 = execute_pair(*init_pair(n), ir.ops)
     np.testing.assert_allclose(np.asarray(re), np.asarray(re2), atol=2e-5)
     np.testing.assert_allclose(np.asarray(im), np.asarray(im2), atol=2e-5)
+
+
+def test_init_zero_state_tiled_matches():
+    """The kernel-layout |0..0> writer (n=31 capacity fix) produces
+    exactly the canonical state."""
+    from rocquantum_tpu.ops.pallas_sv import init_zero_state_tiled
+    out = np.asarray(init_zero_state_tiled(15, interpret=True))
+    assert out.shape == (1 << 15,)
+    assert out[0] == 1.0
+    assert not out[1:].any()
