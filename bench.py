@@ -750,13 +750,14 @@ def _ok(rec) -> bool:
 
 
 def probe_qft(n=QFT_N):
-    return _probe_subprocess(["--qft", str(n)], "qft_ms")
+    return _probe_subprocess(["--qft", str(n)], "qft_ms",
+                             timeout=_clip_timeout(QFT_TIMEOUT_S))
 
 
 def probe_density():
     rec = _probe_subprocess(["--density", str(DENSITY_N)],
                             "density_ops_per_sec",
-                            timeout=DENSITY_TIMEOUT_S)
+                            timeout=_clip_timeout(DENSITY_TIMEOUT_S))
     if _ok(rec):
         # honor a caller-exported kill switch: the first attempt inherits
         # the env, so its success is NOT a pallas measurement then
@@ -769,6 +770,7 @@ def probe_density():
     # but carry the pallas failure loudly
     rec = _probe_subprocess(["--density", str(DENSITY_N)],
                             "density_ops_per_sec",
+                            timeout=_clip_timeout(QFT_TIMEOUT_S),
                             env_extra={"ROCQ_DISABLE_PALLAS": "1"})
     if _ok(rec):
         rec["density_kernel"] = "einsum"
@@ -778,7 +780,8 @@ def probe_density():
 
 
 def probe_tensornet():
-    return _probe_subprocess(["--tensornet"], "tn_gflops")
+    return _probe_subprocess(["--tensornet"], "tn_gflops",
+                             timeout=_clip_timeout(QFT_TIMEOUT_S))
 
 
 def probe_1q(warm: bool):
