@@ -36,6 +36,7 @@ EXAMPLES = [
     "qaoa_maxcut.py",
     "phase_estimation_grover.py",
     "fp64_chemistry.py",
+    "compiled_program_serving.py",
 ]
 
 
