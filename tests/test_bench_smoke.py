@@ -86,3 +86,29 @@ def test_orchestration_emits_incrementally():
               "tn_sliced_gflops", "fp64_n26_gates_per_sec",
               "df64_n26_gates_per_sec"):
         assert k in banked and k in final, (k, sorted(banked), final)
+
+
+def test_cache_stamp_roundtrip(monkeypatch):
+    """Cold-cache detection: the stamp matches only while no traced
+    source has changed (the persistent compile cache is source-location
+    sensitive, so ANY library edit must flip bench back to the cold
+    ladder)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    fp1 = bench._source_fingerprint()
+    assert fp1 == bench._source_fingerprint()  # deterministic
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        monkeypatch.setattr(bench, "_STAMP_PATH",
+                            os.path.join(td, "stamp.json"))
+        assert not bench.cache_is_warm()  # no stamp yet
+        bench.write_cache_stamp()
+        assert bench.cache_is_warm()
+        # a source change flips it cold
+        monkeypatch.setattr(bench, "_source_fingerprint", lambda: "other")
+        assert not bench.cache_is_warm()
