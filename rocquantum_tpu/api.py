@@ -462,7 +462,9 @@ class Circuit(_GateMethods):
         if self._layout == list(range(self.num_qubits)):
             return
         from .compiler.sharded_schedule import unpermute_ops
-        ops = unpermute_ops(self._layout)
+        # sharded restores merge into ONE PERMUTE_BITS (one ICI round);
+        # single-device keeps the SWAP chain (re-expressed as SWAP gates)
+        ops = unpermute_ops(self._layout, merge=self.mesh is not None)
         if self._use_pair():
             # pair engine: on one device an index-bit swap IS a SWAP gate
             # (exact roll+mask, no transpose materialization); sharded, the

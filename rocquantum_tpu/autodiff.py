@@ -71,7 +71,7 @@ def make_reversible_execute(ops: Sequence[GateOp]):
 
     ops = list(ops)
     for op in ops:
-        if op.name == "SWAP_BITS":
+        if op.name in ("SWAP_BITS", "PERMUTE_BITS"):
             continue
         if op.matrix is None and op.name.upper() in ("UNITARY",):
             raise ValueError("UNITARY op requires a matrix")

@@ -840,6 +840,11 @@ def execute_df64(planes, ops: Sequence,
                 planes = tuple(
                     sv.swap_index_bits(p, op.targets[0], op.targets[1],
                                        use_transpose=True) for p in planes)
+            elif op.name == "PERMUTE_BITS":
+                d, s = ((op.controls, op.targets) if op.is_adjoint
+                        else (op.targets, op.controls))
+                planes = tuple(sv.permute_index_bits(p, d, s)
+                               for p in planes)
             else:
                 planes = dfm.apply_op_df64(planes, op,
                                            _resolve_params(op, params))
@@ -908,6 +913,13 @@ def apply_op(state: jnp.ndarray, op: GateOp,
         # fused-einsum SWAP avoids a padded materialized transpose
         return sv.swap_index_bits(state, op.targets[0], op.targets[1],
                                   use_transpose=sharded)
+    if op.name == "PERMUTE_BITS":
+        # batched relabel (scheduler prefetch): one transpose for the
+        # whole swap set — one ICI all-to-all round under sharding.
+        # Adjoint = the inverse permutation (swap dsts/srcs).
+        d, s = ((op.controls, op.targets) if op.is_adjoint
+                else (op.targets, op.controls))
+        return sv.permute_index_bits(state, d, s)
     base, controls, targets = _split_op(op)
     mat = _base_matrix(op, params)
     return sv.apply_controlled_matrix(state, mat, controls, targets)

@@ -138,7 +138,7 @@ def fuse_pallas_runs(items: List[object], max_qubit: int,
             s = _sup(item)
             return len(s) == 2 and all(q <= max_qubit for q in s)
         return (not item.controls and len(item.targets) == 1
-                and name not in ("SWAP_BITS", "SWAP")
+                and name not in ("SWAP_BITS", "PERMUTE_BITS", "SWAP")
                 and item.targets[0] <= max_qubit)
 
     def emit_run(ops):
@@ -301,7 +301,8 @@ def plan_fusion(ops: List[GateOp], max_fuse: int = 2) -> List[object]:
             emitted.append(op)
             continue
         q = _support(op)
-        if len(q) > max_fuse or op.name == "SWAP_BITS":
+        if len(q) > max_fuse or op.name in ("SWAP_BITS",
+                                            "PERMUTE_BITS"):
             # SWAP_BITS is a layout relabel, not a unitary to fuse — it must
             # stay a transpose so sharded states reshard via all-to-all
             flush([b for b in open_blocks if set(b.qubits) & set(q)])
@@ -368,7 +369,7 @@ def _consolidate_region(items: List[object], region: set,
             out.append(item)
             continue
         is_relabel = (not isinstance(item, (FusedBlock, DiagBlock))
-                      and item.name == "SWAP_BITS")
+                      and item.name in ("SWAP_BITS", "PERMUTE_BITS"))
         if s <= region and not is_relabel:
             if open_block is None:
                 open_block = FusedBlock(qubits=block_qubits, ops=[])

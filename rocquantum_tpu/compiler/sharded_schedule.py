@@ -21,6 +21,11 @@ from typing import List, Sequence, Tuple
 from .ir import GateOp
 
 SWAP_BITS = "SWAP_BITS"  # pseudo-op: exchange two physical index bits
+# pseudo-op: composed multi-bit relabel — new bit targets[i] takes the
+# value of old bit controls[i]. ONE transpose / ICI all-to-all round for a
+# whole batch of swaps (sv.permute_index_bits); the scheduler emits it
+# when Belady-guarded prefetching batches several global-qubit demands.
+PERMUTE_BITS = "PERMUTE_BITS"
 
 
 def _is_plain_swap(op: GateOp) -> bool:
@@ -114,19 +119,72 @@ def schedule_for_sharding(ops: Sequence[GateOp], n: int, n_global: int,
             raise ValueError(
                 f"gate support {sorted(support)} exceeds the local region "
                 f"({n_local} qubits)")
-        for q in sorted(support):
-            if layout[q] < n_local:
-                continue
-            # find eviction victim: local-bit owner not in this op's
-            # support with the farthest next use
+        demanded = [q for q in sorted(support) if layout[q] >= n_local]
+        if demanded:
+            # Belady-guarded PREFETCH BATCHING: gather upcoming global-
+            # qubit demands (first-use order) and localize them together —
+            # each accepted pair rides the SAME PERMUTE_BITS, so a column
+            # of gates over the global region costs ONE transpose / ICI
+            # all-to-all round instead of one per qubit. A prefetch is
+            # accepted only when the evicted bit's next use lies AFTER the
+            # prefetched qubit's first use (otherwise it is a net loss and
+            # the scan stops — later candidates are used even later).
+            seen = set(demanded)
+            # windowed lookahead: keeps host-side scheduling O(N) on long
+            # queues while still catching whole gate columns
+            for later in ops[step + 1:step + 1 + 8 * n]:
+                if is_diagonal(later) or _is_plain_swap(later):
+                    continue
+                for q in list(later.targets) + list(later.controls):
+                    if q not in seen and layout[q] >= n_local:
+                        demanded.append(q)
+                        seen.add(q)
+            pairs = []  # (global_phys, victim_phys, logical_q, victim_lq)
+            taken = set()  # victim physical bits already claimed
+            protected = set(support)
             phys_owner = {layout[l]: l for l in range(n)}
-            candidates = [(next_use_of(phys_owner[p], step), p)
-                          for p in range(n_local)
-                          if phys_owner[p] not in support]
-            _, victim_phys = max(candidates)
-            victim_logical = phys_owner[victim_phys]
-            out.append(GateOp(SWAP_BITS, (layout[q], victim_phys)))
-            layout[q], layout[victim_logical] = victim_phys, layout[q]
+            # cap: each pair exposes 2 bits in the relabel transpose's
+            # view; >8 exposed bits means rank>17 views, which stall the
+            # TPU compiler (CLAUDE.md) — 4 pairs per relabel max, but
+            # never below the CURRENT op's required set
+            n_req = sum(1 for q in demanded if q in support)
+            cap = max(4, n_req)
+            demanded = demanded[:cap]
+            for idx, q in enumerate(demanded):
+                candidates = [(next_use_of(phys_owner[p], step), p)
+                              for p in range(n_local)
+                              if p not in taken
+                              and phys_owner[p] not in protected
+                              and phys_owner[p] not in seen]
+                if not candidates and q in support:
+                    # a REQUIRED qubit must land: allow evicting a
+                    # future-demanded occupant (prefetch exclusions are
+                    # best-effort, locality is not)
+                    candidates = [(next_use_of(phys_owner[p], step), p)
+                                  for p in range(n_local)
+                                  if p not in taken
+                                  and phys_owner[p] not in protected]
+                if not candidates:
+                    break
+                victim_next, victim_phys = max(candidates)
+                if q not in support and victim_next <= next_use_of(q, step):
+                    break  # prefetch would evict a sooner-needed bit
+                victim_logical = phys_owner[victim_phys]
+                pairs.append((layout[q], victim_phys, q, victim_logical))
+                taken.add(victim_phys)
+                protected.add(q)
+            if len(pairs) == 1:
+                g_phys, v_phys, q, v_lq = pairs[0]
+                out.append(GateOp(SWAP_BITS, (g_phys, v_phys)))
+            else:
+                # one composed relabel: new[v] = old[g], new[g] = old[v]
+                dsts, srcs = [], []
+                for g_phys, v_phys, _, _ in pairs:
+                    dsts.extend((v_phys, g_phys))
+                    srcs.extend((g_phys, v_phys))
+                out.append(GateOp(PERMUTE_BITS, tuple(dsts), tuple(srcs)))
+            for g_phys, v_phys, q, v_lq in pairs:
+                layout[q], layout[v_lq] = v_phys, g_phys
         # emit the gate on physical bits
         out.append(GateOp(op.name,
                           tuple(layout[t] for t in op.targets),
@@ -138,10 +196,58 @@ def schedule_for_sharding(ops: Sequence[GateOp], n: int, n_global: int,
     return out, layout
 
 
-def unpermute_ops(layout: Sequence[int]) -> List[GateOp]:
-    """SWAP_BITS sequence restoring the identity layout (for full
-    statevector readback in logical order)."""
+def unpermute_ops(layout: Sequence[int], merge: bool = False
+                  ) -> List[GateOp]:
+    """Relabel sequence restoring the identity layout (for full
+    statevector readback in logical order). ``merge=True`` (sharded
+    callers) collapses the whole restore into ONE PERMUTE_BITS — one
+    transpose / ICI round instead of one per displaced bit; the default
+    SWAP_BITS chain serves single-device callers that re-express relabels
+    as SWAP gates."""
     layout = list(layout)
+    if merge:
+        displaced = [lg for lg in range(len(layout)) if layout[lg] != lg]
+        if not displaced:
+            return []
+        # restore: logical q's amplitude bit sits at physical layout[q];
+        # after the relabel, bit q must hold old bit layout[q]'s value.
+        # Emit per CYCLE-PACKED chunks of <= 8 bits: each exposed bit is
+        # one axis of the relabel transpose's view, and >8 exposed bits
+        # (rank > 17) stalls the TPU compiler. A union of complete cycles
+        # is an independently-applicable permutation.
+        cycles, visited = [], set()
+        for lg in displaced:
+            if lg in visited:
+                continue
+            cyc, cur = [], lg
+            while cur not in visited:
+                visited.add(cur)
+                cyc.append(cur)
+                cur = layout[cur]
+            cycles.append(cyc)
+        out = []
+        chunk: List[int] = []
+        for cyc in cycles:
+            if len(cyc) > 8:
+                # an oversized single cycle falls back to its swap chain
+                sub = {q: layout[q] for q in cyc}
+                lay = list(range(len(layout)))
+                for q in cyc:
+                    lay[q] = sub[q]
+                out.extend(unpermute_ops(lay, merge=False))
+                continue
+            if chunk and len(chunk) + len(cyc) > 8:
+                out.append(GateOp(PERMUTE_BITS, tuple(chunk),
+                                  tuple(layout[q] for q in chunk)))
+                chunk = []
+            chunk.extend(cyc)
+        if chunk:
+            if len(chunk) == 2:
+                out.append(GateOp(SWAP_BITS, tuple(chunk)))
+            else:
+                out.append(GateOp(PERMUTE_BITS, tuple(chunk),
+                                  tuple(layout[q] for q in chunk)))
+        return out
     out = []
     for logical in range(len(layout)):
         phys = layout[logical]

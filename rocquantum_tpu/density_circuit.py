@@ -818,6 +818,11 @@ class DensityCircuit(_GateMethods):
                                                  use_transpose=True)
                         im = _sv.swap_index_bits(im, a, b,
                                                  use_transpose=True)
+                    elif op.name == "PERMUTE_BITS":
+                        d, s = ((op.controls, op.targets) if op.is_adjoint
+                                else (op.targets, op.controls))
+                        re = _sv.permute_index_bits(re, d, s)
+                        im = _sv.permute_index_bits(im, d, s)
                     else:
                         if op.params and op.params[0] == "sslots":
                             vals = tuple(s * params[i]
@@ -844,7 +849,9 @@ class DensityCircuit(_GateMethods):
         from .compiler.interpreter import execute as _exec
         from .compiler.sharded_schedule import unpermute_ops
 
-        ops = unpermute_ops(self._layout2n)
+        # this path only runs SHARDED (mesh guard above): merge the whole
+        # restore into ONE PERMUTE_BITS relabel (one ICI round)
+        ops = unpermute_ops(self._layout2n, merge=True)
         sharding = self._sharding()
 
         if self._use_pair():
@@ -852,9 +859,17 @@ class DensityCircuit(_GateMethods):
 
             def run_pair(re, im):
                 for op in ops:
-                    a, b = op.targets
-                    re = _sv.swap_index_bits(re, a, b, use_transpose=True)
-                    im = _sv.swap_index_bits(im, a, b, use_transpose=True)
+                    if op.name == "PERMUTE_BITS":
+                        re = _sv.permute_index_bits(re, op.targets,
+                                                    op.controls)
+                        im = _sv.permute_index_bits(im, op.targets,
+                                                    op.controls)
+                    else:
+                        a, b = op.targets
+                        re = _sv.swap_index_bits(re, a, b,
+                                                 use_transpose=True)
+                        im = _sv.swap_index_bits(im, a, b,
+                                                 use_transpose=True)
                     re = jax.lax.with_sharding_constraint(re, sharding)
                     im = jax.lax.with_sharding_constraint(im, sharding)
                 return re, im

@@ -484,6 +484,11 @@ def compile_df64_ir(ir, sharding=None):
                 a, b = op.targets
                 state = tuple(sv.swap_index_bits(p, a, b, use_transpose=True)
                               for p in state)
+            elif op.name == "PERMUTE_BITS":
+                d, s = ((op.controls, op.targets) if op.is_adjoint
+                        else (op.targets, op.controls))
+                state = tuple(sv.permute_index_bits(p, d, s)
+                              for p in state)
             else:
                 state = apply_op_df64(state, op, _resolve_params(op, params))
             if sharding is not None:

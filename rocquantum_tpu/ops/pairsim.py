@@ -714,6 +714,11 @@ def compile_pair_ir(ir, sharding=None):
                 a, b = op.targets
                 re = sv.swap_index_bits(re, a, b, use_transpose=True)
                 im = sv.swap_index_bits(im, a, b, use_transpose=True)
+            elif op.name == "PERMUTE_BITS":
+                d, s = ((op.controls, op.targets) if op.is_adjoint
+                        else (op.targets, op.controls))
+                re = sv.permute_index_bits(re, d, s)
+                im = sv.permute_index_bits(im, d, s)
             else:
                 re, im = apply_op_pair(re, im, op,
                                        _resolve_params(op, params))

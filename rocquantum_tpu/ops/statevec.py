@@ -334,6 +334,31 @@ def swap_index_bits(state: jnp.ndarray, q1: int, q2: int,
     return st.transpose(0, 3, 2, 1, 4).reshape(state.shape)
 
 
+def permute_index_bits(state: jnp.ndarray, dsts: Sequence[int],
+                       srcs: Sequence[int]) -> jnp.ndarray:
+    """Composed multi-bit relabel: new index bit ``dsts[i]`` takes the
+    value of old index bit ``srcs[i]`` (``dsts`` and ``srcs`` are the same
+    set). ONE rank-(2k+1) view transpose = one data movement — where the
+    equivalent SWAP_BITS chain pays one full-state transpose (and, under
+    sharding, one ICI all-to-all round) PER swap. The sharded scheduler
+    merges adjacent SWAP_BITS runs into this (PERMUTE_BITS pseudo-op)."""
+    dsts = tuple(int(d) for d in dsts)
+    srcs = tuple(int(s) for s in srcs)
+    if dsts == srcs:
+        return state
+    if sorted(dsts) != sorted(srcs):
+        raise ValueError(f"permutation mismatch: {dsts} vs {srcs}")
+    n = num_qubits_of(state)
+    touched = sorted(set(dsts), reverse=True)
+    dims = _exposed_view_dims(n, touched)
+    st = state.reshape(dims)
+    axis_of = {b: 2 * j + 1 for j, b in enumerate(touched)}
+    perm = list(range(len(dims)))
+    for d, s in zip(dsts, srcs):
+        perm[axis_of[d]] = axis_of[s]
+    return st.transpose(perm).reshape(state.shape)
+
+
 # ---------------------------------------------------------------------------
 # Measurement / collapse / sampling
 # ---------------------------------------------------------------------------

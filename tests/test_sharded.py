@@ -588,12 +588,16 @@ def test_collective_counts_pinned():
     (VERDICT r4 #7): a scheduler regression that doubles collectives
     changes these counts without failing any numeric test — so the counts
     themselves are the test. Budgets (measured from compiled HLO, also
-    asserted by __graft_entry__.dryrun_multichip):
-      * H(global)+CNOT(global->0)+RY: one relabel in + one back = 2
-        all-to-alls, nothing else;
+    asserted by __graft_entry__.dryrun_multichip; the r5 prefetch-batching
+    scheduler localizes ALL soon-needed global qubits in one PERMUTE_BITS
+    transpose — the per-qubit SWAP_BITS schedule cost one transpose per
+    demand):
+      * H(global)+CNOT(global->0)+RY: both demanded globals batch into
+        ONE relabel = 1 all-to-all, nothing else;
       * global diagonals (CZ, RZ): ZERO collectives;
-      * one RY-column+CNOT-ring ansatz layer: 3 global qubits = 3 relabel
-        round-trips = 6 all-to-alls."""
+      * one RY-column+CNOT-ring ansatz layer: 3 global qubits = one
+        batched relabel = 2 all-to-alls + 1 collective-permute (was 6
+        all-to-alls / 3 full-state transposes before batching)."""
     import re  # noqa: F401
     from rocquantum_tpu.compiler.sharded_schedule import schedule_for_sharding
     from rocquantum_tpu.parallel import count_collectives
@@ -618,7 +622,7 @@ def test_collective_counts_pinned():
     canonical.add("CNOT", [0], controls=[n - 1])
     canonical.add("RY", [n - 2], params=[0.3])
     assert counts_of(canonical) == {
-        "all-to-all": 2, "all-gather": 0, "all-reduce": 0,
+        "all-to-all": 1, "all-gather": 0, "all-reduce": 0,
         "collective-permute": 0, "reduce-scatter": 0}
 
     diag = CircuitIR(n)
@@ -633,8 +637,8 @@ def test_collective_counts_pinned():
         ansatz.add("CNOT", [(q + 1) % n], controls=[q])
     acc = counts_of(ansatz)
     assert acc == {
-        "all-to-all": 6, "all-gather": 0, "all-reduce": 0,
-        "collective-permute": 0, "reduce-scatter": 0}, acc
+        "all-to-all": 2, "all-gather": 0, "all-reduce": 0,
+        "collective-permute": 1, "reduce-scatter": 0}, acc
 
 
 def test_north_star_n32_sharded_compiles():
@@ -669,3 +673,65 @@ def test_north_star_n32_sharded_compiles():
     assert re.findall("all-to-all", txt)
     assert not re.findall("all-gather", txt)
     assert "536870912" in txt  # 2^29 per-shard amplitudes
+
+
+def test_permute_index_bits_matches_swap_chain():
+    """sv.permute_index_bits == the equivalent SWAP_BITS chain, including
+    non-involution permutations (3-cycles) and the adjoint convention."""
+    rng = np.random.default_rng(0)
+    n = 6
+    v = rng.normal(size=(1 << n,)).astype(np.complex64)
+    v = v / np.linalg.norm(v)
+    s = jnp.asarray(v.real) + 0j  # complex on CPU is fine
+
+    def via_swaps(state, swaps):
+        for a, b in swaps:
+            state = sv.swap_index_bits(state, a, b, use_transpose=True)
+        return state
+
+    # compose swaps (1,4), (4,5): a 3-cycle
+    swaps = [(1, 4), (4, 5)]
+    cur = {b: b for b in range(n)}
+    for a, b in swaps:
+        cur[a], cur[b] = cur[b], cur[a]
+    dsts = tuple(p for p in range(n) if cur[p] != p)
+    srcs = tuple(cur[p] for p in dsts)
+    st = jnp.asarray(v)
+    ref = np.asarray(via_swaps(st, swaps))
+    out = np.asarray(sv.permute_index_bits(st, dsts, srcs))
+    np.testing.assert_allclose(out, ref, atol=0)
+    # inverse permutation restores
+    back = np.asarray(sv.permute_index_bits(jnp.asarray(out), srcs, dsts))
+    np.testing.assert_allclose(back, v, atol=0)
+
+
+@requires_multi
+def test_scheduler_prefetch_batches_relabels():
+    """The prefetch-batching scheduler emits ONE PERMUTE_BITS for a
+    column of gates over the global region (was one SWAP_BITS each), and
+    the scheduled stream still matches the unscheduled circuit."""
+    from rocquantum_tpu.compiler.sharded_schedule import (
+        schedule_for_sharding)
+
+    n = 12
+    mesh = make_mesh(8)
+    ir = CircuitIR(n)
+    for q in range(n):
+        ir.add("RY", [q], params=[0.05 * (q + 1)])
+    ops, _ = schedule_for_sharding(ir.ops, n, num_global_qubits(mesh))
+    names = [op.name for op in ops]
+    assert names.count("PERMUTE_BITS") == 1, names
+    assert names.count("SWAP_BITS") == 0, names
+    perm = next(op for op in ops if op.name == "PERMUTE_BITS")
+    assert len(perm.targets) == 6  # 3 swap pairs batched
+
+    # numeric equivalence through the sharded Circuit
+    ca = rocq.Circuit(n, rocq.Simulator(seed=1), mesh=mesh)
+    cb = rocq.Circuit(n, rocq.Simulator(seed=1))
+    for c in (ca, cb):
+        for q in range(n):
+            c.ry(0.05 * (q + 1), q)
+        c.cx(n - 1, 0)
+        c.flush()
+    np.testing.assert_allclose(ca.get_statevector(), cb.get_statevector(),
+                               atol=2e-6)
