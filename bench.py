@@ -254,13 +254,15 @@ def bench_at(n):
         # the n=30 OOM of record). Straight-line code chains passes
         # in place, exactly like compiled Circuit segments.
         if real_plane:
-            from rocquantum_tpu.compiler.interpreter import init_real
-            re, im = init_real(n), None
+            # DEFERRED init: |0..0> is generated inside the first fused
+            # pass in its own view geometry — no init array, no retiling
+            # copy, ONE-plane peak HBM (what fits n=31 on a 16 GiB chip)
+            re, im = None, None
         else:
             re, im = init_pair(n)
         for _ in range(layers // reps):
             re, im = execute_pair(re, im, ops, params, low_width=low_w,
-                                  high_width=high_w)
+                                  high_width=high_w, num_qubits=n)
         # scalar output forces real synchronization on transfer
         total = jnp.sum(re * re)
         return total if im is None else total + jnp.sum(im * im)
@@ -316,13 +318,12 @@ def bench_ansatz(n):
         # unrolled — see bench_at: a fori_loop body costs a full-state
         # copy per iteration (aliased-custom-call copy-insertion)
         if real_plane:
-            from rocquantum_tpu.compiler.interpreter import init_real
-            re, im = init_real(n), None
+            re, im = None, None   # deferred init (see bench_at)
         else:
             re, im = init_pair(n)
         for _ in range(layers // body_layers):
             re, im = execute_pair(re, im, ops, params, low_width=low_w,
-                                  high_width=high_w)
+                                  high_width=high_w, num_qubits=n)
         total = jnp.sum(re * re)
         return total if im is None else total + jnp.sum(im * im)
 

@@ -423,15 +423,18 @@ def _plan_mixed(n, kinds, supports, limit):
 
 
 def _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
-                      interpret: bool = False):
+                      interpret: bool = False, num_qubits: int = None):
     """Run prepared gate specs through the fused kernel on a float-pair
     state whose length defines the qubit count (a full state, or one shard
     under shard_map). ``im=None`` = the known-real state plane (all-real
-    gates only; half the HBM traffic)."""
+    gates only; half the HBM traffic). ``re=None`` defers the |0..0> init
+    into the first kernel pass (``num_qubits`` required) — the init plane
+    is written in that pass's own view geometry, so no retiling copy and
+    a one-plane peak (the n=31 enabler)."""
     from ..ops.pallas_sv import apply_fused_layer, max_kernel_qubit
     from ..ops.relabel import execute_plan, plan_full_layer
 
-    n = re.shape[-1].bit_length() - 1
+    n = num_qubits if re is None else re.shape[-1].bit_length() - 1
     limit = max_kernel_qubit(n) + 1
     anchors = _spec_anchors(kinds, supports, limit)
     constrained = [q for a in anchors for q in a]
@@ -439,7 +442,7 @@ def _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
         # unanchored qubits grid-resolve in the kernel — one direct pass
         specs = tuple((k,) + tuple(s) for k, s in zip(kinds, supports))
         return apply_fused_layer(re, im, specs, gm, real_flags=real_flags,
-                                 interpret=interpret)
+                                 interpret=interpret, num_qubits=n)
     plan = plan_full_layer(n, supports, limit, pair_ok=n > limit,
                            anchors=anchors)
     # Smaller-tile geometry alternatives buy more pair bits per pass
@@ -520,18 +523,25 @@ def _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
 
 def _apply_pallas_block_pair(re: jnp.ndarray, im: jnp.ndarray,
                              block: PallasBlock, params,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             num_qubits: int = None):
     """Pair-native core: run a 1q+CNOT gate run through the fused Pallas
     kernel on a (re, im) float32 state. In-window runs cost ONE HBM pass;
     runs touching higher qubits are scheduled as kernel passes + index-bit
-    rotations (ops/relabel.py)."""
+    rotations (ops/relabel.py). ``re=None`` = deferred |0..0> init (see
+    :func:`_run_pallas_specs`; requires ``num_qubits``)."""
     kinds, supports, gm, real_flags = pallas_block_specs(block, params)
-    if im is None and not all(real_flags):
-        # a complex gate entered a known-real state: materialize the
-        # imaginary plane and continue on the full pair path
-        im = jnp.zeros_like(re)
+    if not all(real_flags):
+        if re is None:
+            # complex gates need the pair path: materialize the deferred
+            # init (real plane; zero imaginary)
+            re = init_real(num_qubits)
+        if im is None:
+            # a complex gate entered a known-real state: materialize the
+            # imaginary plane and continue on the full pair path
+            im = jnp.zeros_like(re)
     return _run_pallas_specs(re, im, kinds, supports, gm, real_flags,
-                             interpret=interpret)
+                             interpret=interpret, num_qubits=num_qubits)
 
 
 # ---------------------------------------------------------------------------
@@ -1145,7 +1155,8 @@ def execute_pair(re: jnp.ndarray, im: jnp.ndarray, ops: Sequence,
                  params: Optional[jnp.ndarray] = None,
                  fuse: bool = True, max_fuse: int = 2,
                  low_width: int = 0, high_width: int = 0,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 num_qubits: Optional[int] = None):
     """``execute`` on a float-pair state: PallasBlocks run pair-native
     (no complex materialization — with the kernels' in/out aliasing the
     whole pass is in-place in HBM); other items convert locally.
@@ -1159,8 +1170,17 @@ def execute_pair(re: jnp.ndarray, im: jnp.ndarray, ops: Sequence,
     all-real PallasBlocks then run single-plane (half traffic); the first
     complex gate materializes a zero imaginary plane and continues on the
     pair path. Returns ``(re, None)`` only if the state stayed real.
+
+    ``re=None`` (with ``im=None`` and ``num_qubits``) DEFERS the |0..0>
+    init: if the first plan item is a fused Pallas block, the init plane
+    is generated in-kernel in that block's first-pass view geometry —
+    no layout-mismatched init array, no retiling copy, ONE-plane peak
+    HBM (what fits n=31 on a 16 GiB chip). Otherwise the plain init
+    materializes here and execution proceeds unchanged.
     """
-    n = re.shape[-1].bit_length() - 1
+    if re is None and num_qubits is None:
+        raise ValueError("execute_pair(re=None, ...) requires num_qubits")
+    n = num_qubits if re is None else re.shape[-1].bit_length() - 1
     items = list(ops)
     if use_pallas is None:
         use_pallas = fuse and _pallas_enabled()
@@ -1178,10 +1198,14 @@ def execute_pair(re: jnp.ndarray, im: jnp.ndarray, ops: Sequence,
     if high_width:
         from .passes import consolidate_high
         plan = consolidate_high(plan, high_width, n)
+    if re is None and not (plan and isinstance(plan[0], PallasBlock)):
+        # deferred init has nowhere to fuse: materialize and run normally
+        re = init_real(n)
     for item in plan:
         if isinstance(item, PallasBlock):
             re, im = _apply_pallas_block_pair(re, im, item, params,
-                                              interpret=_pallas_interpret())
+                                              interpret=_pallas_interpret(),
+                                              num_qubits=n)
             continue
         if im is None:
             im = jnp.zeros_like(re)

@@ -1370,8 +1370,15 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
                       real_flags: Sequence[bool] = None,
                       interpret: bool = False,
                       pair_bits: Sequence[int] = None,
-                      geometry: Tuple[int, int] = None):
+                      geometry: Tuple[int, int] = None,
+                      num_qubits: int = None):
     """Apply a mixed gate list to the float-pair state in one HBM pass.
+
+    ``re=None`` (with ``im=None`` and ``num_qubits`` set) DEFERS the
+    |0...0> init into this pass: the input plane is written by
+    :func:`_gen_zero_input` in this pass's exact view geometry, so no
+    layout-mismatched init array (and no retiling copy) ever exists —
+    the whole program peaks at ONE state plane (the n=31 enabler).
 
     specs: per-gate ("U", q) — dense 1q matrix ``gate_mats[k]`` on qubit q —
     ("CNOT", control, target), or ("D2", qa, qb) — a two-qubit DIAGONAL
@@ -1386,7 +1393,14 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
     contiguous runs) are reachable via block pairing (_kernel_multi).
     ``pair_bit`` (scalar) is the backward-compatible single-pair form.
     """
-    n = (re.size).bit_length() - 1
+    gen_init = re is None
+    if gen_init:
+        if im is not None or num_qubits is None:
+            raise ValueError("deferred init (re=None) requires im=None and "
+                             "num_qubits")
+        n = num_qubits
+    else:
+        n = (re.size).bit_length() - 1
     geo_col, geo_tile = geometry if geometry is not None \
         else (COL_QUBITS, TILE_ROWS_LOG2)
     col = min(geo_col, n)
@@ -1449,7 +1463,6 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
                          memory_space=pltpu.VMEM)
 
     if not pair_bits:
-        re2 = re.reshape(R, C)
         grid = (max(R // tile_rows, 1),)
         kernel = functools.partial(_kernel, specs=specs,
                                    real_flags=real_flags, col_qubits=col,
@@ -1461,6 +1474,8 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
         sem = _grid_semantics(len(grid))
         if sem and not interpret:
             params["compiler_params"] = pltpu.CompilerParams(**sem)
+        re2 = _gen_zero_input((R, C), tile_rows, interpret=interpret) \
+            if gen_init else re.reshape(R, C)
         if im is None:
             out_re = pl.pallas_call(
                 kernel,
@@ -1472,7 +1487,7 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
                 interpret=interpret,
                 **params,
             )(gate_mats, re2)
-            return out_re.reshape(re.shape), None
+            return out_re.reshape((1 << n,)), None
         im2 = im.reshape(R, C)
         out_re, out_im = pl.pallas_call(
             kernel,
@@ -1509,8 +1524,6 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
     for (lo, m), g in zip(reversed(groups), reversed(gaps)):
         shape = shape + (1 << m, g)
     shape = shape + (tile_rows, C)
-    re_v = re.reshape(shape)
-    im_v = im.reshape(shape) if im is not None else None
     grid = (a_top,) + tuple(reversed(gaps))
     if r_groups == 1 and k_pairs >= _merged_min_k():
         # one contiguous run: merge the group axis into the tile rows —
@@ -1548,6 +1561,9 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
 
     block = pl.BlockSpec(block_shape, _i32_map(index_map),
                          memory_space=pltpu.VMEM)
+    re_v = _gen_zero_input(shape, tile_rows, interpret=interpret) \
+        if gen_init else re.reshape(shape)
+    im_v = im.reshape(shape) if im is not None else None
     # paired blocks are 2^k x the unpaired ones; scoped-vmem must hold the
     # double-buffered in/out set (v5e physical VMEM is 128 MiB). The limit
     # scales with the paired-block bytes (measured: 4 MiB blocks need the
@@ -1571,7 +1587,7 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
             interpret=interpret,
             **params,
         )(gate_mats, re_v)
-        return out_re.reshape(re.shape), None
+        return out_re.reshape((1 << n,)), None
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1584,6 +1600,51 @@ def apply_fused_layer(re: jnp.ndarray, im: jnp.ndarray,
         **params,
     )(gate_mats, re_v, im_v)
     return out_re.reshape(re.shape), out_im.reshape(im.shape)
+
+
+def _gen_zero_input(shape, tile_rows, interpret=False):
+    """|0...0> written DIRECTLY in a fused pass's input view SHAPE — the
+    consuming pallas_call's operand then has byte-for-byte the writer's
+    layout and XLA inserts NO retiling copy.
+
+    This is the deferred-init fix for the n=31 capacity edge: a flat (or
+    wrong-geometry) |0..0> init and the first pass's multi-pair 5-D view
+    carry different physical tilings, and the materialized relayout copy
+    is a second full-state HLO temp (2 x 8 GiB at n=31 = the OOM of
+    record, bench n31 probe r5).
+
+    The writer uses its OWN grid (one step per leading-axis index x row
+    tile; blocks of (1, ..., 1, t, C)) — only ``shape`` must match the
+    consumer. The kernel body is strictly 2-D iota + where: in-kernel
+    ``.at[].set`` lowers to scatter, which Mosaic rejects (interpret mode
+    masks that — measured on chip, r5)."""
+    n_lead = len(shape) - 2
+    rows_l, cols = shape[-2], shape[-1]
+    t = min(tile_rows, rows_l)
+    grid = tuple(shape[:-2]) + (max(rows_l // t, 1),)
+
+    def kernel(out_ref):
+        at_zero = pl.program_id(0) == 0
+        for d in range(1, len(grid)):
+            at_zero = at_zero & (pl.program_id(d) == 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (t, cols), 0)
+        cs = jax.lax.broadcasted_iota(jnp.int32, (t, cols), 1)
+        plane = jnp.where((rows == 0) & (cs == 0) & at_zero,
+                          1.0, 0.0).astype(jnp.float32)
+        out_ref[...] = plane.reshape((1,) * n_lead + (t, cols))
+
+    block = pl.BlockSpec(
+        (1,) * n_lead + (t, cols),
+        _i32_map(lambda *idx: tuple(idx) + (0,)),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        interpret=interpret,
+    )()
 
 
 def init_zero_state_tiled(n: int, interpret: bool = False) -> jnp.ndarray:

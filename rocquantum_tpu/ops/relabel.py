@@ -412,13 +412,20 @@ def execute_plan(re: jnp.ndarray, im: jnp.ndarray, plan: List[object],
     ``kinds[i]`` is the i-th gate's kind ("U" or "CNOT"; default all "U");
     ``gate_mats[i]`` its packed 2x2 matrix (ignored for CNOT).
     ``im=None`` runs every pass in the kernels' REAL-STATE mode (half the
-    HBM traffic; requires all-real gate matrices)."""
+    HBM traffic; requires all-real gate matrices).
+    ``re=None`` (with ``im=None``) defers the |0..0> init into the FIRST
+    kernel pass (written in that pass's view geometry — no retiling copy,
+    one state plane peak; pallas_sv._gen_zero_input)."""
     import numpy as np
 
     from .pallas_sv import apply_fused_layer
 
     for item in plan:
         if isinstance(item, Rotation):
+            if re is None:
+                # legacy rotation first: materialize (flat init) — only
+                # plan_full_layer's legacy path emits these
+                re = jnp.zeros((1 << n,), jnp.float32).at[0].set(1.0)
             # legacy item kind (plan_full_layer no longer emits rotations;
             # multi-pair block pairing reaches every bit in place).
             # Serialize the two transposes: scheduled concurrently they hold
@@ -445,5 +452,6 @@ def execute_plan(re: jnp.ndarray, im: jnp.ndarray, plan: List[object],
                                        real_flags=flags,
                                        interpret=interpret,
                                        geometry=getattr(item, "geometry",
-                                                        None))
+                                                        None),
+                                       num_qubits=n)
     return re, im

@@ -1047,3 +1047,71 @@ def test_init_zero_state_tiled_matches():
     assert out.shape == (1 << 15,)
     assert out[0] == 1.0
     assert not out[1:].any()
+
+
+def test_deferred_init_no_pair(monkeypatch):
+    """execute_pair(re=None) fuses the |0..0> init into the first pass
+    (pallas_sv._gen_zero_input) and matches the materialized-init run
+    exactly — the n=31 one-plane-peak enabler."""
+    monkeypatch.setenv("ROCQ_PALLAS_INTERPRET", "1")
+    from rocquantum_tpu.compiler.interpreter import (default_widths,
+                                                     execute_pair, init_real)
+    from rocquantum_tpu.compiler.ir import CircuitIR, ParamRef
+
+    n = 15
+    ir = CircuitIR(n)
+    for q in range(n):
+        ir.add("RY", [q], params=[ParamRef(q)])
+    params = jnp.asarray(np.linspace(0.1, 1.0, n), jnp.float32)
+    lw, hw = default_widths(n)
+    re0, im0 = execute_pair(init_real(n), None, ir.ops, params,
+                            low_width=lw, high_width=hw)
+    re1, im1 = execute_pair(None, None, ir.ops, params,
+                            low_width=lw, high_width=hw, num_qubits=n)
+    assert im1 is None and im0 is None
+    np.testing.assert_array_equal(np.asarray(re0), np.asarray(re1))
+
+
+def test_deferred_init_pair_view():
+    """The generated init in a PAIR-VIEW pass geometry (5-D block shape)
+    places amplitude 0 at the block origin of grid cell (0, ..., 0)."""
+    from rocquantum_tpu.ops.pallas_sv import apply_fused_layer
+    n = 19
+    limit = max_kernel_qubit(n) + 1
+    assert limit < n
+    qubits = [0, 5, 13, limit, n - 1]
+    rng = np.random.default_rng(9)
+    mats, specs = [], []
+    for q in qubits:
+        th = rng.normal()
+        mats.append(np.array([[np.cos(th / 2), -np.sin(th / 2)],
+                              [np.sin(th / 2), np.cos(th / 2)]], np.complex64))
+        specs.append(("U", q))
+    gm = jnp.asarray(pack_gate_mats(mats))
+    flags = [True] * len(specs)
+    zero = np.zeros(1 << n, np.float32)
+    zero[0] = 1.0
+    re0, _ = apply_fused_layer(jnp.asarray(zero), None, specs, gm,
+                               pair_bits=[limit, n - 1], real_flags=flags,
+                               interpret=True)
+    re1, _ = apply_fused_layer(None, None, specs, gm,
+                               pair_bits=[limit, n - 1], real_flags=flags,
+                               interpret=True, num_qubits=n)
+    np.testing.assert_array_equal(np.asarray(re0), np.asarray(re1))
+
+
+def test_deferred_init_falls_back_without_pallas(monkeypatch):
+    """re=None still works when the plan has no leading PallasBlock
+    (pallas disabled): the init materializes and execution proceeds."""
+    monkeypatch.setenv("ROCQ_DISABLE_PALLAS", "1")
+    from rocquantum_tpu.compiler.interpreter import execute_pair
+    from rocquantum_tpu.compiler.ir import CircuitIR
+
+    n = 8
+    ir = CircuitIR(n)
+    for q in range(n):
+        ir.add("RY", [q], params=[0.1 * (q + 1)])
+    re, im = execute_pair(None, None, ir.ops, num_qubits=n)
+    total = float(jnp.sum(re * re)) + (0.0 if im is None
+                                       else float(jnp.sum(im * im)))
+    assert abs(total - 1.0) < 1e-5
