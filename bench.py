@@ -600,9 +600,11 @@ def bench_df64(n):
     # unrolled df64 gate count (measured: 6 gates 2.9 s, 12 gates 50 s at
     # n=6; optimization_barrier and backend-opt-level flags do not tame
     # it), so the CPU default is ONE layer — same probe body, linear-sized
-    # program. The TPU path (fused Pallas kernels via Mosaic) keeps the
-    # measured-best default.
-    default_reps = "1" if jax.default_backend() == "cpu" else "16"
+    # program. The remote TPU compiler is super-linear in it too
+    # (chip-measured r5 at n=26: REPS=2 ~40 min, REPS=8 >40 min, REPS=16
+    # SIGKILLs the compile helper), so the TPU default is the deepest
+    # body that reliably compiles.
+    default_reps = "1" if jax.default_backend() == "cpu" else "2"
     reps = int(os.environ.get("ROCQ_BENCH_DF64_REPS", default_reps))
     ir = CircuitIR(n, name="bench_df64_layer")
     for _ in range(reps):

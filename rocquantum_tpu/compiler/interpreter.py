@@ -565,13 +565,18 @@ def _diag_parts_df(op: GateOp, params):
         return re, None
     if base == "RZ":
         (theta,) = _resolve_params(op, params)
+        from ..ops.pairsim import acc_cos_sin_f64
         theta = jnp.asarray(theta, jnp.float64) * sign
-        c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
+        # accurate-array trig: scalar f64 transcendentals silently run at
+        # f32 accuracy on the TPU x64 stack (pairsim.acc_cos_sin_f64)
+        c, s = acc_cos_sin_f64(theta, half=True)
         return [c, c], [-s, s]
     if base in ("P", "PHASE"):
         (lam,) = _resolve_params(op, params)
+        from ..ops.pairsim import acc_cos_sin_f64
         lam = jnp.asarray(lam, jnp.float64) * sign
-        return [1.0, jnp.cos(lam)], [0.0, jnp.sin(lam)]
+        c, s = acc_cos_sin_f64(lam)
+        return [1.0, c], [0.0, s]
     raise ValueError(f"gate {op.name} is not diagonal")
 
 

@@ -180,10 +180,24 @@ def split_f64_host(v) -> Tuple[float, float]:
 
 
 def split_f64(v):
-    """A (possibly traced) f64 scalar as an exact (hi, lo) f32 pair."""
+    """A (possibly traced) f64 scalar as an exact (hi, lo) f32 pair.
+
+    Traced SCALARS route the residual subtract through a distinct-valued
+    (64,) array: scalar f64 arithmetic on the TPU x64 stack silently
+    degrades to f32 accuracy (chip-measured r5 — see
+    pairsim.acc_cos_sin_f64), which returned lo == 0 for every
+    coefficient and reduced the df64 engine to f32-grade drift. Element
+    0 carries offset exactly 0.0, so the extracted pair is the accurate
+    split of ``v`` bit-for-bit."""
     if isinstance(v, (float, int, np.floating, np.integer)):
         return split_f64_host(v)
     v = jnp.asarray(v, jnp.float64)
+    if v.ndim == 0:
+        from .pairsim import _DECOY_NP
+        va = v + jnp.asarray(_DECOY_NP)
+        hi_a = va.astype(jnp.float32)
+        lo_a = (va - hi_a.astype(jnp.float64)).astype(jnp.float32)
+        return hi_a[0], lo_a[0]
     hi = v.astype(jnp.float32)
     lo = (v - hi.astype(jnp.float64)).astype(jnp.float32)
     return hi, lo

@@ -153,33 +153,83 @@ def _rows_from_numpy(mh):
     return re_rows, im_rows
 
 
+# ---------------------------------------------------------------------------
+# Accurate f64 trig for traced scalars
+# ---------------------------------------------------------------------------
+# Chip finding (r5): on the TPU x64 stack, transcendentals of a traced f64
+# SCALAR silently compute at f32 accuracy — the df64 coefficient split of
+# cos(theta/2) came back with lo == 0 EXACTLY and hi == float32(true
+# value), which reduced the whole double-float engine to f32-grade norm
+# drift (3.9e-7 over 52 gates) while every in-kernel EFT measured
+# bit-exact. ARRAY-shaped f64 trig is accurate on the same chip (~3e-15 at
+# shape (64,)). So scalar trig routes through a (64,) array whose other 63
+# elements carry tiny DISTINCT offsets — XLA cannot hoist the op back to a
+# scalar through a uniform broadcast — and element 0 (offset exactly 0.0)
+# is extracted: the returned value IS the accurate-array computation of
+# the input, bit-for-bit.
+
+_DECOY_NP = np.arange(64, dtype=np.float64) * 2.0 ** -60
+
+
+def acc_cos_sin_f64(x, add=None, half=False):
+    """(cos, sin) of ``x`` (+ ``add``, / 2 if ``half``) at true f64
+    accuracy, for host or traced scalars (see note above). All sensitive
+    arithmetic (the optional add, the halving, the trig) happens in
+    (64,)-array form; only exact movement extracts the scalar."""
+    if isinstance(x, (int, float, np.floating, np.integer)) and (
+            add is None or isinstance(add, (int, float, np.floating,
+                                            np.integer))):
+        v = np.float64(x) + (np.float64(add) if add is not None else 0.0)
+        if half:
+            v = v * 0.5
+        return np.float64(np.cos(v)), np.float64(np.sin(v))
+    v = jnp.asarray(x, jnp.float64) + jnp.asarray(_DECOY_NP)
+    if add is not None:
+        v = v + jnp.asarray(add, jnp.float64)
+    if half:
+        v = v * 0.5
+    return jnp.cos(v)[0], jnp.sin(v)[0]
+
+
+def _is_f64(dt) -> bool:
+    return jnp.dtype(dt) == jnp.dtype(jnp.float64)
+
+
+def _trig_half(theta, dt):
+    if _is_f64(dt):
+        return acc_cos_sin_f64(theta, half=True)
+    theta = jnp.asarray(theta, dt)
+    return jnp.cos(theta / 2), jnp.sin(theta / 2)
+
+
 def _ry_rows(theta, dtype=None):
-    theta = jnp.asarray(theta, dtype or config.real_dtype())
-    c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
+    c, s = _trig_half(theta, dtype or config.real_dtype())
     return [[c, -s], [s, c]], None
 
 
 def _rx_rows(theta, dtype=None):
-    theta = jnp.asarray(theta, dtype or config.real_dtype())
-    c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
+    c, s = _trig_half(theta, dtype or config.real_dtype())
     return [[c, 0.0], [0.0, c]], [[0.0, -s], [-s, 0.0]]
 
 
 def _rz_rows(theta, dtype=None):
-    theta = jnp.asarray(theta, dtype or config.real_dtype())
-    c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
+    c, s = _trig_half(theta, dtype or config.real_dtype())
     return [[c, 0.0], [0.0, c]], [[-s, 0.0], [0.0, s]]
 
 
 def _p_rows(lam, dtype=None):
-    lam = jnp.asarray(lam, dtype or config.real_dtype())
-    return ([[1.0, 0.0], [0.0, jnp.cos(lam)]],
-            [[0.0, 0.0], [0.0, jnp.sin(lam)]])
+    dt = dtype or config.real_dtype()
+    if _is_f64(dt):
+        c, s = acc_cos_sin_f64(lam)
+    else:
+        lam = jnp.asarray(lam, dt)
+        c, s = jnp.cos(lam), jnp.sin(lam)
+    return ([[1.0, 0.0], [0.0, c]],
+            [[0.0, 0.0], [0.0, s]])
 
 
 def _rzz_rows(theta, dtype=None):
-    theta = jnp.asarray(theta, dtype or config.real_dtype())
-    c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
+    c, s = _trig_half(theta, dtype or config.real_dtype())
     re = [[0.0] * 4 for _ in range(4)]
     im = [[0.0] * 4 for _ in range(4)]
     for k, sg in enumerate((-1.0, 1.0, 1.0, -1.0)):
@@ -190,14 +240,25 @@ def _rzz_rows(theta, dtype=None):
 
 def _u3_rows(theta, phi, lam, dtype=None):
     dt = dtype or config.real_dtype()
-    theta = jnp.asarray(theta, dt)
-    phi = jnp.asarray(phi, dt)
-    lam = jnp.asarray(lam, dt)
-    c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
-    re = [[c, -jnp.cos(lam) * s],
-          [jnp.cos(phi) * s, jnp.cos(phi + lam) * c]]
-    im = [[0.0, -jnp.sin(lam) * s],
-          [jnp.sin(phi) * s, jnp.sin(phi + lam) * c]]
+    if _is_f64(dt):
+        # accurate-array trig for every angle (incl. phi+lam, summed in
+        # array form); the entry PRODUCTS below remain scalar f64 muls
+        c, s = acc_cos_sin_f64(theta, half=True)
+        cl, sl = acc_cos_sin_f64(lam)
+        cp, sp = acc_cos_sin_f64(phi)
+        cpl, spl = acc_cos_sin_f64(phi, add=lam)
+    else:
+        theta = jnp.asarray(theta, dt)
+        phi = jnp.asarray(phi, dt)
+        lam = jnp.asarray(lam, dt)
+        c, s = jnp.cos(theta / 2), jnp.sin(theta / 2)
+        cl, sl = jnp.cos(lam), jnp.sin(lam)
+        cp, sp = jnp.cos(phi), jnp.sin(phi)
+        cpl, spl = jnp.cos(phi + lam), jnp.sin(phi + lam)
+    re = [[c, -cl * s],
+          [cp * s, cpl * c]]
+    im = [[0.0, -sl * s],
+          [sp * s, spl * c]]
     return re, im
 
 
