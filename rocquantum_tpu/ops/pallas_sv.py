@@ -320,28 +320,45 @@ def _grid_semantics(grid_len: int) -> dict:
     return {}
 
 
+def _dot_mode() -> str:
+    """Region-dot precision mode. DEFAULT on TPU: ``bf16x3`` — chip
+    bake-off r5: n=29 ring ansatz 1864.8 vs 1616.7 g/s (+15.3%) at
+    HIGHEST, and the depth-accuracy sweep (experiments/
+    bf16x3_depth_sweep.py, n=20 ring, 128 layers vs plain XLA) stays
+    within the f32 engine's tolerance: max amp err 2.8e-7 at depth 128
+    (HIGHEST: 7.4e-8), sublinear growth; norm bias ~7e-7/layer.
+    ``ROCQ_DOT_PRECISION=highest`` reverts to exact-fp32 dots.
+    Off-TPU the default stays HIGHEST (CPU tests compare bit-tight)."""
+    import os
+    v = os.environ.get("ROCQ_DOT_PRECISION", "").lower()
+    if v:
+        return v
+    try:
+        return "bf16x3" if jax.default_backend() == "tpu" else "highest"
+    except Exception:
+        return "highest"
+
+
 def _dot_precision():
     """MXU dot precision for the in-kernel region dots. HIGHEST (6-pass
     bf16) reproduces fp32 exactly (rel err ~1e-7/pass); ROCQ_DOT_PRECISION=
     high selects the 3-pass variant — ~2x dot throughput at ~1e-6/pass,
     still inside the engine's f32 tolerance. Knob for the compute-bound
     window passes (the stream-bound chain passes don't care)."""
-    import os
-    v = os.environ.get("ROCQ_DOT_PRECISION", "highest").lower()
     return {"highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
-            "default": jax.lax.Precision.DEFAULT}[v]
+            "default": jax.lax.Precision.DEFAULT}[_dot_mode()]
 
 
 def _make_dot(dn):
-    """Region-dot factory honoring ROCQ_DOT_PRECISION. ``bf16x3`` emulates
-    the 3-pass bf16 scheme (= Precision.HIGH, which Mosaic rejects inside
-    pallas kernels) by hand: split each f32 operand into a bf16 high part
-    plus a bf16 residual and sum the three significant cross products —
-    half the MXU passes of HIGHEST at ~1e-6 relative error, for the
-    compute-bound lead passes whose lane dot dominates."""
-    import os
-    if os.environ.get("ROCQ_DOT_PRECISION", "highest").lower() != "bf16x3":
+    """Region-dot factory honoring ROCQ_DOT_PRECISION (default via
+    :func:`_dot_mode`). ``bf16x3`` emulates the 3-pass bf16 scheme
+    (= Precision.HIGH, which Mosaic rejects inside pallas kernels) by
+    hand: split each f32 operand into a bf16 high part plus a bf16
+    residual and sum the three significant cross products — half the MXU
+    passes of HIGHEST at ~1e-6 relative error, for the compute-bound
+    lead passes whose lane dot dominates."""
+    if _dot_mode() != "bf16x3":
         return functools.partial(jax.lax.dot_general, dimension_numbers=dn,
                                  precision=_dot_precision(),
                                  preferred_element_type=jnp.float32)
